@@ -1,0 +1,343 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.query.QueryAst._
+
+/**
+ * Dataset binding for a query: which column is the group ID (e.g. user id)
+ * and which is the (numeric, scale-agnostic) event timestamp.
+ *
+ * Mirrors the reference's `QueryEngine(group_by_column, timestamp_column)`
+ * (frocket/engine/query_engine.py:72-75). Timestamps are deliberately opaque
+ * numbers — epoch seconds/millis/micros all work, matching the reference's
+ * scale-agnostic stance (frocket/common/validation/query_validator.py:268-299).
+ */
+final case class DatasetSpec(groupIdColumn: String, timestampColumn: String)
+
+/**
+ * The planned query: every output is a lazily-evaluated DataFrame, so Catalyst
+ * sees the complete plan (scan → window → filter → aggregate) and can push
+ * filters/pruning into the parquet scan.
+ */
+final case class PlannedQuery(
+    /** All rows of groups matching the conditions (reference semantics:
+      * aggregations run over ALL rows of matching groups, not just rows
+      * matching the filters — docs/example-dataset.md:313-317). */
+    matchedRows: DataFrame,
+    /** One row: matching_groups, matching_group_rows. */
+    summary: DataFrame,
+    /** Aggregation name → result frame (scalar aggs: 1 row; per-value: top-K). */
+    aggregations: Seq[(String, DataFrame)],
+    /** Funnel per-step counts: (step, step_groups, step_rows). */
+    funnel: Option[DataFrame],
+    /** Funnel step/end aggregations, keyed "step<i>_<name>" / "end_<name>". */
+    funnelAggregations: Seq[(String, DataFrame)])
+
+/**
+ * Spark-native implementation of the reference's query semantics
+ * (frocket/engine/query_engine.py), redesigned for Spark's execution model:
+ *
+ * **Single-shuffle design.** The reference avoids shuffles by a physical
+ * invariant (all rows of a group in one file). Here, per-group condition
+ * results are computed as window aggregates over `Window.partitionBy(gid)` and
+ * attached to every row, so the "restrict rows to matching groups" semi-join
+ * (reference filter_by_isin, helpers/pandas.py:20-37) becomes a plain row
+ * filter — no join, ONE hash-exchange of the fact table by group ID. All
+ * chained sequence steps reuse the same window partitioning, so Spark plans a
+ * single Exchange feeding a stack of Window operators. When the source is
+ * bucketed/pre-partitioned by the group ID column, even that exchange
+ * disappears — the 100 TB story matches the reference's shuffle-free layout.
+ *
+ * **Null semantics match pandas**, which the reference inherits
+ * (SURVEY.md §7.4): `!=` and `not contains` are TRUE for nulls; `==`,
+ * ordered comparisons, `contains` and `regex` are FALSE for nulls; group sums
+ * skip nulls and an all-null matched group sums to 0.0.
+ */
+final class QueryEngine(spec: DatasetSpec) {
+
+  private val gid = spec.groupIdColumn
+  private val ts  = spec.timestampColumn
+  private def w: WindowSpec = Window.partitionBy(col(gid))
+
+  /** Plan `q` against `df`. Pure plan construction — nothing is executed. */
+  def run(df: DataFrame, q: GraftQuery): PlannedQuery = {
+    val framed = q.timeframe match {
+      case Some(Timeframe(from, to)) =>
+        // ts >= from && ts < to (reference query_task_runner.py:116-133);
+        // both pushed to parquet row-group stats by Catalyst.
+        val lower = from.map(f => col(ts) >= lit(f))
+        val upper = to.map(t => col(ts) < lit(t))
+        (lower ++ upper).reduceOption(_ && _).map(df.filter).getOrElse(df)
+      case None => df
+    }
+
+    val matched: DataFrame =
+      if (q.conditions.isEmpty) framed
+      else {
+        var cur = framed
+        val condCols = q.conditions.zipWithIndex.map { case (c, i) =>
+          val name = s"__cond_$i"
+          c match {
+            case f: Condition.Filters =>
+              cur = cur.withColumn(name, filterConditionCol(f))
+            case s: Condition.Sequence =>
+              val (df2, passed) = sequenceCols(cur, s.steps, s"__c${i}", s.maxDuration)
+              cur = df2.withColumn(name, passed)
+          }
+          name
+        }
+        val relCol = q.relation match {
+          case Some(rel) => compileRelation(rel)
+          case None      => condCols.map(col).reduce(_ && _) // default: AND over all
+        }
+        cur.filter(relCol).select(framed.columns.map(col).toIndexedSeq: _*)
+      }
+
+    val summary = matched.agg(
+      count_distinct(col(gid)).as("matching_groups"),
+      count(lit(1)).as("matching_group_rows"))
+
+    val aggs = q.aggregations.map(a => aggName(a) -> runAggregation(matched, a))
+
+    val (funnelDf, funnelAggs) = q.funnel match {
+      case Some(f) => planFunnel(matched, f)
+      case None    => (None, Nil)
+    }
+
+    PlannedQuery(matched, summary, aggs, funnelDf, funnelAggs)
+  }
+
+  /** Parse the JSON query text and plan it. */
+  def runJson(df: DataFrame, json: String): PlannedQuery =
+    run(df, graft.query.QueryParser.parse(json))
+
+  // ------------------------------------------------------------------ filters
+
+  /** Row-level predicate with pandas null semantics (see class doc). */
+  def compileFilter(f: RowFilter): Column = {
+    val c = col(f.column)
+    val v: Column = f.value match {
+      case Scalar.Num(d) => if (d.isValidLong) lit(d.toLong) else lit(d.toDouble)
+      case Scalar.Str(s) => lit(s)
+      case Scalar.Bool(b) => lit(b)
+    }
+    f.op match {
+      case FilterOp.Eq          => coalesce(c === v, lit(false))
+      case FilterOp.Neq         => coalesce(c =!= v, lit(true))   // NaN != x is True in pandas
+      case FilterOp.Gt          => coalesce(c > v, lit(false))
+      case FilterOp.Gte         => coalesce(c >= v, lit(false))
+      case FilterOp.Lt          => coalesce(c < v, lit(false))
+      case FilterOp.Lte         => coalesce(c <= v, lit(false))
+      case FilterOp.Contains    => f.value match {
+        case Scalar.Str(s) => coalesce(c.contains(lit(s)), lit(false))
+        case _             => throw new IllegalArgumentException("contains requires a string value")
+      }
+      case FilterOp.NotContains => f.value match {
+        case Scalar.Str(s) => !coalesce(c.contains(lit(s)), lit(false)) // null → true, as pandas ~contains(na=False)
+        case _             => throw new IllegalArgumentException("not contains requires a string value")
+      }
+      case FilterOp.Regex       => f.value match {
+        case Scalar.Str(s) => coalesce(c.rlike(s), lit(false))
+        case _             => throw new IllegalArgumentException("regex requires a string value")
+      }
+    }
+  }
+
+  private def conj(filters: Seq[RowFilter]): Column =
+    filters.map(compileFilter).reduce(_ && _)
+
+  private def cmp(c: Column, op: CmpOp, v: Column): Column = op match {
+    case CmpOp.Eq  => c === v
+    case CmpOp.Neq => c =!= v
+    case CmpOp.Gt  => c > v
+    case CmpOp.Gte => c >= v
+    case CmpOp.Lt  => c < v
+    case CmpOp.Lte => c <= v
+  }
+
+  // --------------------------------------------------------------- conditions
+
+  /** Group-level boolean for a filters+target condition, attached per-row via
+    * a window aggregate (one pass; reference C1-C4, engine/query_engine.py:139-178). */
+  private def filterConditionCol(c: Condition.Filters): Column = {
+    val pred = conj(c.filters)
+    val matchCount = sum(when(pred, 1L).otherwise(0L)).over(w)
+    c.target match {
+      case Target.Count(op, value) =>
+        val base = cmp(matchCount, op, lit(value))
+        // Without includeZero, groups with zero matching rows never satisfy the
+        // target (the reference's groupby-on-filtered-rows simply omits them);
+        // with includeZero they're compared like any other (reference C3).
+        if (c.includeZero) base else base && (matchCount > 0)
+      case Target.Sum(column, op, value) =>
+        // pandas groupby().sum() skips NaN and yields 0.0 for an all-null
+        // matched group, so the group still participates in the comparison.
+        val s = coalesce(sum(when(pred, col(column))).over(w), lit(0d))
+        (matchCount > 0) && cmp(s, op, lit(value.toDouble))
+    }
+  }
+
+  /**
+   * Chained-min-timestamp sequence matching (reference C5,
+   * engine/query_engine.py:217-249): step 0 anchor = min ts of rows matching
+   * step-0 filters; step i anchor = min ts of rows matching step-i filters
+   * with ts STRICTLY greater than the previous anchor (same-timestamp events
+   * do not advance the funnel — reference query_engine.py:233). A group
+   * passes when the last anchor exists.
+   *
+   * Extensions beyond reference behavior (schema'd there but unimplemented —
+   * SURVEY.md §2.5): `rowFound:false` steps require NO matching row after the
+   * previous anchor (anchor carries over); `maxDuration` requires
+   * lastAnchor − firstAnchor <= d.
+   *
+   * Emits one window aggregate per step over the same `partitionBy(gid)`
+   * spec — Catalyst plans a single exchange for the whole stack.
+   */
+  private def sequenceCols(
+      df0: DataFrame,
+      steps: Seq[SequenceStep],
+      prefix: String,
+      maxDuration: Option[Long]): (DataFrame, Column) = {
+    var cur = df0
+    var anchor: Option[String] = None     // column holding previous step's min ts
+    var firstAnchor: Option[String] = None
+    var passed: Column = lit(true)
+    steps.zipWithIndex.foreach { case (step, j) =>
+      val pred = conj(step.filters)
+      val afterPrev = anchor match {
+        case Some(a) => pred && col(ts) > col(a)
+        case None    => pred
+      }
+      if (step.rowFound) {
+        val mcol = s"${prefix}_m$j"
+        cur = cur.withColumn(mcol, min(when(afterPrev, col(ts))).over(w))
+        passed = passed && col(mcol).isNotNull
+        anchor = Some(mcol)
+        if (firstAnchor.isEmpty) firstAnchor = Some(mcol)
+      } else {
+        val xcol = s"${prefix}_x$j"
+        cur = cur.withColumn(xcol, max(when(afterPrev, lit(1))).over(w))
+        passed = passed && col(xcol).isNull
+        // anchor unchanged: a negated step does not advance the clock
+      }
+    }
+    for (d <- maxDuration; last <- anchor; first <- firstAnchor if last != first)
+      passed = passed && (col(last) - col(first) <= lit(d))
+    (cur, passed)
+  }
+
+  private def compileRelation(rel: Relation): Column = rel match {
+    case Relation.Ref(i)    => col(s"__cond_$i")
+    case Relation.And(l, r) => compileRelation(l) && compileRelation(r)
+    case Relation.Or(l, r)  => compileRelation(l) || compileRelation(r)
+  }
+
+  // ------------------------------------------------------------- aggregations
+
+  private def aggName(a: Aggregation): String =
+    a.name.getOrElse(s"${a.column}_${a.atype.token}")
+
+  /**
+   * One aggregation over a row set (reference A1-A7,
+   * engine/query_engine.py:61-67,251-292). Per-value aggregations return
+   * exact global top-K ordered by the measure desc, value asc (deterministic
+   * tie-break) — exact where the reference's per-part grace-factor trim is
+   * approximate (SURVEY.md §2.4 A7), and Spark's partial aggregation already
+   * provides the network win the trim was for.
+   */
+  def runAggregation(rows: DataFrame, a: Aggregation): DataFrame = {
+    val c = col(a.column)
+    a.atype match {
+      case AggType.Count =>
+        rows.agg(count(c).as("value")) // counts non-null values, like pandas notnull().sum()
+      case AggType.CountPerValue =>
+        rows.groupBy(c.as("value")).agg(count(lit(1)).as("count"))
+          .orderBy(desc("count"), asc("value")).limit(a.top)
+      case AggType.GroupsPerValue =>
+        rows.groupBy(c.as("value")).agg(count_distinct(col(gid)).as("groups"))
+          .orderBy(desc("groups"), asc("value")).limit(a.top)
+      case AggType.SumPerValue =>
+        rows.groupBy(c.as("value")).agg(sum(col(a.otherColumn.get)).as("sum"))
+          .orderBy(desc("sum"), asc("value")).limit(a.top)
+      case AggType.MeanPerValue =>
+        // Spark's avg is the correct distributed mean — the reference's
+        // cross-part reduce of per-part means is statistically wrong
+        // (tasks/query.py:84-93); we deliberately diverge (SURVEY.md §2.4 A5).
+        rows.groupBy(c.as("value")).agg(avg(col(a.otherColumn.get)).as("mean"))
+          .orderBy(desc("mean"), asc("value")).limit(a.top)
+    }
+  }
+
+  // ------------------------------------------------------------------- funnel
+
+  /**
+   * Funnel (reference F1-F4, engine/query_engine.py:294-321): over the rows of
+   * condition-matching groups, compute per-step passed flags with the same
+   * chained-window machinery, then aggregate all steps in ONE pass:
+   * `count_distinct(when(passed_i, gid))` / `sum(when(passed_i, 1))` per step,
+   * unpivoted to (step, step_groups, step_rows) rows.
+   */
+  private def planFunnel(rows: DataFrame, f: Funnel): (Option[DataFrame], Seq[(String, DataFrame)]) = {
+    var cur = rows
+    var anchor: Option[String] = None
+    var firstAnchor: Option[String] = None
+    val stepPassed = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var passedSoFar: Column = lit(true)
+    f.steps.zipWithIndex.foreach { case (step, j) =>
+      val pred = conj(step.filters)
+      val afterPrev = anchor match {
+        case Some(a) => pred && col(ts) > col(a)
+        case None    => pred
+      }
+      if (step.rowFound) {
+        val mcol = s"__f_m$j"
+        cur = cur.withColumn(mcol, min(when(afterPrev, col(ts))).over(w))
+        passedSoFar = passedSoFar && col(mcol).isNotNull
+        anchor = Some(mcol)
+        if (firstAnchor.isEmpty) firstAnchor = Some(mcol)
+      } else {
+        val xcol = s"__f_x$j"
+        cur = cur.withColumn(xcol, max(when(afterPrev, lit(1))).over(w))
+        passedSoFar = passedSoFar && col(xcol).isNull
+      }
+      val withDuration = (f.maxDuration, anchor, firstAnchor) match {
+        case (Some(d), Some(last), Some(first)) if last != first =>
+          passedSoFar && (col(last) - col(first) <= lit(d))
+        case _ => passedSoFar
+      }
+      stepPassed += withDuration
+    }
+
+    val n = f.steps.size
+    val flagged = stepPassed.zipWithIndex.foldLeft(cur) { case (d, (p, j)) =>
+      d.withColumn(s"__f_p$j", p)
+    }
+    val aggExprs = (0 until n).flatMap { j =>
+      Seq(
+        count_distinct(when(col(s"__f_p$j"), col(gid))).as(s"__g$j"),
+        sum(when(col(s"__f_p$j"), 1L).otherwise(0L)).as(s"__r$j"))
+    }
+    val one = flagged.agg(aggExprs.head, aggExprs.tail: _*)
+    val stepStructs = (0 until n).map { j =>
+      struct(lit(j).as("step"), col(s"__g$j").as("step_groups"), col(s"__r$j").as("step_rows"))
+    }
+    val funnelDf = one
+      .select(explode(array(stepStructs: _*)).as("s"))
+      .select(col("s.step"), col("s.step_groups"), col("s.step_rows"))
+
+    val origCols = rows.columns.map(col).toIndexedSeq
+    val stepAggs: Seq[(String, DataFrame)] = for {
+      j <- 0 until n
+      a <- f.stepAggregations
+    } yield s"step${j}_${aggName(a)}" ->
+      runAggregation(flagged.filter(col(s"__f_p$j")).select(origCols: _*), a)
+    val endAggs: Seq[(String, DataFrame)] = f.endAggregations.map { a =>
+      s"end_${aggName(a)}" ->
+        runAggregation(flagged.filter(col(s"__f_p${n - 1}")).select(origCols: _*), a)
+    }
+    (Some(funnelDf), stepAggs ++ endAggs)
+  }
+}
