@@ -175,8 +175,10 @@ final class QueryEngine(spec: DatasetSpec) {
       case Target.Sum(column, op, value) =>
         // pandas groupby().sum() skips NaN and yields 0.0 for an all-null
         // matched group, so the group still participates in the comparison.
-        val s = coalesce(sum(when(pred, col(column))).over(w), lit(0d))
-        (matchCount > 0) && cmp(s, op, lit(value.toDouble))
+        // The sum keeps the column's natural type (decimal stays decimal, so
+        // callers can pre-cast to decimal for exact, order-independent sums).
+        val s = coalesce(sum(when(pred, col(column))).over(w), lit(0))
+        (matchCount > 0) && cmp(s, op, lit(value))
     }
   }
 
@@ -260,13 +262,21 @@ final class QueryEngine(spec: DatasetSpec) {
         rows.groupBy(c.as("value")).agg(count_distinct(col(gid)).as("groups"))
           .orderBy(desc("groups"), asc("value")).limit(a.top)
       case AggType.SumPerValue =>
-        rows.groupBy(c.as("value")).agg(sum(col(a.otherColumn.get)).as("sum"))
+        // Result is always double; callers wanting bit-exact distributed sums
+        // pre-cast the measure column to decimal (exact partial aggregation,
+        // order-independent) and the final cast to double is deterministic.
+        rows.groupBy(c.as("value"))
+          .agg(sum(col(a.otherColumn.get)).cast("double").as("sum"))
           .orderBy(desc("sum"), asc("value")).limit(a.top)
       case AggType.MeanPerValue =>
-        // Spark's avg is the correct distributed mean — the reference's
+        // Correct distributed mean as exact-sum / count — the reference's
         // cross-part reduce of per-part means is statistically wrong
         // (tasks/query.py:84-93); we deliberately diverge (SURVEY.md §2.4 A5).
-        rows.groupBy(c.as("value")).agg(avg(col(a.otherColumn.get)).as("mean"))
+        // sum-then-single-divide (vs avg's running mean) is also
+        // order-independent when the input is decimal.
+        val o = col(a.otherColumn.get)
+        rows.groupBy(c.as("value"))
+          .agg((sum(o).cast("double") / count(o)).as("mean"))
           .orderBy(desc("mean"), asc("value")).limit(a.top)
     }
   }

@@ -1,0 +1,326 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{DatasetSpec, QueryEngine}
+import graft.query.QueryAst._
+import graft.query.QueryParser
+
+/**
+ * Driver-contract queries exercising the funnel-rocket query surface
+ * (SURVEY.md §2.2-2.5) on the `events` table (group id = user_id, timestamp =
+ * ts as epoch-nanos long), each paired with an equivalent DuckDB oracle SQL.
+ *
+ * Numeric determinism: the `value` measure column is pre-cast to
+ * DECIMAL(20,4) before group sums, so partial aggregation is exact and
+ * order-independent in both engines; final results cast to double are then
+ * bit-identical (see QueryEngine SumPerValue/MeanPerValue notes).
+ */
+object FrQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val spec   = DatasetSpec("user_id", "ts")
+  private val engine = new QueryEngine(spec)
+
+  /** events with the measure column cast for exact distributed sums. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("value", col("value").cast("decimal(20,4)"))
+
+  private def filters(fs: RowFilter*): Seq[RowFilter] = fs
+
+  private def eq(c: String, v: String)  = RowFilter(c, FilterOp.Eq, Scalar.Str(v))
+  private def cond(fs: Seq[RowFilter], t: Target, includeZero: Boolean = false) =
+    Condition.Filters(None, fs, t, includeZero)
+
+  /** Oracle prelude: events with ts as epoch-nanos long, mirroring Spark's view. */
+  private val E = "SELECT user_id, event_type, epoch_ns(ts) AS tl, CAST(value AS DECIMAL(20,4)) AS value FROM events"
+
+  /** Oracle coda: summary over all rows of groups in CTE `m(user_id)`. */
+  private val SUMMARY =
+    """SELECT count(DISTINCT e.user_id) AS matching_groups, count(*) AS matching_group_rows
+      |FROM events e JOIN m ON e.user_id = m.user_id""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, QFn] = Map(
+    "fr_empty" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery.empty).summary),
+
+    "fr_count_target" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 2))),
+      None, Nil, None)).summary),
+
+    "fr_count_eq_zero" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "error")), Target.Count(CmpOp.Eq, 0), includeZero = true)),
+      None, Nil, None)).summary),
+
+    "fr_sum_target" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Sum("value", CmpOp.Gte, BigDecimal(500)))),
+      None, Nil, None)).summary),
+
+    "fr_multi_filter" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(
+        filters(eq("event_type", "purchase"), RowFilter("value", FilterOp.Gt, Scalar.Num(100))),
+        Target.Count(CmpOp.Gte, 1))),
+      None, Nil, None)).summary),
+
+    // Every row-filter operator (P2-P5) compiled by the engine, as one row of counts.
+    "fr_ops_battery" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fs: Seq[(String, RowFilter)] = Seq(
+        "c_eq"        -> RowFilter("lang", FilterOp.Eq, Scalar.Str("en")),
+        "c_neq"       -> RowFilter("lang", FilterOp.Neq, Scalar.Str("en")),
+        "c_gt"        -> RowFilter("n_chars", FilterOp.Gt, Scalar.Num(200)),
+        "c_gte"       -> RowFilter("n_chars", FilterOp.Gte, Scalar.Num(200)),
+        "c_lt"        -> RowFilter("n_chars", FilterOp.Lt, Scalar.Num(100)),
+        "c_lte"       -> RowFilter("n_chars", FilterOp.Lte, Scalar.Num(100)),
+        "c_contains"  -> RowFilter("text", FilterOp.Contains, Scalar.Str("spark table")),
+        "c_ncontains" -> RowFilter("text", FilterOp.NotContains, Scalar.Str("spark table")),
+        "c_regex"     -> RowFilter("text", FilterOp.Regex, Scalar.Str("scan [a-z]+ slow")))
+      val aggs = fs.map { case (n, f) =>
+        sum(when(engine.compileFilter(f), 1L).otherwise(0L)).as(n)
+      }
+      docs.agg(aggs.head, aggs.tail: _*)
+    }),
+
+    "fr_relation" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(
+        cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 2)),
+        cond(filters(eq("event_type", "click")), Target.Count(CmpOp.Gte, 3)),
+        cond(filters(eq("event_type", "error")), Target.Count(CmpOp.Eq, 0), includeZero = true)),
+      Some(Relation.Or(Relation.And(Relation.Ref(0), Relation.Ref(1)), Relation.Ref(2))),
+      Nil, None)).summary),
+
+    "fr_timeframe" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(
+      Some(Timeframe(Some(1705000000000000000L), Some(1706000000000000000L))),
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 1))),
+      None, Nil, None)).summary),
+
+    "fr_sequence" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(Condition.Sequence(None, Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "click"))),
+        SequenceStep(filters(eq("event_type", "purchase")))), None)),
+      None, Nil, None)).summary),
+
+    "fr_seq_maxduration" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(Condition.Sequence(None, Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "click"))),
+        SequenceStep(filters(eq("event_type", "purchase")))),
+        maxDuration = Some(86400000000000L))), // 1 day in nanos
+      None, Nil, None)).summary),
+
+    "fr_seq_negated" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(Condition.Sequence(None, Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "error")), rowFound = false),
+        SequenceStep(filters(eq("event_type", "purchase")))), None)),
+      None, Nil, None)).summary),
+
+    "fr_funnel" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "click"))),
+        SequenceStep(filters(eq("event_type", "purchase")))), None, Nil, Nil)))).funnel.get),
+
+    "fr_funnel_end_agg" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "click"))),
+        SequenceStep(filters(eq("event_type", "purchase")))), None, Nil,
+        Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
+
+    "fr_agg_count" -> ((s, dir) => aggQuery(s, dir, Aggregation(None, "value", AggType.Count, None))),
+    "fr_agg_count_per_value" -> ((s, dir) =>
+      aggQuery(s, dir, Aggregation(None, "event_type", AggType.CountPerValue, None))),
+    "fr_agg_groups_per_value" -> ((s, dir) =>
+      aggQuery(s, dir, Aggregation(None, "event_type", AggType.GroupsPerValue, None))),
+    "fr_agg_sum_per_value" -> ((s, dir) =>
+      aggQuery(s, dir, Aggregation(None, "event_type", AggType.SumPerValue, Some("value")))),
+    "fr_agg_mean_per_value" -> ((s, dir) =>
+      aggQuery(s, dir, Aggregation(None, "event_type", AggType.MeanPerValue, Some("value")))),
+    "fr_top_k" -> ((s, dir) =>
+      aggQuery(s, dir, Aggregation(None, "user_id", AggType.CountPerValue, None))),
+
+    // Full JSON round-trip: parse → expand/validate → plan (SURVEY.md §3).
+    "fr_json" -> ((s, dir) => {
+      val json =
+        """{"query": {
+          |  "conditions": [
+          |    {"name": "buyers",   "filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]},
+          |    {"name": "clickers", "filter": ["event_type", "==", "click"],    "target": ["count", ">=", 3]}
+          |  ],
+          |  "relation": "$buyers or $clickers",
+          |  "aggregations": [{"column": "event_type", "type": "countPerValue"}]
+          |}}""".stripMargin
+      engine.run(ev(s, dir), QueryParser.parse(json)).aggregations.head._2
+    })
+  )
+
+  /** Shared shape: condition purchase>=1, then one aggregation over all rows
+    * of matching groups (reference semantics, docs/example-dataset.md:313-317). */
+  private def aggQuery(s: SparkSession, dir: String, a: Aggregation): DataFrame =
+    engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 1))),
+      None, Seq(a), None)).aggregations.head._2
+
+  // -------------------------------------------------------------- oracles
+
+  /** m = groups with >=1 purchase; rows = all rows of those groups. */
+  private val MATCHED_PURCHASE =
+    """WITH e AS (%s),
+      |m AS (SELECT user_id FROM e GROUP BY user_id
+      |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1),
+      |r AS (SELECT e.* FROM e JOIN m ON e.user_id = m.user_id)""".stripMargin.format(E)
+
+  private val SEQ_CTES =
+    """WITH e AS (%s),
+      |s0 AS (SELECT user_id, min(tl) AS m0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(s0.m0) AS m0, min(e.tl) AS m1 FROM e
+      |       JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND e.tl > s0.m0 GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(s1.m0) AS m0, min(e.tl) AS m2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin.format(E)
+
+  val oracleSql: Map[String, String] = Map(
+    "fr_empty" ->
+      "SELECT count(DISTINCT user_id) AS matching_groups, count(*) AS matching_group_rows FROM events",
+
+    "fr_count_target" ->
+      s"""WITH e AS ($E),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2)
+         |$SUMMARY""".stripMargin,
+
+    "fr_count_eq_zero" ->
+      s"""WITH e AS ($E),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'error' THEN 1 END) = 0)
+         |$SUMMARY""".stripMargin,
+
+    "fr_sum_target" ->
+      s"""WITH e AS ($E),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+         |         AND sum(CASE WHEN event_type = 'purchase' THEN value END) >= 500)
+         |$SUMMARY""".stripMargin,
+
+    "fr_multi_filter" ->
+      s"""WITH e AS ($E),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 END) >= 1)
+         |$SUMMARY""".stripMargin,
+
+    "fr_ops_battery" ->
+      """SELECT
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS c_eq,
+        |  count(CASE WHEN lang <> 'en' THEN 1 END) AS c_neq,
+        |  count(CASE WHEN n_chars > 200 THEN 1 END) AS c_gt,
+        |  count(CASE WHEN n_chars >= 200 THEN 1 END) AS c_gte,
+        |  count(CASE WHEN n_chars < 100 THEN 1 END) AS c_lt,
+        |  count(CASE WHEN n_chars <= 100 THEN 1 END) AS c_lte,
+        |  count(CASE WHEN contains(text, 'spark table') THEN 1 END) AS c_contains,
+        |  count(CASE WHEN NOT contains(text, 'spark table') THEN 1 END) AS c_ncontains,
+        |  count(CASE WHEN regexp_matches(text, 'scan [a-z]+ slow') THEN 1 END) AS c_regex
+        |FROM documents""".stripMargin,
+
+    "fr_relation" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id,
+         |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
+         |        count(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+         |        count(CASE WHEN event_type = 'error' THEN 1 END) AS er
+         |      FROM e GROUP BY user_id),
+         |m AS (SELECT user_id FROM g WHERE (p >= 2 AND c >= 3) OR er = 0)
+         |$SUMMARY""".stripMargin,
+
+    "fr_timeframe" ->
+      s"""WITH e0 AS ($E),
+         |e AS (SELECT * FROM e0 WHERE tl >= 1705000000000000000 AND tl < 1706000000000000000),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1)
+         |SELECT count(DISTINCT e.user_id) AS matching_groups, count(*) AS matching_group_rows
+         |FROM e JOIN m ON e.user_id = m.user_id""".stripMargin,
+
+    "fr_sequence" ->
+      s"""$SEQ_CTES,
+         |m AS (SELECT user_id FROM s2)
+         |$SUMMARY""".stripMargin,
+
+    "fr_seq_maxduration" ->
+      s"""$SEQ_CTES,
+         |m AS (SELECT user_id FROM s2 WHERE m2 - m0 <= 86400000000000)
+         |$SUMMARY""".stripMargin,
+
+    "fr_seq_negated" ->
+      s"""WITH e AS ($E),
+         |s0 AS (SELECT user_id, min(tl) AS m0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+         |ok AS (SELECT s0.user_id, s0.m0 FROM s0 WHERE NOT EXISTS (
+         |        SELECT 1 FROM e WHERE e.user_id = s0.user_id
+         |          AND e.event_type = 'error' AND e.tl > s0.m0)),
+         |m AS (SELECT e.user_id FROM e JOIN ok ON e.user_id = ok.user_id
+         |      WHERE e.event_type = 'purchase' AND e.tl > ok.m0 GROUP BY e.user_id)
+         |$SUMMARY""".stripMargin,
+
+    "fr_funnel" ->
+      s"""$SEQ_CTES
+         |SELECT 0 AS step,
+         |  (SELECT count(*) FROM s0) AS step_groups,
+         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s0)) AS step_rows
+         |UNION ALL SELECT 1,
+         |  (SELECT count(*) FROM s1),
+         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s1))
+         |UNION ALL SELECT 2,
+         |  (SELECT count(*) FROM s2),
+         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s2))""".stripMargin,
+
+    "fr_funnel_end_agg" ->
+      s"""$SEQ_CTES
+         |SELECT e.event_type AS value, count(*) AS count
+         |FROM e WHERE e.user_id IN (SELECT user_id FROM s2)
+         |GROUP BY e.event_type ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_agg_count" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT count(value) AS value FROM r""".stripMargin,
+
+    "fr_agg_count_per_value" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT event_type AS value, count(*) AS count FROM r
+         |GROUP BY event_type ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_agg_groups_per_value" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT event_type AS value, count(DISTINCT user_id) AS groups FROM r
+         |GROUP BY event_type ORDER BY groups DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_agg_sum_per_value" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT event_type AS value, CAST(sum(value) AS DOUBLE) AS sum FROM r
+         |GROUP BY event_type ORDER BY sum DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_agg_mean_per_value" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT event_type AS value, CAST(sum(value) AS DOUBLE) / count(value) AS mean FROM r
+         |GROUP BY event_type ORDER BY mean DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_top_k" ->
+      s"""$MATCHED_PURCHASE
+         |SELECT user_id AS value, count(*) AS count FROM r
+         |GROUP BY user_id ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_json" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id,
+         |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
+         |        count(CASE WHEN event_type = 'click' THEN 1 END) AS c
+         |      FROM e GROUP BY user_id),
+         |m AS (SELECT user_id FROM g WHERE p >= 2 OR c >= 3),
+         |r AS (SELECT e.* FROM e JOIN m ON e.user_id = m.user_id)
+         |SELECT event_type AS value, count(*) AS count FROM r
+         |GROUP BY event_type ORDER BY count DESC, value ASC LIMIT 10""".stripMargin
+  )
+}

@@ -141,8 +141,8 @@ class QueryEngineSpec extends SparkSpec {
       "category" -> (if (i % 2 == 0) "a" else "b"), "price" -> i.toLong)))
     val sums = engine.runJson(df,
       """{"query":{"aggregations":[{"column":"category","type":"sumPerValue","otherColumn":"price"}]}}""")
-      .aggregations.head._2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sums == Map("a" -> 20L, "b" -> 25L))
+      .aggregations.head._2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums == Map("a" -> 20.0, "b" -> 25.0)) // sums surface as double (engine contract)
     val means = engine.runJson(df,
       """{"query":{"aggregations":[{"column":"category","type":"meanPerValue","otherColumn":"price"}]}}""")
       .aggregations.head._2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle SQL and diff (sorted columns, sorted rows)."""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(t).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+results = {}
+for name in sorted(oracle):
+    path = os.path.join(out_dir, name)
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
+        exp = con.execute(oracle[name]).df()
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            results[name] = f"SCHEMA mismatch: {list(got.columns)} vs {list(exp.columns)}"
+            continue
+        got = got.sort_values(by=list(got.columns), ignore_index=True)
+        exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
+        if len(got) != len(exp):
+            results[name] = f"ROWS mismatch: {len(got)} vs {len(exp)}"
+            continue
+        bad = None
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                if not np.allclose(a.astype(float), b.astype(float),
+                                   rtol=0, atol=0, equal_nan=True):
+                    # exact compare; report max diff
+                    d = (a.astype(float) - b.astype(float)).abs().max()
+                    bad = f"VALUES mismatch in {c} (max abs diff {d})"
+                    break
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    i = (a.astype(str) != b.astype(str)).idxmax()
+                    bad = f"VALUES mismatch in {c} at row {i}: {a[i]!r} vs {b[i]!r}"
+                    break
+        results[name] = bad or "OK"
+    except Exception as e:
+        results[name] = f"ERROR: {e}"
+
+ok = sum(1 for v in results.values() if v == "OK")
+for k, v in results.items():
+    print(f"{'PASS' if v == 'OK' else 'FAIL'} {k}: {v}")
+print(f"\n{ok}/{len(results)} OK")
+sys.exit(0 if ok == len(results) else 1)
