@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (Array[Float]). Two paths:
+ *
+ *  - [[bruteForceTopK]]: exact cosine top-k. The (small) query set is
+ *    broadcast against the corpus, the dot product is one codegen'd
+ *    zip_with/aggregate expression, and per-query top-k is a rank window
+ *    partitioned by query — no driver-side collection anywhere. At 100 TB
+ *    this scales linearly in |corpus| × |queries| and is the right tool for
+ *    few queries; for many queries use the LSH path.
+ *
+ *  - [[signLshBuckets]] + [[lshTopK]]: random-hyperplane sign LSH. The
+ *    hyperplanes are derived deterministically from md5 (seedable, no RNG at
+ *    plan time), embedded as literal arrays, so bucketing is a pure
+ *    expression. Neighbor search then joins only within a bucket —
+ *    sub-linear work at the cost of recall (multi-probe: `nBits` controls
+ *    the bucket granularity).
+ */
+object Ann {
+
+  private def cosineCols(corpus: DataFrame, idCol: String, vecCol: String) =
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", sqrt(expr(
+        "aggregate(nv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+
+  /** Exact cosine top-k for each query vector. Output: (query_id,
+    * neighbor_id, rank). Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr(
+        "aggregate(qv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+    val n = cosineCols(corpus, idCol, vecCol)
+    val scored = n.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+        / (col("qn") * col("nn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    * first hex digit of md5("seed:bit:dim") minus 7.5. */
+  private def planeWeight(seed: Int, bit: Int, dim: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$bit:$dim".getBytes(StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) - 7.5
+  }
+
+  /** Add an LSH bucket column: `nBits` sign bits of dot(v, hyperplane_b). */
+  def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nBits: Int, seed: Int = 42): DataFrame = {
+    val bucket = (0 until nBits).map { b =>
+      val w = (0 until dim).map(i => planeWeight(seed, b, i))
+      val warr = w.mkString("array(", "D, ", "D)")
+      when(expr(
+        s"aggregate(zip_with($vecCol, $warr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") > 0,
+        1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: cosine ranking restricted to the query's bucket.
+    * Output: (query_id, neighbor_id, rank) — recall < 1 by design. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val cb = signLshBuckets(corpus, idCol, vecCol, dim, nBits)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("bucket"))
+      .withColumn("nn", sqrt(expr(
+        "aggregate(nv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+    val qb = signLshBuckets(queries, idCol, vecCol, dim, nBits)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"))
+      .withColumn("qn", sqrt(expr(
+        "aggregate(qv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+        / (col("qn") * col("nn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * quality scoring, language ID, and document fingerprinting. All pure
+ * codegen'd column expressions — no UDFs, so Catalyst keeps them inside
+ * whole-stage codegen and pushes the `text` column read straight to parquet.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, " "))
+
+  /** Per-document quality features: char count, token count, mean token
+    * length, stopword ratio. Ratios are single divisions of exact integer
+    * counts — deterministic across engines. */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String]): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      ((length(col(textCol)) - (tokenCount(col(textCol)) - 1)).cast("double") /
+        tokenCount(col(textCol))).as("avg_tok_len"),
+      (expr(s"size(filter(split($textCol, ' '), t -> t IN ($stopList)))").cast("double") /
+        tokenCount(col(textCol))).as("stop_ratio"))
+  }
+
+  /** Marker-based language ID: first matching marker wins. A deliberately
+    * SQL-mirrorable heuristic (the trigram-profile scorer below is the
+    * richer variant; this one is exactly expressible as a CASE in any
+    * engine, which the correctness oracle requires). */
+  def langIdMarkers(textCol: Column, markers: Seq[(String, String)],
+                    default: String): Column =
+    markers.foldRight(lit(default): Column) { case ((marker, lang), acc) =>
+      when(textCol.contains(marker), lang).otherwise(acc)
+    }
+
+  /** Character-trigram profile scorer: returns the profile key whose trigram
+    * set overlaps the document's trigrams most (ties → lexicographically
+    * smallest key). Profiles are small and broadcast as literal arrays. */
+  def langIdTrigrams(docs: DataFrame, idCol: String, textCol: String,
+                     profiles: Map[String, Seq[String]]): DataFrame = {
+    val scores: Seq[Column] = profiles.toSeq.sortBy(_._1).map { case (lang, tris) =>
+      val triList = tris.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      struct(
+        expr(s"size(filter(array($triList), t -> contains($textCol, t)))").as("score"),
+        lit(lang).as("lang"))
+    }
+    // Highest score wins; on ties the earlier (lexicographically smaller)
+    // profile key is kept because `when` only replaces on strict >.
+    docs.select(
+      col(idCol),
+      scores.reduceLeft[(Column)]((a, b) =>
+        when(b.getField("score") > a.getField("score"), b).otherwise(a))
+        .getField("lang").as("lang_pred"))
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over all char n-gram
+    * windows (winnowing-style rolling fingerprint, engine-independent). */
+  def fingerprint(textCol: String, n: Int): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
+         s"i -> md5(substring($textCol, i, $n))))")
+}

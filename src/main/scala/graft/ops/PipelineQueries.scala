@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/**
+ * Driver-contract queries for the training-data pipeline operators
+ * (dedup / similarity search / text analysis / multimodal plumbing) over the
+ * `documents` and `embeddings` tables, with DuckDB oracles.
+ *
+ * Engine-independence invariants the oracles rely on:
+ *  - all content hashing is md5 (identical hex in any engine);
+ *  - MinHash = lexicographic min of salted md5 strings (no hex→int);
+ *  - ratios are single divisions of exact integer counts;
+ *  - similarity thresholds sit far from any attainable value, so float-ulp
+ *    differences in dot products can't flip membership;
+ *  - integer outputs are cast to BIGINT on both sides (Spark's int32 size()/
+ *    bit_count() vs DuckDB's int64 would otherwise mismatch schemas).
+ */
+object PipelineQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
+
+  /** Sampled subset used by quadratic-ish pair queries. */
+  private def docSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(col("doc_id") % 5 === 0)
+
+  val queries: Map[String, QFn] = Map(
+    "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val sh  = Dedup.charShingles(docs(s, dir), "doc_id", "text", 5)
+      val sig = Dedup.minHashSignature(sh, k = 8)
+      Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 2))
+    }),
+
+    "dd_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Dedup.charShingles(docSample(s, dir), "doc_id", "text", 5),
+        threshold = 0.25)),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simHash(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fp"))),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(
+        Dedup.simHash(docSample(s, dir), "doc_id", "text"), maxHamming = 10)
+        .select(col("d1"), col("d2"), col("ham").cast("long").as("ham"))),
+
+    "dd_embed_near" -> ((s, dir) =>
+      Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", threshold = 0.4)),
+
+    "ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Scale path: bucketed search — approximate by design, so rows-only check.
+    "ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5)
+    }),
+
+    "tx_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    "tx_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "doc_id", "text", Seq("a", "the"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_tok_len"), col("stop_ratio"))),
+
+    "tx_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langIdMarkers(col("text"),
+          Seq("stream" -> "zh", "merge" -> "de", "window" -> "fr", "customer" -> "es"),
+          default = "en").as("lang_pred"))),
+
+    "tx_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint("text", 8).as("fp"))),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(docs(s, dir), "doc_id", "text").toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("f0").cast("long").as("f0"), col("f1").cast("long").as("f1"),
+          col("f2").cast("long").as("f2"), col("f3").cast("long").as("f3")))
+  )
+
+  /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
+    * (DuckDB can't lateral-join generate_series) — 4000 covers max doc len. */
+  private def SH(src: String) =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+       |       FROM $src, generate_series(1, 4000) t(i)
+       |       WHERE i <= greatest(len(text) - 4, 1))""".stripMargin
+
+  private val DOC_SAMPLE = "(SELECT * FROM documents WHERE doc_id % 5 = 0) ds"
+
+  private def SIMHASH(src: String) =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src),
+       |bits AS (SELECT doc_id, md5(tok) AS h, p FROM toks, generate_series(0, 31) t(p)),
+       |c AS (SELECT doc_id, p,
+       |        sum((((strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) - 1)
+       |              >> (3 - (p % 4))) & 1) * 2 - 1) AS s
+       |      FROM bits GROUP BY doc_id, p),
+       |fps AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p)
+       |                                     ELSE 0 END) AS BIGINT) AS fp
+       |        FROM c GROUP BY doc_id)""".stripMargin
+
+  private val EMB_UNNEST =
+    """idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+      |u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM embeddings, idx),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM u GROUP BY vec_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "dd_minhash_lsh" -> {
+      val mins = (0 until 8).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkt FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH ${SH("documents")},
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |b AS ($bands)
+         |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id""".stripMargin
+    },
+
+    "dd_jaccard" ->
+      s"""WITH ${SH(DOC_SAMPLE)},
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.25""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH ${SIMHASH("documents")}
+         |SELECT doc_id, fp FROM fps""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH ${SIMHASH(DOC_SAMPLE)}
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 10""".stripMargin,
+
+    "dd_embed_near" ->
+      s"""WITH $EMB_UNNEST,
+         |dot AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS d
+         |        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+         |        GROUP BY a.vec_id, b.vec_id)
+         |SELECT v1, v2 FROM dot
+         |JOIN nrm x ON v1 = x.vec_id JOIN nrm y ON v2 = y.vec_id
+         |WHERE d / (x.n * y.n) >= 0.4""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $EMB_UNNEST,
+         |q AS (SELECT vec_id AS qid, i, v FROM u WHERE vec_id < 5),
+         |dot AS (SELECT q.qid, u.vec_id AS nid, sum(q.v * u.v) AS d
+         |        FROM q JOIN u ON q.i = u.i AND q.qid <> u.vec_id
+         |        GROUP BY q.qid, u.vec_id),
+         |scored AS (SELECT qid, nid, d / (x.n * y.n) AS cos
+         |           FROM dot JOIN nrm x ON qid = x.vec_id JOIN nrm y ON nid = y.vec_id),
+         |ranked AS (SELECT qid, nid,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |           FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "tx_tokens" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+
+    "tx_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_tok_len,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "tx_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN contains(text, 'stream') THEN 'zh'
+        |       WHEN contains(text, 'merge') THEN 'de'
+        |       WHEN contains(text, 'window') THEN 'fr'
+        |       WHEN contains(text, 'customer') THEN 'es'
+        |       ELSE 'en' END AS lang_pred
+        |FROM documents""".stripMargin,
+
+    "tx_fingerprint" ->
+      """WITH g AS (SELECT doc_id, md5(substr(text, i, 8)) AS h
+        |           FROM documents, generate_series(1, 4000) t(i)
+        |           WHERE i <= greatest(len(text) - 7, 1))
+        |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
+        |  CAST(1 + strlen(text) % 8 AS BIGINT) AS n_frames,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS f0,
+        |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS f1,
+        |  CAST(ascii(substr(text, 3, 1)) AS BIGINT) AS f2,
+        |  CAST(ascii(substr(text, 4, 1)) AS BIGINT) AS f3
+        |FROM documents""".stripMargin
+  )
+}
