@@ -15,8 +15,8 @@ object SparkEntry {
     ops.FrQueries.queries("fr_funnel")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.FrQueries.queries ++ ops.PipelineQueries.queries
+    ops.FrQueries.queries ++ ops.PipelineQueries.queries ++ ops.RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.FrQueries.oracleSql ++ ops.PipelineQueries.oracleSql
+    ops.FrQueries.oracleSql ++ ops.PipelineQueries.oracleSql ++ ops.RelationalQueries.oracleSql
 }

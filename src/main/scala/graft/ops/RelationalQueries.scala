@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator battery over the TPC-H-style tables: hash/broadcast
+ * joins, semi/anti joins, window functions, exact top-K, set ops, rollup —
+ * the operators a Spark-first engine gets "for free" that the reference
+ * explicitly lacks (SURVEY.md §2.6: no query-time joins/sorts) plus the
+ * data-prep denormalizing join it does ship (S8).
+ *
+ * Numeric determinism (same pattern as FrQueries): money sums go through
+ * DECIMAL casts (exact, order-independent partial aggregation), quantities
+ * are integral doubles (exact in any order), and final money results cast to
+ * double — so a distributed Spark run matches a single-node DuckDB run
+ * bit-for-bit.
+ *
+ * Scale notes: nation/region/supplier are broadcast (auto under the 10 MB
+ * threshold; `broadcast()` pinned where it matters). The orders⋈lineitem
+ * join shuffles on the join key with AQE free to re-plan; at 100 TB you'd
+ * bucket both by orderkey to eliminate it (see sources.GroupedWriter).
+ */
+object RelationalQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  /** sum(extendedprice*(1-discount)) with exact decimal arithmetic. */
+  private val revenue =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast("decimal(4,2)")))
+      .cast("double")
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H Q1 shape: single-table scan → hash aggregate.
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // Q3 shape: filter dim → 3-way join → agg → exact top-K.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(revenue.as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5 shape: broadcast dims up a join chain, agg by nation.
+    "q5_region_revenue" -> ((s, dir) => {
+      val asia = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(asia, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    // Q6 shape: pure pushdown filter → scalar aggregate.
+    "q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+               expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'") &&
+               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+               col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+                 col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"))),
+
+    "q_semijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers"))),
+
+    "q_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers"))),
+
+    "q_window_topn" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))),
+
+    "q_topk_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(desc("sum_qty"), asc("l_partkey"))
+        .limit(10)),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders"))),
+
+    // Reference S8 parity: denormalizing join for data prep.
+    "q_denorm_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("key"))
+        .union(t(s, dir, "supplier").where(col("s_acctbal") > 9000)
+          .select(col("s_suppkey").cast("long").as("key")))
+        .distinct()),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q_topk_parts" ->
+      """SELECT l_partkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |GROUP BY l_partkey ORDER BY sum_qty DESC, l_partkey ASC LIMIT 10""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q_denorm_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT CAST(s_suppkey AS BIGINT) AS key FROM supplier WHERE s_acctbal > 9000""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  )
+}
