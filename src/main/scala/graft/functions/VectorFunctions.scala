@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Native Catalyst vector expressions for embedding math. The built-in
+ * alternative (`aggregate(zip_with(a, b, ...), ...)`) uses higher-order
+ * functions, which Spark evaluates with interpreted lambdas per row —
+ * measured ~15-30x slower on the brute-force pair scans here. These
+ * expressions participate in whole-stage codegen: the dot product compiles
+ * to a tight primitive loop inside the generated stage.
+ *
+ * Registered as SQL functions `vec_dot` / `vec_norm` either via
+ * [[GraftExtensions]] (spark.sql.extensions) or [[VectorFunctions.register]]
+ * at runtime.
+ */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Input typing is enforced by call sites (ArrayType(FloatType) columns);
+  // ExpectsInputTypes is off-limits outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an Array[Float] column, codegen'd. */
+case class FloatVecNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { s += a.getFloat(i).toDouble * a.getFloat(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $a.getFloat($i);
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => FloatVecNorm(children.head)))
+
+  /** Idempotent runtime registration (for sessions built without
+    * spark.sql.extensions=graft.functions.GraftExtensions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
+}
+
+/** Session extension wiring: spark.sql.extensions=graft.functions.GraftExtensions */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.functions.foreach(ext.injectFunction)
+}

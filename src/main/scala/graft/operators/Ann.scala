@@ -27,23 +27,22 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  private def cosineCols(corpus: DataFrame, idCol: String, vecCol: String) =
+  private def cosineCols(corpus: DataFrame, idCol: String, vecCol: String) = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .withColumn("nn", sqrt(expr(
-        "aggregate(nv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+      .withColumn("nn", expr("vec_norm(nv)"))
+  }
 
   /** Exact cosine top-k for each query vector. Output: (query_id,
     * neighbor_id, rank). Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(expr(
-        "aggregate(qv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+      .withColumn("qn", expr("vec_norm(qv)"))
     val n = cosineCols(corpus, idCol, vecCol)
     val scored = n.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
-        / (col("qn") * col("nn")))
+      .withColumn("cos", expr("vec_dot(qv, nv)") / (col("qn") * col("nn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
@@ -62,11 +61,11 @@ object Ann {
   /** Add an LSH bucket column: `nBits` sign bits of dot(v, hyperplane_b). */
   def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nBits: Int, seed: Int = 42): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val bucket = (0 until nBits).map { b =>
       val w = (0 until dim).map(i => planeWeight(seed, b, i))
       val warr = w.mkString("array(", "D, ", "D)")
-      when(expr(
-        s"aggregate(zip_with($vecCol, $warr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") > 0,
+      when(expr(s"vec_dot($vecCol, CAST($warr AS ARRAY<FLOAT>))") > 0,
         1L << b).otherwise(0L)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
@@ -78,17 +77,13 @@ object Ann {
               vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
     val cb = signLshBuckets(corpus, idCol, vecCol, dim, nBits)
       .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("bucket"))
-      .withColumn("nn", sqrt(expr(
-        "aggregate(nv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+      .withColumn("nn", expr("vec_norm(nv)"))
     val qb = signLshBuckets(queries, idCol, vecCol, dim, nBits)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"))
-      .withColumn("qn", sqrt(expr(
-        "aggregate(qv, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+      .withColumn("qn", expr("vec_norm(qv)"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
-        / (col("qn") * col("nn")))
+      .withColumn("cos", expr("vec_dot(qv, nv)") / (col("qn") * col("nn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))

@@ -124,14 +124,13 @@ object Dedup {
     * Brute-force O(n^2) — the scale path is [[Ann.signLshBuckets]] first. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x)")))
+      .withColumn("nrm", expr("vec_norm(v)"))
     val a = e.select(col("id").as("v1"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("v1") < col("v2"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"))
+      .withColumn("dot", expr("vec_dot(va, vb)"))
       .where(col("dot") / (col("na") * col("nb")) >= threshold)
       .select(col("v1"), col("v2"))
   }

@@ -28,7 +28,7 @@ object PipelineQueries {
 
   /** Sampled subset used by quadratic-ish pair queries. */
   private def docSample(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).where(col("doc_id") % 5 === 0)
+    docs(s, dir).where(col("doc_id") % 10 === 0)
 
   val queries: Map[String, QFn] = Map(
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
@@ -106,7 +106,7 @@ object PipelineQueries {
        |       FROM $src, generate_series(1, 4000) t(i)
        |       WHERE i <= greatest(len(text) - 4, 1))""".stripMargin
 
-  private val DOC_SAMPLE = "(SELECT * FROM documents WHERE doc_id % 5 = 0) ds"
+  private val DOC_SAMPLE = "(SELECT * FROM documents WHERE doc_id % 10 = 0) ds"
 
   private def SIMHASH(src: String) =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src),
