@@ -1,0 +1,127 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Dataset registration — the Spark-native replacement for the reference's
+ * registration job (frocket/invoker/jobs/registration_job.py +
+ * worker/runners/registration_task_runner.py).
+ *
+ * The reference samples files, infers per-file Pandas schemas, merges them,
+ * and validates a physical invariant (each group's rows in exactly one
+ * file). Here a single Spark job does the honest version of all of it:
+ * schema comes from the parquet footer (no sampling risk), column
+ * classification mirrors the reference's 4-type system
+ * (frocket/common/dataset.py:102-107), unsupported types are recorded
+ * rather than rejected wholesale (dataset.py:153-159), and the stats pass
+ * (min/max timestamp, group count) is one distributed aggregate. The
+ * one-group-one-file invariant is NOT required — Spark shuffles — so
+ * registration validates only what still matters: group id non-null and of
+ * int/string type, timestamp numeric and non-null
+ * (registration_task_runner.py:79-101).
+ */
+object Catalog {
+
+  /** Mirror of the reference's DatasetColumnType (dataset.py:102-107). */
+  sealed trait ColType
+  object ColType {
+    case object Int    extends ColType
+    case object Float  extends ColType
+    case object Bool   extends ColType
+    case object Str    extends ColType
+  }
+
+  final case class RegisteredDataset(
+      name: String,
+      basepath: String,
+      groupIdColumn: String,
+      timestampColumn: String,
+      columns: Map[String, ColType],
+      unsupportedColumns: Seq[String],
+      minTimestamp: Double,
+      maxTimestamp: Double,
+      numGroups: Long,
+      numRows: Long,
+      registeredAt: Long)
+
+  final case class RegistrationException(msg: String) extends RuntimeException(msg)
+
+  private val datasets = new ConcurrentHashMap[String, RegisteredDataset]()
+
+  /** Classify a Spark type into the reference's 4-type system; None =
+    * unsupported (datetimes, nested, decimals... recorded, not fatal). */
+  def classify(dt: DataType): Option[ColType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(ColType.Int)
+    case FloatType | DoubleType                        => Some(ColType.Float)
+    case BooleanType                                   => Some(ColType.Bool)
+    case StringType                                    => Some(ColType.Str)
+    case _                                             => None
+  }
+
+  def register(spark: SparkSession, name: String, basepath: String,
+               groupIdColumn: String, timestampColumn: String): RegisteredDataset = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(basepath)
+    val schema = df.schema
+
+    def field(c: String): StructField =
+      schema.find(_.name == c).getOrElse(
+        throw RegistrationException(s"Column '$c' not found in $basepath"))
+
+    // Group id: int or string, no nulls (registration_task_runner.py:85-92).
+    classify(field(groupIdColumn).dataType) match {
+      case Some(ColType.Int) | Some(ColType.Str) => ()
+      case other => throw RegistrationException(
+        s"Group id column '$groupIdColumn' must be int or string, got $other")
+    }
+    // Timestamp: numeric, scale-agnostic (registration_task_runner.py:94-101).
+    classify(field(timestampColumn).dataType) match {
+      case Some(ColType.Int) | Some(ColType.Float) => ()
+      case other => throw RegistrationException(
+        s"Timestamp column '$timestampColumn' must be numeric, got $other")
+    }
+
+    val classified = schema.fields.map(f => f.name -> classify(f.dataType))
+    val columns = classified.collect { case (n, Some(t)) => n -> t }.toMap
+    val unsupported = classified.collect { case (n, None) => n }.toSeq
+
+    // One distributed pass for stats + null validation.
+    val stats = df.agg(
+      min(col(timestampColumn).cast("double")).as("min_ts"),
+      max(col(timestampColumn).cast("double")).as("max_ts"),
+      count_distinct(col(groupIdColumn)).as("n_groups"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(groupIdColumn).isNull, 1L).otherwise(0L)).as("null_gids"),
+      sum(when(col(timestampColumn).isNull ||
+               col(timestampColumn).cast("double").isNaN, 1L).otherwise(0L)).as("bad_ts"))
+      .collect()(0)
+    if (stats.getAs[Long]("null_gids") > 0)
+      throw RegistrationException(s"Group id column '$groupIdColumn' contains nulls")
+    if (stats.getAs[Long]("bad_ts") > 0)
+      throw RegistrationException(s"Timestamp column '$timestampColumn' contains nulls/NaNs")
+
+    val ds = RegisteredDataset(name, basepath, groupIdColumn, timestampColumn,
+      columns, unsupported,
+      stats.getAs[Double]("min_ts"), stats.getAs[Double]("max_ts"),
+      stats.getAs[Long]("n_groups"), stats.getAs[Long]("n_rows"),
+      System.currentTimeMillis())
+    datasets.put(name, ds)
+    ds
+  }
+
+  def get(name: String): Option[RegisteredDataset] = Option(datasets.get(name))
+  def unregister(name: String): Unit = datasets.remove(name)
+  def list(): Seq[RegisteredDataset] =
+    { import scala.jdk.CollectionConverters._; datasets.values.asScala.toSeq }
+
+  /** Load a registered dataset as a DataFrame. */
+  def load(spark: SparkSession, name: String): DataFrame = {
+    val ds = get(name).getOrElse(throw RegistrationException(s"Unknown dataset '$name'"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(ds.basepath)
+  }
+}

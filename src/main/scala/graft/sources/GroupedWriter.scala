@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/**
+ * Data-prep writers reproducing the reference's physical layout guarantees.
+ *
+ * The reference requires every group's rows in exactly one file and ships an
+ * offline map/reduce repartitioner for it (dataprep_example/repartition.py —
+ * 246 lines of hand-rolled bucketing). In Spark each is one statement:
+ *
+ *  - [[repartitionByGroup]]: hash-partition by group id → each group lands
+ *    in exactly one output file (the reference's invariant, S7).
+ *  - [[bucketBy]]: the stronger Spark-native layout — bucketed + sorted
+ *    table. A per-group query (window/groupBy on the group id) over a
+ *    bucketed table plans with NO Exchange: the 100 TB shuffle-free story,
+ *    equivalent to the reference's Lambda-per-file model but managed by the
+ *    planner instead of by convention.
+ */
+object GroupedWriter {
+
+  /** One file per hash bucket of the group id; all rows of a group co-located.
+    * `nParts` sizes output files (reference guidance: 20-150 MB each). */
+  def repartitionByGroup(df: DataFrame, groupIdCol: String, nParts: Int,
+                         path: String): Unit =
+    df.repartition(nParts, col(groupIdCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed+sorted managed table; downstream per-group aggregations and
+    * joins on `groupIdCol` skip the shuffle entirely. */
+  def bucketBy(df: DataFrame, groupIdCol: String, nBuckets: Int,
+               table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, groupIdCol)
+      .sortBy(groupIdCol)
+      .option("path", s"spark-warehouse/$table")
+      .saveAsTable(table)
+}

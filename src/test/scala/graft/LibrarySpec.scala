@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.Catalog
+import graft.engine.{DatasetSpec, QueryEngine}
+import graft.query.QueryParser
+import graft.result.ResultJson
+import graft.sources.GroupedWriter
+import graft.streaming.{FunnelProgress, StreamingFunnel}
+
+/** Coverage for catalog registration, grouped writers, result JSON shaping,
+  * and the streaming funnel extension. */
+class LibrarySpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("catalog: registration classifies columns, computes stats, rejects bad keys") {
+    val dir = tmpDir("cat")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("price", DoubleType), StructField("flag", BooleanType),
+      StructField("cat", StringType), StructField("when", TimestampType)))
+    frame(schema, Seq(
+      Map("uid" -> 1L, "ts" -> 100L, "price" -> 1.5, "flag" -> true, "cat" -> "x",
+        "when" -> java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Map("uid" -> 2L, "ts" -> 300L, "price" -> 2.5, "flag" -> false, "cat" -> "y",
+        "when" -> java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+      .write.mode("overwrite").parquet(dir)
+
+    val ds = Catalog.register(spark, "t1", dir, "uid", "ts")
+    assert(ds.columns("uid") == Catalog.ColType.Int)
+    assert(ds.columns("price") == Catalog.ColType.Float)
+    assert(ds.columns("flag") == Catalog.ColType.Bool)
+    assert(ds.columns("cat") == Catalog.ColType.Str)
+    assert(ds.unsupportedColumns == Seq("when")) // datetime → unsupported, recorded
+    assert(ds.minTimestamp == 100.0 && ds.maxTimestamp == 300.0)
+    assert(ds.numGroups == 2 && ds.numRows == 2)
+    assert(Catalog.get("t1").isDefined)
+
+    // float group id rejected (reference registration_task_runner.py:85-92)
+    intercept[Catalog.RegistrationException] {
+      Catalog.register(spark, "bad", dir, "price", "ts")
+    }
+    // string timestamp rejected
+    intercept[Catalog.RegistrationException] {
+      Catalog.register(spark, "bad", dir, "uid", "cat")
+    }
+    // null group ids rejected
+    val dir2 = tmpDir("cat2")
+    frame(StructType(Seq(StructField("uid", LongType), StructField("ts", LongType))),
+      Seq(Map("uid" -> 1L, "ts" -> 1L), Map("ts" -> 2L)))
+      .write.mode("overwrite").parquet(dir2)
+    intercept[Catalog.RegistrationException] {
+      Catalog.register(spark, "bad", dir2, "uid", "ts")
+    }
+  }
+
+  test("grouped writer: every group lands in exactly one file") {
+    val dir = tmpDir("gw")
+    val schema = StructType(Seq(StructField("uid", LongType), StructField("v", LongType)))
+    val df = frame(schema, (0L until 100L).map(i => Map[String, Any]("uid" -> i % 10, "v" -> i)))
+    GroupedWriter.repartitionByGroup(df, "uid", 4, dir)
+    val filesPerGroup = spark.read.parquet(dir)
+      .select(col("uid"), input_file_name().as("f")).distinct()
+      .groupBy(col("uid")).agg(count(lit(1)).as("nf"))
+      .agg(max("nf")).collect()(0).getLong(0)
+    assert(filesPerGroup == 1L)
+  }
+
+  test("result JSON matches the reference response shape") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("timestamp", LongType),
+      StructField("category", StringType)))
+    val df = frame(schema, Seq(
+      Map("id" -> "a", "timestamp" -> 1L, "category" -> "x"),
+      Map("id" -> "a", "timestamp" -> 2L, "category" -> "y"),
+      Map("id" -> "b", "timestamp" -> 3L, "category" -> "x")))
+    val engine = new QueryEngine(DatasetSpec("id", "timestamp"))
+    val plan = engine.run(df, QueryParser.parse(
+      """{"query": {"aggregations": [{"column": "category", "type": "countPerValue"}]},
+        | "funnel": {"sequence": [{"filter": ["category", "==", "x"]}]}}""".stripMargin))
+    val json = ResultJson.build(plan)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    assert((parsed \ "query" \ "matchingGroups") == JInt(2))
+    assert((parsed \ "query" \ "matchingGroupRows") == JInt(3))
+    val values = (parsed \ "query" \ "aggregations")(0) \ "values"
+    assert(values == JObject(List("x" -> JInt(2), "y" -> JInt(1))))
+    assert(((parsed \ "funnel" \ "sequence")(0) \ "sequenceGroups") == JInt(2))
+  }
+
+  test("streaming funnel matches batch sequence semantics on in-order events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF().toDF("uid", "ts", "etype")
+    val out = StreamingFunnel.progress(events, "uid", "ts",
+      Seq(col("etype") === "view", col("etype") === "click", col("etype") === "buy"))
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // user 1 completes the funnel; user 2 stalls after view; same-ts click
+      // for user 2 must NOT advance (strict inequality).
+      input.addData((1L, 10L, "view"), (1L, 20L, "click"), (2L, 10L, "view"), (2L, 10L, "click"))
+      q.processAllAvailable()
+      input.addData((1L, 30L, "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelProgress].collect()
+        .groupBy(_.groupId).map { case (g, rs) => g -> rs.maxBy(_.completedSteps) }
+      assert(rows(1L).completedSteps == 3)
+      assert(rows(1L).anchors == Seq(10L, 20L, 30L))
+      assert(rows(2L).completedSteps == 1)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** Unit coverage for the training-data pipeline operators. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    frame(docSchema, rows.map { case (i, t) => Map[String, Any]("doc_id" -> i, "text" -> t) })
+
+  test("vec_dot / vec_norm match the interpreted HOF computation") {
+    VectorFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType)),
+      StructField("w", ArrayType(FloatType))))
+    val df = frame(schema, Seq(
+      Map("id" -> 1L, "v" -> Seq(1.0f, 2.0f, -3.5f), "w" -> Seq(0.5f, -1.0f, 2.0f)),
+      Map("id" -> 2L, "v" -> Seq(0.0f, 0.0f, 0.0f), "w" -> Seq(1.0f, 1.0f, 1.0f)),
+      Map("id" -> 3L, "v" -> null, "w" -> Seq(1.0f, 1.0f, 1.0f))))
+    val got = df.select(col("id"), expr("vec_dot(v, w)").as("d"), expr("vec_norm(v)").as("n"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val hof = df.select(col("id"),
+      expr("aggregate(zip_with(v, w, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, x) -> s + x)").as("d"),
+      expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x))").as("n"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got == hof)
+    assert(got(3) == ((None, None))) // null array → null result
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val d = docs((10L, "aaa"), (3L, "aaa"), (7L, "bbb"))
+    val got = Dedup.exact(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2L, 7L -> 1L))
+  }
+
+  test("minhash LSH flags identical docs as candidates") {
+    val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different content here"))
+    val sig = Dedup.minHashSignature(Dedup.charShingles(d, "doc_id", "text", 5), 8)
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, 8, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("jaccard pairs: identical docs = 1.0, disjoint docs absent") {
+    val d = docs((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzzzzz"))
+    val got = Dedup.jaccardPairs(Dedup.charShingles(d, "doc_id", "text", 5), 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0))
+  }
+
+  test("simhash: identical docs share fingerprints; pairs at hamming 0") {
+    val d = docs((1L, "one two three"), (2L, "one two three"), (3L, "four five six"))
+    val fps = Dedup.simHash(d, "doc_id", "text")
+    val byId = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    val pairs = Dedup.simHashPairs(fps, 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force ANN finds the planted nearest neighbor first") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val e = frame(schema, Seq(
+      Map("vec_id" -> 0L, "embedding" -> Seq(1.0f, 0.0f, 0.0f)),
+      Map("vec_id" -> 1L, "embedding" -> Seq(0.99f, 0.1f, 0.0f)), // closest to 0
+      Map("vec_id" -> 2L, "embedding" -> Seq(0.0f, 1.0f, 0.0f)),
+      Map("vec_id" -> 3L, "embedding" -> Seq(0.0f, 0.0f, 1.0f))))
+    val got = Ann.bruteForceTopK(e, e.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.head == ((1L, 1)))
+    assert(got.length == 2)
+  }
+
+  test("sign-LSH buckets are deterministic and identical vectors collide") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val e = frame(schema, Seq(
+      Map("vec_id" -> 0L, "embedding" -> Seq.fill(8)(0.5f)),
+      Map("vec_id" -> 1L, "embedding" -> Seq.fill(8)(0.5f))))
+    val b = Ann.signLshBuckets(e, "vec_id", "embedding", dim = 8, nBits = 4)
+      .select("bucket").collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+  }
+
+  test("text quality features on a crafted doc") {
+    val d = docs((1L, "the cat sat"))
+    val r = TextAnalysis.quality(d, "doc_id", "text", Seq("the", "a")).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 11)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("avg_tok_len") == 3.0)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("language id: markers and trigram profiles") {
+    val d = docs((1L, "der hund merge"), (2L, "plain english text"))
+    val markers = TextAnalysis.langIdMarkers(col("text"), Seq("merge" -> "de"), "en")
+    val got = d.select(col("doc_id"), markers.as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en"))
+    val tri = TextAnalysis.langIdTrigrams(d, "doc_id", "text",
+      Map("de" -> Seq("der", "und"), "en" -> Seq("ish", "tex", "the")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tri == Map(1L -> "de", 2L -> "en"))
+  }
+
+  test("fingerprint is stable and discriminates") {
+    val d = docs((1L, "abcdefghijk"), (2L, "abcdefghijk"), (3L, "different text"))
+    val got = d.select(col("doc_id"), TextAnalysis.fingerprint("text", 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("multimodal decode stub emits deterministic metadata") {
+    val d = docs((1L, "abcd"))
+    val r = graft.operators.Multimodal.decodeFeatures(d, "doc_id", "text").collect()(0)
+    assert(r.width == 64 + 4 % 512 && r.f0 == 'a'.toInt && r.f3 == 'd'.toInt)
+  }
+}
