@@ -73,6 +73,32 @@ class LibrarySpec extends SparkSpec {
     assert(filesPerGroup == 1L)
   }
 
+  test("bucketed-by-group source eliminates the window shuffle (100 TB plan)") {
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val ev = frame(schema, (0L until 200L).map(i => Map[String, Any](
+      "uid" -> i % 20, "ts" -> i, "etype" -> Seq("view", "click", "buy")((i % 3).toInt))))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val q = GraftQuery(None, Seq(Condition.Sequence(None, Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click"))))), None)),
+      None, Nil, None)
+
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+    val plain = exchanges(engine.run(ev, q).summary)
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    GroupedWriter.bucketBy(ev, "uid", 4, "ev_bucketed")
+    val bucketed = exchanges(engine.run(spark.table("ev_bucketed"), q).summary)
+    // Plain source: one exchange for the window partitioning + the final
+    // aggregation gather. Bucketed source: the window exchange disappears —
+    // the reference's shuffle-free layout, planner-managed.
+    assert(bucketed < plain, s"bucketed=$bucketed plain=$plain")
+  }
+
   test("result JSON matches the reference response shape") {
     val schema = StructType(Seq(
       StructField("id", StringType), StructField("timestamp", LongType),
