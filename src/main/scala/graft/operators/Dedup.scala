@@ -39,11 +39,19 @@ object Dedup {
         s"i -> substring($textCol, i, $n)))")).as("sh"))
 
   /** MinHash signature with k hash functions: column h0..h{k-1}, where
-    * h_i = min over shingles of md5("<i>:" || shingle) (lexicographic). */
+    * h_i = min over shingles of an 8-hex-char (32-bit) slice of a salted
+    * md5 (lexicographic). One md5 yields four independent 32-bit hashes, so
+    * only ceil(k/4) digests are computed per shingle — md5 dominates the
+    * signature cost at corpus scale. */
   def minHashSignature(shingles: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val nDigests = (k + 3) / 4
+    val withDigests = (0 until nDigests).foldLeft(shingles) { (df, d) =>
+      df.withColumn(s"__m$d", md5(concat(lit(s"$d:"), col("sh"))))
+    }
+    val aggs = (0 until k).map { i =>
+      min(substring(col(s"__m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")
+    }
+    withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (id, band, bucket) with bands of `rowsPerBand`
@@ -61,11 +69,16 @@ object Dedup {
   /** Candidate near-dup pairs: ids sharing any (band, bucket), id1 < id2,
     * distinct. `maxBucket` drops degenerate buckets (skew guard at scale). */
   def lshCandidates(buckets: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    // The bucket table is tiny (one row per doc per band) but its lineage —
+    // shingle explode + signature aggregation — is the expensive part of the
+    // whole pipeline. Persist it so the self-join's two sides don't each
+    // recompute the upstream (measured 2x on the driver battery).
     val trimmed = buckets
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = trimmed.select(col("id").as("d1"), col("band"), col("bucket"))
     val b = trimmed.select(col("id").as("d2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

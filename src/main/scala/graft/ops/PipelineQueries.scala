@@ -36,7 +36,7 @@ object PipelineQueries {
     "dd_minhash_lsh" -> ((s, dir) => {
       val sh  = Dedup.charShingles(docs(s, dir), "doc_id", "text", 5)
       val sig = Dedup.minHashSignature(sh, k = 8)
-      Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 2))
+      Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4))
     }),
 
     "dd_jaccard" -> ((s, dir) =>
@@ -129,9 +129,12 @@ object PipelineQueries {
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
 
     "dd_minhash_lsh" -> {
-      val mins = (0 until 8).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkt FROM sig")
+      // Mirrors Dedup.minHashSignature: h_i = min of the i-th 8-hex-char
+      // slice of md5("<i/4>:" || shingle).
+      val mins = (0 until 8).map(i =>
+        s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i").mkString(", ")
+      val bands = (0 until 2).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bkt FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH ${SH("documents")},
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),

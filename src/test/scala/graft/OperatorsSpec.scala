@@ -46,7 +46,7 @@ class OperatorsSpec extends SparkSpec {
     val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "completely different content here"))
     val sig = Dedup.minHashSignature(Dedup.charShingles(d, "doc_id", "text", 5), 8)
-    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, 8, 2)).collect()
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, 8, 4)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
