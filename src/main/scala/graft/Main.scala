@@ -41,7 +41,8 @@ object Main {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path)
         }
-        val plan = new QueryEngine(DatasetSpec(gid, ts)).runJson(df, json)
+        val engine = new QueryEngine(DatasetSpec(gid, ts))
+        val plan = engine.runValidated(df, graft.query.QueryParser.parse(json))
         println(ResultJson.build(plan))
       case _ =>
         System.err.println("usage: register <name> <path> <gidCol> <tsCol> | run <path> <gidCol> <tsCol> <queryJson|->")

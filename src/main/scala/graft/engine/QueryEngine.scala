@@ -114,6 +114,16 @@ final class QueryEngine(spec: DatasetSpec) {
   def runJson(df: DataFrame, json: String): PlannedQuery =
     run(df, graft.query.QueryParser.parse(json))
 
+  /** Dataset-aware validation (reference query_validator.py phase 2), then
+    * plan over the used-columns projection (the reference's used_columns
+    * pruning — Catalyst would prune anyway; the explicit select keeps every
+    * derived plan minimal and fails fast on bad queries). */
+  def runValidated(df: DataFrame, q: GraftQuery): PlannedQuery = {
+    graft.query.SchemaValidator.validate(df.schema, spec, q)
+    val used = graft.query.SchemaValidator.usedColumns(spec, q)
+    run(df.select(used.map(col): _*), q)
+  }
+
   // ------------------------------------------------------------------ filters
 
   /** Row-level predicate with pandas null semantics (see class doc). */

@@ -132,6 +132,19 @@ object FrQueries {
         SequenceStep(filters(eq("event_type", "purchase")))), None, Nil,
         Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
 
+    "fr_funnel_step_agg" -> ((s, dir) => {
+      val plan = engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(Seq(
+          SequenceStep(filters(eq("event_type", "view"))),
+          SequenceStep(filters(eq("event_type", "click"))),
+          SequenceStep(filters(eq("event_type", "purchase")))), None,
+          stepAggregations = Seq(Aggregation(None, "event_type", AggType.GroupsPerValue, None)),
+          endAggregations = Nil))))
+      plan.funnelAggregations.collectFirst {
+        case (name, df) if name.startsWith("step1_") => df
+      }.get
+    }),
+
     "fr_agg_count" -> ((s, dir) => aggQuery(s, dir, Aggregation(None, "value", AggType.Count, None))),
     "fr_agg_count_per_value" -> ((s, dir) =>
       aggQuery(s, dir, Aggregation(None, "event_type", AggType.CountPerValue, None))),
@@ -282,6 +295,12 @@ object FrQueries {
          |SELECT e.event_type AS value, count(*) AS count
          |FROM e WHERE e.user_id IN (SELECT user_id FROM s2)
          |GROUP BY e.event_type ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_funnel_step_agg" ->
+      s"""$SEQ_CTES
+         |SELECT e.event_type AS value, count(DISTINCT e.user_id) AS groups
+         |FROM e WHERE e.user_id IN (SELECT user_id FROM s1)
+         |GROUP BY e.event_type ORDER BY groups DESC, value ASC LIMIT 10""".stripMargin,
 
     "fr_agg_count" ->
       s"""$MATCHED_PURCHASE
