@@ -133,7 +133,15 @@ object RelationalQueries {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // Hot-key-safe two-phase aggregation; results equal the plain groupBy
+    // (which IS the oracle) — the salt only changes the physical plan.
+    "q_skew_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        t(s, dir, "lineitem").withColumn("l_quantity", col("l_quantity").cast("decimal(20,4)")),
+        "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), col("sum").cast("double").as("sum"), col("count")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -216,6 +224,12 @@ object RelationalQueries {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum,
+        |  count(*) AS count
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

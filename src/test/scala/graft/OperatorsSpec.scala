@@ -122,6 +122,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("skew utilities match their unsalted equivalents") {
+    import graft.operators.Skew
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    // one hot key with 90% of rows + a long tail
+    val rows = (0 until 900).map(i => Map[String, Any]("k" -> "hot", "v" -> i.toLong)) ++
+      (0 until 100).map(i => Map[String, Any]("k" -> s"k$i", "v" -> i.toLong))
+    val df = frame(schema, rows)
+
+    val salted = Skew.saltedSumCount(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val plain = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+
+    val sd = Skew.skewSafeCountDistinct(df.withColumn("v", col("v") % 10), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sd("hot") == 10 && sd("k5") == 1)
+
+    val dim = frame(StructType(Seq(StructField("k", StringType), StructField("d", LongType))),
+      Seq(Map("k" -> "hot", "d" -> 1L), Map("k" -> "k5", "d" -> 2L)))
+    val joined = Skew.saltedJoin(df, dim, "k")
+    assert(joined.count() == 901) // 900 hot + 1 k5
+    assert(joined.columns.toSet == Set("k", "v", "d"))
+  }
+
   test("multimodal decode stub emits deterministic metadata") {
     val d = docs((1L, "abcd"))
     val r = graft.operators.Multimodal.decodeFeatures(d, "doc_id", "text").collect()(0)
