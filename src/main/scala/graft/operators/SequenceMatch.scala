@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.query.QueryAst.SequenceStep
+
+/**
+ * Single-pass sequence matching via a typed [[Aggregator]] — the SURVEY
+ * §2.8 alternative to the engine's chained-window plan (QueryEngine
+ * sequenceCols). Identical semantics: step 0 anchor = min ts of step-0
+ * rows; step i anchor = min ts of step-i rows STRICTLY after anchor i-1;
+ * a group matches when the last anchor exists.
+ *
+ * Why an aggregator: the window plan shuffles and sorts EVERY row of every
+ * group, then runs one window pass per step. This aggregator reduces each
+ * partition to per-step sorted timestamp lists (only rows matching some
+ * step survive the partial aggregation — highly selective funnels shuffle
+ * a tiny fraction of the data and skip the sort entirely), then resolves
+ * the anchor chain once per group at merge time. Rows matching no step
+ * contribute nothing. Trade-off: buffer memory is O(matching rows per
+ * group per step); for dense steps the window plan is the better choice —
+ * both are exposed, benchmarked, and semantically interchangeable.
+ */
+object SequenceMatch {
+
+  /** Per-group buffer: one (unsorted, deduplicated-on-merge-only) timestamp
+    * array per step. */
+  type Buf = Array[Array[Long]]
+
+  private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
+      extends Aggregator[(Long, Array[Boolean]), Buf, Boolean] {
+
+    override def zero: Buf = Array.fill(numSteps)(Array.emptyLongArray)
+
+    override def reduce(b: Buf, row: (Long, Array[Boolean])): Buf = {
+      val (ts, matches) = row
+      var s = 0
+      while (s < numSteps) {
+        if (matches(s)) b(s) = b(s) :+ ts
+        s += 1
+      }
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      var s = 0
+      while (s < numSteps) { a(s) = a(s) ++ b(s); s += 1 }
+      a
+    }
+
+    override def finish(b: Buf): Boolean = {
+      var anchor = Long.MinValue
+      var first = Long.MinValue
+      var s = 0
+      while (s < numSteps) {
+        val arr = b(s)
+        java.util.Arrays.sort(arr)
+        // first ts strictly greater than the previous anchor (step 0: any)
+        var i = 0
+        var found = Long.MinValue
+        while (i < arr.length && found == Long.MinValue) {
+          if (s == 0 || arr(i) > anchor) found = arr(i)
+          i += 1
+        }
+        if (found == Long.MinValue) return false
+        anchor = found
+        if (s == 0) first = found
+        s += 1
+      }
+      maxDuration.forall(d => anchor - first <= d)
+    }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+  }
+
+  /** Group ids (column `gid`) whose rows satisfy the step sequence. Rows
+    * matching no step are filtered out BEFORE the aggregation, so the
+    * shuffle carries only candidate rows. */
+  def matchingGroups(df: DataFrame, gidCol: String, tsCol: String,
+                     steps: Seq[SequenceStep],
+                     maxDuration: Option[Long] = None): DataFrame = {
+    require(steps.forall(_.rowFound),
+      "negated (rowFound=false) steps need visibility of non-matching rows; use the window plan")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val engine = new graft.engine.QueryEngine(graft.engine.DatasetSpec(gidCol, tsCol))
+    val preds = steps.map(s => s.filters.map(engine.compileFilter).reduce(_ && _))
+    val projected = df.select(
+      col(gidCol).cast("long").as("g"),
+      col(tsCol).cast("long").as("t"),
+      array(preds.map(p => coalesce(p, lit(false))): _*).as("m"))
+      .where(expr("exists(m, x -> x)")) // drop rows matching no step pre-shuffle
+      .as[(Long, Long, Array[Boolean])]
+    val agg = new SeqAgg(steps.size, maxDuration)
+    projected
+      .groupByKey(_._1)
+      .mapValues { case (_, t, m) => (t, m) }
+      .agg(agg.toColumn.name("passed"))
+      .filter(_._2)
+      .map(_._1)
+      .toDF(gidCol)
+  }
+}

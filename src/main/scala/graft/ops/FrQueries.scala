@@ -104,6 +104,20 @@ object FrQueries {
         SequenceStep(filters(eq("event_type", "purchase")))), None)),
       None, Nil, None)).summary),
 
+    // Same semantics as fr_sequence via the single-pass Aggregator
+    // (operators/SequenceMatch) instead of the chained-window plan;
+    // shares fr_sequence's oracle.
+    "fr_sequence_fast" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts", Seq(
+        SequenceStep(filters(eq("event_type", "view"))),
+        SequenceStep(filters(eq("event_type", "click"))),
+        SequenceStep(filters(eq("event_type", "purchase")))))
+      e.join(groups, Seq("user_id"), "left_semi").agg(
+        count_distinct(col("user_id")).as("matching_groups"),
+        count(lit(1)).as("matching_group_rows"))
+    }),
+
     "fr_seq_maxduration" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(Condition.Sequence(None, Seq(
         SequenceStep(filters(eq("event_type", "view"))),
@@ -259,6 +273,11 @@ object FrQueries {
          |FROM e JOIN m ON e.user_id = m.user_id""".stripMargin,
 
     "fr_sequence" ->
+      s"""$SEQ_CTES,
+         |m AS (SELECT user_id FROM s2)
+         |$SUMMARY""".stripMargin,
+
+    "fr_sequence_fast" ->
       s"""$SEQ_CTES,
          |m AS (SELECT user_id FROM s2)
          |$SUMMARY""".stripMargin,

@@ -122,6 +122,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("sequence aggregator matches the chained-window plan on random data") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 2000).map { i =>
+      Map[String, Any]("uid" -> (i % 97).toLong, "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val steps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+
+    val viaAgg = graft.operators.SequenceMatch.matchingGroups(df, "uid", "ts", steps)
+      .collect().map(_.getLong(0)).toSet
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val viaWindow = engine.run(df,
+      GraftQuery(None, Seq(Condition.Sequence(None, steps, None)), None, Nil, None))
+      .matchedRows.select("uid").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+
+    // maxDuration variant also agrees
+    val d = 20000L
+    val aggD = graft.operators.SequenceMatch.matchingGroups(df, "uid", "ts", steps, Some(d))
+      .collect().map(_.getLong(0)).toSet
+    val winD = engine.run(df,
+      GraftQuery(None, Seq(Condition.Sequence(None, steps, Some(d))), None, Nil, None))
+      .matchedRows.select("uid").distinct().collect().map(_.getLong(0)).toSet
+    assert(aggD == winD)
+    assert(aggD.subsetOf(viaAgg) && aggD != viaAgg) // duration actually restricts
+  }
+
   test("skew utilities match their unsalted equivalents") {
     import graft.operators.Skew
     val schema = StructType(Seq(
