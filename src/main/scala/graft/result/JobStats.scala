@@ -1,0 +1,71 @@
+package graft.result
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Execution stats via SparkListener — the Spark-native stand-in for the
+ * reference's per-task metric labels + invoker stats builder
+ * (frocket/common/metrics.py, frocket/invoker/stats_builder.py; response
+ * "stats" block in docs/api.md). Spark already measures everything the
+ * reference hand-instruments; this just snapshots task metrics around one
+ * query execution.
+ */
+object JobStats {
+
+  final case class Snapshot(
+      wallTimeMs: Long,
+      tasks: Int,
+      rowsScanned: Long,
+      bytesScanned: Long,
+      shuffleBytesWritten: Long,
+      peakExecutionMemory: Long) {
+    def toJson: String =
+      s"""{"wallTimeMs": $wallTimeMs, "tasks": $tasks, "rowsScanned": $rowsScanned, """ +
+      s""""bytesScanned": $bytesScanned, "shuffleBytesWritten": $shuffleBytesWritten, """ +
+      s""""peakExecutionMemory": $peakExecutionMemory}"""
+  }
+
+  /** Run `body` with a listener attached; returns its result plus the
+    * aggregated task metrics of everything executed inside. The driver
+    * serializes query execution, so global task accumulation is the query's
+    * own (same trade-off as the reference's per-job metric bags). */
+  def measure[T](spark: SparkSession)(body: => T): (T, Snapshot) = {
+    val tasks = new AtomicInteger
+    val rows = new AtomicLong
+    val bytes = new AtomicLong
+    val shuffle = new AtomicLong
+    val peak = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          tasks.incrementAndGet()
+          rows.addAndGet(m.inputMetrics.recordsRead)
+          bytes.addAndGet(m.inputMetrics.bytesRead)
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peak.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val result = body
+      // Listener events post asynchronously and the bus-drain API is
+      // private[spark]; settle by waiting for the task counter to go quiet.
+      var prev = -1
+      var settled = 0
+      while (settled < 2 && prev < 1000) {
+        val cur = tasks.get()
+        if (cur == prev) settled += 1 else settled = 0
+        prev = cur
+        Thread.sleep(50)
+      }
+      (result, Snapshot((System.nanoTime() - t0) / 1000000, tasks.get(),
+        rows.get(), bytes.get(), shuffle.get(), peak.get()))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import graft.catalog.Catalog
 import graft.engine.{DatasetSpec, QueryEngine}
 import graft.query.{QueryParser, QueryValidationException, SchemaValidator}
-import graft.result.ResultJson
+import graft.result.{JobStats, ResultJson}
 
 /**
  * HTTP API front — parity with the reference's Flask apiserver
@@ -88,8 +88,10 @@ final class ApiServer(spark: SparkSession, port: Int) {
     SchemaValidator.validateTimeframeScale(parsed, ds.minTimestamp, ds.maxTimestamp)
     val df = Catalog.load(spark, name)
     val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn))
-    val plan = engine.runValidated(df, parsed)
-    respond(ex, 200, ResultJson.build(plan))
+    val (body, stats) = JobStats.measure(spark) {
+      ResultJson.build(engine.runValidated(df, parsed))
+    }
+    respond(ex, 200, body.dropRight(1) + s""", "stats": ${stats.toJson}}""")
   }
 
   private def readBody(ex: HttpExchange): String =

@@ -40,6 +40,7 @@ class ApiServerSpec extends SparkSpec {
     assert(q.statusCode() == 200, q.body())
     assert(q.body().contains(""""matchingGroups": 15"""))
     assert(q.body().contains(""""matchingGroupRows": 1000"""))
+    assert(q.body().contains(""""stats""") && q.body().contains(""""rowsScanned"""), q.body())
 
     // validation error → 400 with errorMessage (reference error shape)
     val bad = post("/datasets/ev/query",

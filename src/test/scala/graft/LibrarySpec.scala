@@ -122,6 +122,28 @@ class LibrarySpec extends SparkSpec {
     assert(((parsed \ "funnel" \ "sequence")(0) \ "sequenceGroups") == JInt(2))
   }
 
+  test("windowed rates with watermark aggregate event-time windows") {
+    import graft.streaming.WindowedRates
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val events = input.toDF().toDF("eid", "tsl", "etype", "value")
+      .withColumn("ts", timestamp_seconds(col("tsl")))
+    val out = WindowedRates.perWindow(events, "ts", "etype", "value",
+      windowLength = "10 seconds", watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("rates_out")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L, "view", 1.0), (2L, 3L, "view", 2.0), (3L, 12L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("rates_out")
+        .select(col("etype"), col("n_events"), col("sum_value")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(rows("view") == ((2L, 3.0)))  // both in [0,10)
+      assert(rows("click") == ((1L, 4.0))) // in [10,20)
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch sequence semantics on in-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
