@@ -92,6 +92,18 @@ object FrQueries {
       Some(Relation.Or(Relation.And(Relation.Ref(0), Relation.Ref(1)), Relation.Ref(2))),
       Nil, None)).summary),
 
+    // Relation mixing a sequence condition with a filter condition (C8
+    // across condition kinds).
+    "fr_mixed_relation" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(
+        Condition.Sequence(None, Seq(
+          SequenceStep(filters(eq("event_type", "view"))),
+          SequenceStep(filters(eq("event_type", "click")))),
+          maxDuration = Some(3600000000000L)), // click within 1h of first view
+        cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 14))),
+      Some(Relation.Or(Relation.Ref(0), Relation.Ref(1))),
+      Nil, None)).summary),
+
     "fr_timeframe" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(
       Some(Timeframe(Some(1705000000000000000L), Some(1706000000000000000L))),
       Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 1))),
@@ -262,6 +274,18 @@ object FrQueries {
          |        count(CASE WHEN event_type = 'error' THEN 1 END) AS er
          |      FROM e GROUP BY user_id),
          |m AS (SELECT user_id FROM g WHERE (p >= 2 AND c >= 3) OR er = 0)
+         |$SUMMARY""".stripMargin,
+
+    "fr_mixed_relation" ->
+      s"""WITH e AS ($E),
+         |s0 AS (SELECT user_id, min(tl) AS m0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, min(s0.m0) AS m0, min(e.tl) AS m1 FROM e
+         |       JOIN s0 ON e.user_id = s0.user_id
+         |       WHERE e.event_type = 'click' AND e.tl > s0.m0 GROUP BY e.user_id),
+         |g AS (SELECT user_id, count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+         |      FROM e GROUP BY user_id),
+         |m AS (SELECT user_id FROM g WHERE p >= 14
+         |      UNION SELECT user_id FROM s1 WHERE m1 - m0 <= 3600000000000)
          |$SUMMARY""".stripMargin,
 
     "fr_timeframe" ->

@@ -122,6 +122,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("pandas null semantics: strings, sums, and all-null groups") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("cat", StringType), StructField("v", DoubleType)))
+    // uid 1: one null cat, one matching; uid 2: all-null v; uid 3: no match
+    val df = frame(schema, Seq(
+      Map[String, Any]("uid" -> 1L, "ts" -> 1L, "cat" -> "x", "v" -> 2.0),
+      Map[String, Any]("uid" -> 1L, "ts" -> 2L, "v" -> 3.0),             // cat null
+      Map[String, Any]("uid" -> 2L, "ts" -> 1L, "cat" -> "x"),           // v null
+      Map[String, Any]("uid" -> 3L, "ts" -> 1L, "cat" -> "y", "v" -> 9.0)))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+
+    // `!=` and `not contains` are TRUE for nulls (pandas ~contains(na=False))
+    val neq = engine.runJson(df,
+      """{"query":{"conditions":[{"filter":["cat","!=","y"],"target":["count",">=",2]}]}}""")
+      .summary.collect()(0)
+    assert(neq.getLong(0) == 1L) // only uid 1 has 2 rows != "y" (null counts)
+
+    val ncontains = engine.runJson(df,
+      """{"query":{"conditions":[{"filter":["cat","not contains","x"],"target":["count",">=",1]}]}}""")
+      .summary.collect()(0).getLong(0)
+    assert(ncontains == 2L) // uid 1 (null row) + uid 3 ("y")
+
+    // sum target over an all-null matched group: pandas sum -> 0.0, so the
+    // group participates and fails ">= 1" but passes "<= 0".
+    val sumLe = engine.runJson(df,
+      """{"query":{"conditions":[{"filter":["cat","==","x"],"target":{"type":"sum","column":"v","op":"<=","value":0}}]}}""")
+      .summary.collect()(0).getLong(0)
+    assert(sumLe == 1L) // uid 2: matching row exists, sum of nulls = 0
+  }
+
   test("sequence aggregator matches the chained-window plan on random data") {
     import graft.engine.{DatasetSpec, QueryEngine}
     import graft.query.QueryAst._
