@@ -31,6 +31,14 @@ object FrQueries {
   private def filters(fs: RowFilter*): Seq[RowFilter] = fs
 
   private def eq(c: String, v: String)  = RowFilter(c, FilterOp.Eq, Scalar.Str(v))
+  private def gt(c: String, v: Int)     = RowFilter(c, FilterOp.Gt, Scalar.Num(v))
+
+  /** Value-filtered funnel steps (value > 100 per step) — thresholds probed
+    * to discriminate at every SF (not saturate at 100% of groups). */
+  private def valueSteps: Seq[SequenceStep] = Seq(
+    SequenceStep(filters(eq("event_type", "view"), gt("value", 100))),
+    SequenceStep(filters(eq("event_type", "click"), gt("value", 100))),
+    SequenceStep(filters(eq("event_type", "purchase"), gt("value", 100))))
   private def cond(fs: Seq[RowFilter], t: Target, includeZero: Boolean = false) =
     Condition.Filters(None, fs, t, includeZero)
 
@@ -48,11 +56,11 @@ object FrQueries {
     "fr_empty" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery.empty).summary),
 
     "fr_count_target" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
-      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 2))),
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 15))),
       None, Nil, None)).summary),
 
     "fr_count_eq_zero" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
-      Seq(cond(filters(eq("event_type", "error")), Target.Count(CmpOp.Eq, 0), includeZero = true)),
+      Seq(cond(filters(eq("event_type", "error"), gt("value", 150)), Target.Count(CmpOp.Eq, 0), includeZero = true)),
       None, Nil, None)).summary),
 
     "fr_sum_target" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
@@ -86,9 +94,9 @@ object FrQueries {
 
     "fr_relation" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(
-        cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 2)),
-        cond(filters(eq("event_type", "click")), Target.Count(CmpOp.Gte, 3)),
-        cond(filters(eq("event_type", "error")), Target.Count(CmpOp.Eq, 0), includeZero = true)),
+        cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 15)),
+        cond(filters(eq("event_type", "click")), Target.Count(CmpOp.Gte, 15)),
+        cond(filters(eq("event_type", "error"), gt("value", 150)), Target.Count(CmpOp.Eq, 0), includeZero = true)),
       Some(Relation.Or(Relation.And(Relation.Ref(0), Relation.Ref(1)), Relation.Ref(2))),
       Nil, None)).summary),
 
@@ -110,10 +118,7 @@ object FrQueries {
       None, Nil, None)).summary),
 
     "fr_sequence" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
-      Seq(Condition.Sequence(None, Seq(
-        SequenceStep(filters(eq("event_type", "view"))),
-        SequenceStep(filters(eq("event_type", "click"))),
-        SequenceStep(filters(eq("event_type", "purchase")))), None)),
+      Seq(Condition.Sequence(None, valueSteps, None)),
       None, Nil, None)).summary),
 
     // Same semantics as fr_sequence via the single-pass Aggregator
@@ -121,10 +126,7 @@ object FrQueries {
     // shares fr_sequence's oracle.
     "fr_sequence_fast" -> ((s, dir) => {
       val e = ev(s, dir)
-      val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts", Seq(
-        SequenceStep(filters(eq("event_type", "view"))),
-        SequenceStep(filters(eq("event_type", "click"))),
-        SequenceStep(filters(eq("event_type", "purchase")))))
+      val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts", valueSteps)
       e.join(groups, Seq("user_id"), "left_semi").agg(
         count_distinct(col("user_id")).as("matching_groups"),
         count(lit(1)).as("matching_group_rows"))
@@ -141,29 +143,20 @@ object FrQueries {
     "fr_seq_negated" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(Condition.Sequence(None, Seq(
         SequenceStep(filters(eq("event_type", "view"))),
-        SequenceStep(filters(eq("event_type", "error")), rowFound = false),
+        SequenceStep(filters(eq("event_type", "error"), gt("value", 150)), rowFound = false),
         SequenceStep(filters(eq("event_type", "purchase")))), None)),
       None, Nil, None)).summary),
 
     "fr_funnel" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
-      Some(Funnel(Seq(
-        SequenceStep(filters(eq("event_type", "view"))),
-        SequenceStep(filters(eq("event_type", "click"))),
-        SequenceStep(filters(eq("event_type", "purchase")))), None, Nil, Nil)))).funnel.get),
+      Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
 
     "fr_funnel_end_agg" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
-      Some(Funnel(Seq(
-        SequenceStep(filters(eq("event_type", "view"))),
-        SequenceStep(filters(eq("event_type", "click"))),
-        SequenceStep(filters(eq("event_type", "purchase")))), None, Nil,
+      Some(Funnel(valueSteps, None, Nil,
         Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
 
     "fr_funnel_step_agg" -> ((s, dir) => {
       val plan = engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
-        Some(Funnel(Seq(
-          SequenceStep(filters(eq("event_type", "view"))),
-          SequenceStep(filters(eq("event_type", "click"))),
-          SequenceStep(filters(eq("event_type", "purchase")))), None,
+        Some(Funnel(valueSteps, None,
           stepAggregations = Seq(Aggregation(None, "event_type", AggType.GroupsPerValue, None)),
           endAggregations = Nil))))
       plan.funnelAggregations.collectFirst {
@@ -188,8 +181,8 @@ object FrQueries {
       val json =
         """{"query": {
           |  "conditions": [
-          |    {"name": "buyers",   "filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]},
-          |    {"name": "clickers", "filter": ["event_type", "==", "click"],    "target": ["count", ">=", 3]}
+          |    {"name": "buyers",   "filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 15]},
+          |    {"name": "clickers", "filter": ["event_type", "==", "click"],    "target": ["count", ">=", 15]}
           |  ],
           |  "relation": "$buyers or $clickers",
           |  "aggregations": [{"column": "event_type", "type": "countPerValue"}]
@@ -214,7 +207,21 @@ object FrQueries {
       |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1),
       |r AS (SELECT e.* FROM e JOIN m ON e.user_id = m.user_id)""".stripMargin.format(E)
 
+  /** Value-filtered (value > 100) view->click->purchase chain, mirroring
+    * `valueSteps`. */
   private val SEQ_CTES =
+    """WITH e AS (%s),
+      |s0 AS (SELECT user_id, min(tl) AS m0 FROM e
+      |       WHERE event_type = 'view' AND value > 100 GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(s0.m0) AS m0, min(e.tl) AS m1 FROM e
+      |       JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND e.value > 100 AND e.tl > s0.m0 GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(s1.m0) AS m0, min(e.tl) AS m2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.value > 100 AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin.format(E)
+
+  /** Unfiltered chain, used by the maxDuration query only. */
+  private val SEQ_PLAIN_CTES =
     """WITH e AS (%s),
       |s0 AS (SELECT user_id, min(tl) AS m0 FROM e WHERE event_type = 'view' GROUP BY user_id),
       |s1 AS (SELECT e.user_id, min(s0.m0) AS m0, min(e.tl) AS m1 FROM e
@@ -231,13 +238,13 @@ object FrQueries {
     "fr_count_target" ->
       s"""WITH e AS ($E),
          |m AS (SELECT user_id FROM e GROUP BY user_id
-         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2)
+         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 15)
          |$SUMMARY""".stripMargin,
 
     "fr_count_eq_zero" ->
       s"""WITH e AS ($E),
          |m AS (SELECT user_id FROM e GROUP BY user_id
-         |      HAVING count(CASE WHEN event_type = 'error' THEN 1 END) = 0)
+         |      HAVING count(CASE WHEN event_type = 'error' AND value > 150 THEN 1 END) = 0)
          |$SUMMARY""".stripMargin,
 
     "fr_sum_target" ->
@@ -271,9 +278,9 @@ object FrQueries {
          |g AS (SELECT user_id,
          |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
          |        count(CASE WHEN event_type = 'click' THEN 1 END) AS c,
-         |        count(CASE WHEN event_type = 'error' THEN 1 END) AS er
+         |        count(CASE WHEN event_type = 'error' AND value > 150 THEN 1 END) AS er
          |      FROM e GROUP BY user_id),
-         |m AS (SELECT user_id FROM g WHERE (p >= 2 AND c >= 3) OR er = 0)
+         |m AS (SELECT user_id FROM g WHERE (p >= 15 AND c >= 15) OR er = 0)
          |$SUMMARY""".stripMargin,
 
     "fr_mixed_relation" ->
@@ -307,7 +314,7 @@ object FrQueries {
          |$SUMMARY""".stripMargin,
 
     "fr_seq_maxduration" ->
-      s"""$SEQ_CTES,
+      s"""$SEQ_PLAIN_CTES,
          |m AS (SELECT user_id FROM s2 WHERE m2 - m0 <= 86400000000000)
          |$SUMMARY""".stripMargin,
 
@@ -316,7 +323,7 @@ object FrQueries {
          |s0 AS (SELECT user_id, min(tl) AS m0 FROM e WHERE event_type = 'view' GROUP BY user_id),
          |ok AS (SELECT s0.user_id, s0.m0 FROM s0 WHERE NOT EXISTS (
          |        SELECT 1 FROM e WHERE e.user_id = s0.user_id
-         |          AND e.event_type = 'error' AND e.tl > s0.m0)),
+         |          AND e.event_type = 'error' AND e.value > 150 AND e.tl > s0.m0)),
          |m AS (SELECT e.user_id FROM e JOIN ok ON e.user_id = ok.user_id
          |      WHERE e.event_type = 'purchase' AND e.tl > ok.m0 GROUP BY e.user_id)
          |$SUMMARY""".stripMargin,
@@ -380,7 +387,7 @@ object FrQueries {
          |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
          |        count(CASE WHEN event_type = 'click' THEN 1 END) AS c
          |      FROM e GROUP BY user_id),
-         |m AS (SELECT user_id FROM g WHERE p >= 2 OR c >= 3),
+         |m AS (SELECT user_id FROM g WHERE p >= 15 OR c >= 15),
          |r AS (SELECT e.* FROM e JOIN m ON e.user_id = m.user_id)
          |SELECT event_type AS value, count(*) AS count FROM r
          |GROUP BY event_type ORDER BY count DESC, value ASC LIMIT 10""".stripMargin
