@@ -71,6 +71,74 @@ object Ann {
     emb.withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) cell assignment: Lloyd's k-means over the corpus,
+    * deterministically initialized from the lowest-id vectors. Centroids
+    * live driver-side (nCells × dim doubles — the standard k-means shape,
+    * cf. MLlib); assignment and per-cell averaging are distributed. Returns
+    * the corpus with a `cell` column plus the final centroids. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                dim: Int, nCells: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assignCol: org.apache.spark.sql.Column = {
+      // nearest centroid by squared euclidean = ||v||^2 - 2 v.c + ||c||^2
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val carr = c.mkString("array(", "D, ", "D)")
+        val cn = c.map(x => x * x).sum
+        struct(
+          (expr("vec_norm(__v)") * expr("vec_norm(__v)") -
+            lit(2.0) * expr(s"vec_dot(__v, CAST($carr AS ARRAY<FLOAT>))") + lit(cn)).as("d"),
+          lit(i).as("cell"))
+      }
+      // least struct = smallest distance, ties to lowest cell id
+      least(dists: _*).getField("cell")
+    }
+
+    val base = corpus.withColumn("__v", col(vecCol))
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("cell", assignCol)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    (base.withColumn("cell", assignCol).drop("__v"), centroids)
+  }
+
+  /** IVF approximate top-k: rank by cosine only within the query's cell.
+    * Recall < 1 by design (single-probe); increase recall by probing
+    * neighboring cells (multi-probe) — out of scope here. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, nCells: Int, iters: Int,
+              k: Int): DataFrame = {
+    val (assigned, _) = ivfAssign(corpus, idCol, vecCol, dim, nCells, iters)
+    val cb = assigned
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cell"))
+      .withColumn("nn", expr("vec_norm(nv)"))
+    // queries are assigned with the same (final) centroids via a self-join
+    // on id — they are corpus members in this API.
+    val qb = cb.select(col("nid").as("qid"), col("nv").as("qv"),
+      col("cell"), col("nn").as("qn"))
+    val scored = cb.join(broadcast(qb.join(
+        broadcast(queries.select(col(idCol).as("qid"))), Seq("qid"))), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", expr("vec_dot(qv, nv)") / (col("qn") * col("nn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
+  }
+
   /** Approximate top-k: cosine ranking restricted to the query's bucket.
     * Output: (query_id, neighbor_id, rank) — recall < 1 by design. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

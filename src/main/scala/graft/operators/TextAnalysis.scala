@@ -14,6 +14,14 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))
 
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens (the pre-tokenization split
+    * BPE vocabularies build on). The alternatives match disjoint leading
+    * characters, so Java and RE2 regex engines agree. */
+  val BpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(BpeishPattern), lit(0)))
+
   /** Per-document quality features: char count, token count, mean token
     * length, stopword ratio. Ratios are single divisions of exact integer
     * counts — deterministic across engines. */

@@ -62,6 +62,14 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // Scale path #2: IVF (k-means cells, single-probe) — approximate by
+    // design, rows-only check.
+    "ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, nCells = 8, iters = 2, k = 5)
+    }),
+
     // Scale path: bucketed search — approximate by design, so rows-only check.
     "ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -72,6 +80,10 @@ object PipelineQueries {
     "tx_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    "tx_tokens_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))),
 
     "tx_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text", Seq("a", "the"))
@@ -189,6 +201,11 @@ object PipelineQueries {
 
     "tx_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+
+    "tx_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
 
     "tx_quality" ->
       """SELECT doc_id,

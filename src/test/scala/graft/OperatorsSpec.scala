@@ -82,6 +82,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 2)
   }
 
+  test("IVF top-k: clustered data keeps full recall within its cell") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // two tight clusters far apart; ids 0-3 near e1, ids 4-7 near e2
+    def v(base: Float, eps: Float) = Seq(base + eps, 1.0f - base, 0.1f * eps, 0.0f)
+    val e = frame(schema, (0L until 8L).map { i =>
+      val base = if (i < 4) 0.9f else 0.0f
+      Map[String, Any]("vec_id" -> i, "embedding" -> v(base, 0.01f * i))
+    })
+    val got = graft.operators.Ann.ivfTopK(e, e.where(col("vec_id") === 0),
+      "vec_id", "embedding", dim = 4, nCells = 2, iters = 2, k = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 3L)) // same-cluster neighbors, not the far cluster
+  }
+
+  test("BPE-ish token count splits letter/digit/punct runs") {
+    val d = docs((1L, "fast-scan row12 ok"))
+    val n = d.select(graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("n"))
+      .collect()(0).getInt(0)
+    assert(n == 6) // fast, -, scan, row, 12, ok
+  }
+
   test("sign-LSH buckets are deterministic and identical vectors collide") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
