@@ -173,6 +173,16 @@ object FrQueries {
       aggQuery(s, dir, Aggregation(None, "event_type", AggType.SumPerValue, Some("value")))),
     "fr_agg_mean_per_value" -> ((s, dir) =>
       aggQuery(s, dir, Aggregation(None, "event_type", AggType.MeanPerValue, Some("value")))),
+    // A3's documented fast mode: approximate distinct-group counts
+    // (HyperLogLog++). Deterministic for fixed input but not exactly the
+    // true count, so rows-only check (no oracle).
+    "fr_agg_groups_approx" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy(col("event_type").as("value"))
+        .agg(approx_count_distinct(col("user_id")).as("groups_approx"))
+        .orderBy(desc("groups_approx"), asc("value"))
+    }),
+
     "fr_top_k" -> ((s, dir) =>
       aggQuery(s, dir, Aggregation(None, "user_id", AggType.CountPerValue, None))),
 
