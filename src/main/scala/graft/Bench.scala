@@ -38,6 +38,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Release operator-retained caches (LSH bucket tables etc.) so one
+      // query's persisted blocks don't occupy memory during the next.
+      graft.util.Caches.drain()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -58,6 +58,55 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Quantized integer dot product for LSH bucketing: sums
+ * `floor(v_i * 1024) * w_i` over a float vector and an int weight array,
+ * returning a BIGINT. All-integer arithmetic makes the sign of the result
+ * bit-identical in any engine regardless of summation order — float sums
+ * near zero could flip a bucket bit between Spark and an oracle engine,
+ * breaking deterministic LSH assignment. The 1024 multiplier is a power of
+ * two, so `v * 1024` is exact in double and floor() agrees everywhere.
+ */
+case class FloatVecQDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_qdot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val w = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), w.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i).toDouble * 1024.0).toLong * w.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, w) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $w.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor((double) $a.getFloat($i) * 1024.0)
+         |        * (long) $w.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecQDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of an Array[Float] column, codegen'd. */
 case class FloatVecNorm(child: Expression)
     extends UnaryExpression {
@@ -97,7 +146,10 @@ object VectorFunctions {
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
     (FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
-      (children: Seq[Expression]) => FloatVecNorm(children.head)))
+      (children: Seq[Expression]) => FloatVecNorm(children.head)),
+    (FunctionIdentifier("vec_qdot"),
+      new ExpressionInfo(classOf[FloatVecQDot].getName, "vec_qdot"),
+      (children: Seq[Expression]) => FloatVecQDot(children(0), children(1))))
 
   /** Idempotent runtime registration (for sessions built without
     * spark.sql.extensions=graft.functions.GraftExtensions). */

@@ -58,6 +58,41 @@ object Ann {
     ((d(0) >> 4) & 0xf) - 7.5
   }
 
+  /** Deterministic integer hyperplane component in [-8, 7]: high nibble of
+    * the first md5 byte of "seed:bit:dim", minus 8. Integer weights (paired
+    * with the quantized [[graft.functions.FloatVecQDot vec_qdot]]) make the
+    * bucket-bit sign exact — no float-summation-order ambiguity across
+    * engines, which matters because an oracle re-deriving the buckets must
+    * agree bit-for-bit. */
+  private[graft] def qPlaneWeight(seed: Int, bit: Int, dim: Int): Int = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$bit:$dim".getBytes(StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) - 8
+  }
+
+  /** Multi-table quantized sign-LSH: `nTables` independent `nBits`-bit
+    * bucket assignments per vector (table t uses seed 1000+t). Output:
+    * (id, tbl, bucket). OR-amplification across tables raises recall for a
+    * candidate join (a pair is a candidate if it shares a bucket in ANY
+    * table); each table's join is a plain equi-join on (tbl, bucket), so
+    * candidate generation is shuffle-by-key — sub-quadratic at scale.
+    * Buckets are all-integer (vec_qdot of floor(v*1024) against int
+    * hyperplanes), hence engine-exact. */
+  def multiTableQBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nBits: Int, nTables: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val tables = (0 until nTables).map { t =>
+      val bucket = (0 until nBits).map { b =>
+        val w = (0 until dim).map(i => qPlaneWeight(1000 + t, b, i))
+        when(expr(s"vec_qdot($vecCol, array(${w.mkString(", ")}))") > 0,
+          lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    emb.select(col(idCol).as("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
   /** Add an LSH bucket column: `nBits` sign bits of dot(v, hyperplane_b). */
   def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nBits: Int, seed: Int = 42): DataFrame = {

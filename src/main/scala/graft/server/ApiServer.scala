@@ -88,9 +88,9 @@ final class ApiServer(spark: SparkSession, port: Int) {
     SchemaValidator.validateTimeframeScale(parsed, ds.minTimestamp, ds.maxTimestamp)
     val df = Catalog.load(spark, name)
     val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn))
-    val (body, stats) = JobStats.measure(spark) {
+    val (body, stats) = try JobStats.measure(spark) {
       ResultJson.build(engine.runValidated(df, parsed))
-    }
+    } finally graft.util.Caches.drain() // no cache build-up in a long-lived server
     respond(ex, 200, body.dropRight(1) + s""", "stats": ${stats.toJson}}""")
   }
 

@@ -99,6 +99,21 @@ class LibrarySpec extends SparkSpec {
     assert(bucketed < plain, s"bucketed=$bucketed plain=$plain")
   }
 
+  test("pair-generation battery queries plan without cartesian products") {
+    // The VERDICT-r2 scale-killers: these must stay equi-join-shaped. The
+    // assertion is on the physical plan, so a regression to crossJoin (or a
+    // join Catalyst can only execute as BroadcastNestedLoop) fails here even
+    // while the small-SF oracle stays green.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("dd_simhash_pairs", "dd_embed_near", "dd_jaccard", "dd_minhash_lsh")) {
+      val plan = graft.ops.PipelineQueries.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name physical plan contains a cartesian product:\n$plan")
+    }
+    graft.util.Caches.drain()
+  }
+
   test("result JSON matches the reference response shape") {
     val schema = StructType(Seq(
       StructField("id", StringType), StructField("timestamp", LongType),

@@ -241,6 +241,89 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.columns.toSet == Set("k", "v", "d"))
   }
 
+  test("vec_qdot matches the interpreted quantized HOF computation") {
+    VectorFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(3)
+    val df = frame(schema, (0L until 20L).map(i =>
+      Map[String, Any]("id" -> i, "v" -> Seq.fill(8)(rnd.nextFloat() * 4 - 2))))
+    val w = Seq(-8, 3, 0, 7, -2, 5, -1, 4)
+    val got = df.select(col("id"),
+      expr(s"vec_qdot(v, array(${w.mkString(", ")}))").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select(col("id"),
+      expr(s"aggregate(zip_with(v, array(${w.mkString(", ")}), " +
+        "(x, y) -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) * y), " +
+        "CAST(0 AS BIGINT), (s, x) -> s + x)").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hof)
+  }
+
+  test("banded simhash pairs equal brute force and avoid cartesian joins") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("fp", LongType)))
+    val rnd = new scala.util.Random(11)
+    // cluster fingerprints so some pairs fall at each hamming distance 0..6
+    val base = Seq.fill(10)(rnd.nextLong() & 0xffffffffL)
+    val fps = frame(schema, (0 until 60).map { i =>
+      var f = base(i % 10)
+      (0 until i % 7).foreach(_ => f ^= 1L << rnd.nextInt(32))
+      Map[String, Any]("id" -> i.toLong, "fp" -> f)
+    })
+    val banded = Dedup.simHashPairs(fps, maxHamming = 3)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"banded simhash plan must not contain a cartesian product:\n$plan")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = fps.select(col("id").as("d1"), col("fp").as("fa"))
+      .crossJoin(fps.select(col("id").as("d2"), col("fp").as("fb")))
+      .where(col("d1") < col("d2") && expr("bit_count(fa ^ fb)") <= 3)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute) // pigeonhole: recall is exact for ham <= bands-1
+    assert(brute.nonEmpty)
+  }
+
+  test("jaccard df cap excludes near-universal shingles from the measure") {
+    // "XXXXX" appears in every doc; with maxDf=2 it can't contribute, so
+    // docs sharing ONLY that shingle produce no pair.
+    val d = docs((1L, "XXXXXabcde"), (2L, "XXXXXabcde"), (3L, "XXXXXzyxwv"))
+    val sh = Dedup.charShingles(d, "doc_id", "text", 5)
+    val capped = Dedup.jaccardPairs(sh, threshold = 0.01, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L))) // 3 shares only the universal shingle
+    assert(capped((1L, 2L)) == 1.0) // and the capped universe is consistent
+    val uncapped = Dedup.jaccardPairs(sh, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("embedding near-dup LSH: exact precision, equi-join plan, determinism") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(5)
+    def jitter(v: Seq[Float]) = v.map(x => x + rnd.nextFloat() * 0.01f)
+    val anchor = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val e = frame(schema, (0L until 30L).map { i =>
+      val v = if (i < 6) jitter(anchor) else Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+      Map[String, Any]("vec_id" -> i, "embedding" -> v)
+    })
+    val nd = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold = 0.9, dim = 16, nBits = 4, nTables = 6)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LSH near-dup plan must not contain a cartesian product:\n$plan")
+    val got = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: every reported pair truly clears the threshold
+    val brute = Dedup.exactCosinePairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute))
+    // jittered clones are bucketed together in at least one table
+    assert(got.exists { case (a, b) => a < 6 && b < 6 })
+    graft.util.Caches.drain()
+  }
+
   test("multimodal decode stub emits deterministic metadata") {
     val d = docs((1L, "abcd"))
     val r = graft.operators.Multimodal.decodeFeatures(d, "doc_id", "text").collect()(0)
