@@ -53,10 +53,12 @@ object Catalog {
   private val datasets = new ConcurrentHashMap[String, RegisteredDataset]()
 
   /** Classify a Spark type into the reference's 4-type system; None =
-    * unsupported (datetimes, nested, decimals... recorded, not fatal). */
+    * unsupported (datetimes, nested... recorded, not fatal). Decimals are
+    * Float, matching SchemaValidator.colKind — registration and query-time
+    * validation must agree on the supported column set. */
   def classify(dt: DataType): Option[ColType] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some(ColType.Int)
-    case FloatType | DoubleType                        => Some(ColType.Float)
+    case FloatType | DoubleType | _: DecimalType       => Some(ColType.Float)
     case BooleanType                                   => Some(ColType.Bool)
     case StringType                                    => Some(ColType.Str)
     case _                                             => None

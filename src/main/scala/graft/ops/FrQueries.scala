@@ -150,6 +150,14 @@ object FrQueries {
     "fr_funnel" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
 
+    // F4: conditions + funnel combined — the funnel consumes only the rows
+    // of groups passing the condition (>= 14 purchases: keeps roughly half
+    // the groups at every SF, so the condition genuinely restricts).
+    "fr_funnel_conditioned" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 14))),
+      None, Nil,
+      Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
+
     "fr_funnel_end_agg" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil,
         Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
@@ -217,18 +225,32 @@ object FrQueries {
       |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1),
       |r AS (SELECT e.* FROM e JOIN m ON e.user_id = m.user_id)""".stripMargin.format(E)
 
-  /** Value-filtered (value > 100) view->click->purchase chain, mirroring
-    * `valueSteps`. */
-  private val SEQ_CTES =
-    """WITH e AS (%s),
-      |s0 AS (SELECT user_id, min(tl) AS m0 FROM e
+  /** Value-filtered (value > 100) view->click->purchase step CTEs over a
+    * pre-existing CTE `e`, mirroring `valueSteps`. */
+  private val SEQ_STEPS =
+    """s0 AS (SELECT user_id, min(tl) AS m0 FROM e
       |       WHERE event_type = 'view' AND value > 100 GROUP BY user_id),
       |s1 AS (SELECT e.user_id, min(s0.m0) AS m0, min(e.tl) AS m1 FROM e
       |       JOIN s0 ON e.user_id = s0.user_id
       |       WHERE e.event_type = 'click' AND e.value > 100 AND e.tl > s0.m0 GROUP BY e.user_id),
       |s2 AS (SELECT e.user_id, min(s1.m0) AS m0, min(e.tl) AS m2 FROM e
       |       JOIN s1 ON e.user_id = s1.user_id
-      |       WHERE e.event_type = 'purchase' AND e.value > 100 AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin.format(E)
+      |       WHERE e.event_type = 'purchase' AND e.value > 100 AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin
+
+  /** Value-filtered chain over all events. */
+  private val SEQ_CTES = s"WITH e AS ($E),\n$SEQ_STEPS"
+
+  /** Funnel result rows (step, step_groups, step_rows) over s0/s1/s2 + e. */
+  private val FUNNEL_SELECT =
+    """SELECT 0 AS step,
+      |  (SELECT count(*) FROM s0) AS step_groups,
+      |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s0)) AS step_rows
+      |UNION ALL SELECT 1,
+      |  (SELECT count(*) FROM s1),
+      |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s1))
+      |UNION ALL SELECT 2,
+      |  (SELECT count(*) FROM s2),
+      |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s2))""".stripMargin
 
   /** Unfiltered chain, used by the maxDuration query only. */
   private val SEQ_PLAIN_CTES =
@@ -270,16 +292,19 @@ object FrQueries {
          |      HAVING count(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 END) >= 1)
          |$SUMMARY""".stripMargin,
 
+    // Negated operators model pandas semantics explicitly (`!=` and
+    // `not contains` are TRUE for nulls — na=False inversion), so the oracle
+    // stays pinned even if null-bearing rows enter the documents table.
     "fr_ops_battery" ->
       """SELECT
         |  count(CASE WHEN lang = 'en' THEN 1 END) AS c_eq,
-        |  count(CASE WHEN lang <> 'en' THEN 1 END) AS c_neq,
+        |  count(CASE WHEN lang IS NULL OR lang <> 'en' THEN 1 END) AS c_neq,
         |  count(CASE WHEN n_chars > 200 THEN 1 END) AS c_gt,
         |  count(CASE WHEN n_chars >= 200 THEN 1 END) AS c_gte,
         |  count(CASE WHEN n_chars < 100 THEN 1 END) AS c_lt,
         |  count(CASE WHEN n_chars <= 100 THEN 1 END) AS c_lte,
         |  count(CASE WHEN contains(text, 'spark table') THEN 1 END) AS c_contains,
-        |  count(CASE WHEN NOT contains(text, 'spark table') THEN 1 END) AS c_ncontains,
+        |  count(CASE WHEN text IS NULL OR NOT contains(text, 'spark table') THEN 1 END) AS c_ncontains,
         |  count(CASE WHEN regexp_matches(text, 'scan [a-z]+ slow') THEN 1 END) AS c_regex
         |FROM documents""".stripMargin,
 
@@ -340,15 +365,17 @@ object FrQueries {
 
     "fr_funnel" ->
       s"""$SEQ_CTES
-         |SELECT 0 AS step,
-         |  (SELECT count(*) FROM s0) AS step_groups,
-         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s0)) AS step_rows
-         |UNION ALL SELECT 1,
-         |  (SELECT count(*) FROM s1),
-         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s1))
-         |UNION ALL SELECT 2,
-         |  (SELECT count(*) FROM s2),
-         |  (SELECT count(*) FROM e WHERE user_id IN (SELECT user_id FROM s2))""".stripMargin,
+         |$FUNNEL_SELECT""".stripMargin,
+
+    // F4: funnel over condition survivors (reference query_engine.py:102-105
+    // — the funnel's input is the rows of groups matching query.conditions).
+    "fr_funnel_conditioned" ->
+      s"""WITH ea AS ($E),
+         |mg AS (SELECT user_id FROM ea GROUP BY user_id
+         |       HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14),
+         |e AS (SELECT ea.* FROM ea JOIN mg ON ea.user_id = mg.user_id),
+         |$SEQ_STEPS
+         |$FUNNEL_SELECT""".stripMargin,
 
     "fr_funnel_end_agg" ->
       s"""$SEQ_CTES

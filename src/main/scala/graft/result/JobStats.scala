@@ -56,12 +56,16 @@ object JobStats {
       val result = body
       // Listener events post asynchronously and the bus-drain API is
       // private[spark]; settle by waiting for the task counter to go quiet.
+      // The loop is bounded by ITERATIONS (max ~5s), never by the counter
+      // value — a query can legitimately run far more than 1000 tasks.
       var prev = -1
       var settled = 0
-      while (settled < 2 && prev < 1000) {
+      var iters = 0
+      while (settled < 2 && iters < 100) {
         val cur = tasks.get()
         if (cur == prev) settled += 1 else settled = 0
         prev = cur
+        iters += 1
         Thread.sleep(50)
       }
       (result, Snapshot((System.nanoTime() - t0) / 1000000, tasks.get(),

@@ -99,6 +99,15 @@ class LibrarySpec extends SparkSpec {
     assert(bucketed < plain, s"bucketed=$bucketed plain=$plain")
   }
 
+  test("job stats settle correctly for a >1000-task job") {
+    // Regression: the settle loop must bound ITERATIONS, not the task count
+    // — a 1200-task job previously could snapshot before events drained.
+    val (_, stats) = graft.result.JobStats.measure(spark) {
+      spark.range(0, 2400, 1, 1200).count()
+    }
+    assert(stats.tasks >= 1200, s"expected all 1200 tasks counted, got ${stats.tasks}")
+  }
+
   test("pair-generation battery queries plan without cartesian products") {
     // The VERDICT-r2 scale-killers: these must stay equi-join-shaped. The
     // assertion is on the physical plan, so a regression to crossJoin (or a
