@@ -28,9 +28,11 @@ object Main {
     try args.toList match {
       case "register" :: name :: path :: gid :: ts :: Nil =>
         val ds = Catalog.register(spark, name, path, gid, ts)
+        val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
         println(s"""{"dataset": "${ds.name}", "rows": ${ds.numRows}, "groups": ${ds.numGroups}, """ +
           s""""minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp}, """ +
-          s""""columns": ${ds.columns.size}, "unsupported": ${ds.unsupportedColumns.size}}""")
+          s""""columns": ${ds.columns.size}, "unsupported": ${ds.unsupportedColumns.size}, """ +
+          s""""potentialCategoricals": [${cats.map("\"" + _ + "\"").mkString(", ")}]}""")
       case "run" :: path :: gid :: ts :: q :: Nil =>
         val json =
           if (q == "-") scala.io.Source.stdin.mkString

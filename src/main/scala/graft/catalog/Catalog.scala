@@ -35,6 +35,20 @@ object Catalog {
     case object Str    extends ColType
   }
 
+  /** Per-column registration attributes, mirroring the reference's
+    * DatasetColumnAttributes (frocket/common/dataset.py:110-131): numeric
+    * min/max for numeric columns; for string columns the unique-values
+    * ratio, categorical designation (ratio <= `categoricalRatio`) and the
+    * top-N values with their normalized share (>= `categoricalTopMinPct`,
+    * descending share — config keys dataset.categorical.* in the
+    * reference's config.py:46-49). */
+  final case class ColumnAttrs(
+      numericMin: Option[Double] = None,
+      numericMax: Option[Double] = None,
+      categorical: Boolean = false,
+      catUniqueRatio: Option[Double] = None,
+      catTopValues: Seq[(String, Double)] = Nil)
+
   final case class RegisteredDataset(
       name: String,
       basepath: String,
@@ -46,7 +60,9 @@ object Catalog {
       maxTimestamp: Double,
       numGroups: Long,
       numRows: Long,
-      registeredAt: Long)
+      registeredAt: Long,
+      columnAttrs: Map[String, ColumnAttrs] = Map.empty,
+      dtypeNames: Map[String, String] = Map.empty)
 
   final case class RegistrationException(msg: String) extends RuntimeException(msg)
 
@@ -65,7 +81,10 @@ object Catalog {
   }
 
   def register(spark: SparkSession, name: String, basepath: String,
-               groupIdColumn: String, timestampColumn: String): RegisteredDataset = {
+               groupIdColumn: String, timestampColumn: String,
+               categoricalRatio: Double = 0.1,
+               categoricalTopCount: Int = 20,
+               categoricalTopMinPct: Double = 0.01): RegisteredDataset = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(basepath)
     val schema = df.schema
@@ -91,8 +110,18 @@ object Catalog {
     val columns = classified.collect { case (n, Some(t)) => n -> t }.toMap
     val unsupported = classified.collect { case (n, None) => n }.toSeq
 
-    // One distributed pass for stats + null validation.
-    val stats = df.agg(
+    // One distributed pass for stats + null validation + per-column
+    // attributes: numeric min/max and, for string columns, the approximate
+    // distinct count for the unique-values ratio (HyperLogLog++ partials
+    // merge map-side — exact count_distinct per column would add one
+    // expand+shuffle each, which doesn't survive a wide schema at 100 TB;
+    // the reference itself reads only a sample, so approx on FULL data is
+    // strictly more faithful).
+    val numericCols = columns.collect {
+      case (n, t) if (t == ColType.Int || t == ColType.Float) && n != timestampColumn => n
+    }.toSeq.sorted
+    val stringCols = columns.collect { case (n, ColType.Str) => n }.toSeq.sorted
+    val baseAggs = Seq(
       min(col(timestampColumn).cast("double")).as("min_ts"),
       max(col(timestampColumn).cast("double")).as("max_ts"),
       count_distinct(col(groupIdColumn)).as("n_groups"),
@@ -100,29 +129,81 @@ object Catalog {
       sum(when(col(groupIdColumn).isNull, 1L).otherwise(0L)).as("null_gids"),
       sum(when(col(timestampColumn).isNull ||
                col(timestampColumn).cast("double").isNaN, 1L).otherwise(0L)).as("bad_ts"))
-      .collect()(0)
+    val colAggs =
+      numericCols.flatMap(n => Seq(
+        min(col(n).cast("double")).as(s"__min_$n"),
+        max(col(n).cast("double")).as(s"__max_$n"))) ++
+      stringCols.map(n => approx_count_distinct(col(n)).as(s"__acd_$n"))
+    val allAggs = baseAggs ++ colAggs
+    val stats = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
     if (stats.getAs[Long]("null_gids") > 0)
       throw RegistrationException(s"Group id column '$groupIdColumn' contains nulls")
     if (stats.getAs[Long]("bad_ts") > 0)
       throw RegistrationException(s"Timestamp column '$timestampColumn' contains nulls/NaNs")
+    val nRows = stats.getAs[Long]("n_rows")
+
+    val numericAttrs = numericCols.map { n =>
+      n -> ColumnAttrs(
+        numericMin = Option(stats.getAs[Double](s"__min_$n")),
+        numericMax = Option(stats.getAs[Double](s"__max_$n")))
+    }
+    // String columns: categorical iff unique-ratio <= categoricalRatio
+    // (registration_task_runner.py:176-203); top values as normalized
+    // shares, one small top-K job per categorical column (registration-time
+    // only — TakeOrderedAndProject after partial aggregation, no full sort).
+    val stringAttrs = stringCols.map { n =>
+      val ratio =
+        if (nRows == 0) 1.0
+        else stats.getAs[Long](s"__acd_$n").toDouble / nRows
+      if (ratio <= categoricalRatio) {
+        val top =
+          if (categoricalTopCount == 0) Nil
+          else df.groupBy(col(n)).agg(count(lit(1)).as("__c"))
+            .where(col(n).isNotNull)
+            .orderBy(desc("__c"), asc(n))
+            .limit(categoricalTopCount)
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1).toDouble / nRows)
+            .filter(_._2 >= categoricalTopMinPct)
+            .toSeq
+        n -> ColumnAttrs(categorical = true, catUniqueRatio = Some(ratio),
+          catTopValues = top)
+      } else n -> ColumnAttrs(categorical = false, catUniqueRatio = Some(ratio))
+    }
 
     val ds = RegisteredDataset(name, basepath, groupIdColumn, timestampColumn,
       columns, unsupported,
       stats.getAs[Double]("min_ts"), stats.getAs[Double]("max_ts"),
-      stats.getAs[Long]("n_groups"), stats.getAs[Long]("n_rows"),
-      System.currentTimeMillis())
+      stats.getAs[Long]("n_groups"), nRows,
+      System.currentTimeMillis(),
+      columnAttrs = (numericAttrs ++ stringAttrs).toMap,
+      dtypeNames = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap)
     datasets.put(name, ds)
     ds
   }
 
+  private val lastUsedAt = new ConcurrentHashMap[String, java.lang.Long]()
+
   def get(name: String): Option[RegisteredDataset] = Option(datasets.get(name))
-  def unregister(name: String): Unit = datasets.remove(name)
+
+  /** Remove a dataset; returns whether it was registered. */
+  def unregister(name: String): Boolean = {
+    lastUsedAt.remove(name)
+    datasets.remove(name) != null
+  }
+
+  /** Epoch-millis of the dataset's last query, if any (reference
+    * datastore.last_used — feeds the unregister safety interval). */
+  def lastUsed(name: String): Option[Long] =
+    Option(lastUsedAt.get(name)).map(_.longValue)
+
   def list(): Seq[RegisteredDataset] =
     { import scala.jdk.CollectionConverters._; datasets.values.asScala.toSeq }
 
-  /** Load a registered dataset as a DataFrame. */
+  /** Load a registered dataset as a DataFrame (marks it used). */
   def load(spark: SparkSession, name: String): DataFrame = {
     val ds = get(name).getOrElse(throw RegistrationException(s"Unknown dataset '$name'"))
+    lastUsedAt.put(name, System.currentTimeMillis())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(ds.basepath)
   }

@@ -2,6 +2,8 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
@@ -15,15 +17,25 @@ import graft.result.{JobStats, ResultJson}
  * HTTP API front — parity with the reference's Flask apiserver
  * (frocket/apiserver.py), on the JDK's built-in HttpServer (zero deps):
  *
- *   POST /datasets/register        {"name","basepath","groupIdColumn","timestampColumn"}
- *   GET  /datasets                 list registered datasets
- *   POST /datasets/<name>/query    JSON query body → reference-shaped result
+ *   POST /datasets/register              {"name","basepath","groupIdColumn","timestampColumn"}
+ *   GET  /datasets                       list registered datasets
+ *   POST /datasets/<name>/unregister     ?force=true overrides the last-used safety interval
+ *   GET  /datasets/<name>/schema         ?full=true for per-column attributes
+ *   GET  /datasets/<name>/parts          file listing (naming method LIST)
+ *   GET  /datasets/<name>/empty-query    basic group/row stats (empty query, GET)
+ *   POST /datasets/<name>/query          JSON query body → reference-shaped result
+ *        ?stream=true                    chunked: progress lines, then the result
+ *        ?async=true                     → {"queryId"}; poll GET /queries/<id>/status
+ *   GET  /queries/<id>/status            {"stage","done",...,"result"? }
  *
  * Errors return the reference's shape: {"errorMessage": ...} with 400 for
  * validation failures and 500 otherwise (apiserver.py error handling).
  * The Spark driver hosts the server; queries run as ordinary Spark jobs.
+ * At 100 TB a query takes minutes — `stream`/`async` are how clients
+ * actually call this (the reference's run_streamable, apiserver.py:125-172);
+ * the sync path stays for small interactive queries.
  */
-final class ApiServer(spark: SparkSession, port: Int) {
+final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -31,20 +43,38 @@ final class ApiServer(spark: SparkSession, port: Int) {
 
   def start(): Unit = {
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null) // single-threaded: Spark driver serializes queries anyway
+    server.createContext("/queries", (ex: HttpExchange) => handle(ex))
+    // Two worker threads: one can poll /queries status while a query runs.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
     server.start()
   }
 
   def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------ async jobs
+
+  private final case class AsyncJob(
+      id: String, dataset: String,
+      @volatile var stage: String,
+      @volatile var result: Option[String] = None,
+      @volatile var error: Option[String] = None)
+
+  private val jobs = new ConcurrentHashMap[String, AsyncJob]()
+  private val jobSeq = new AtomicLong()
 
   private def handle(ex: HttpExchange): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
       (method, path.split("/").toList.filter(_.nonEmpty)) match {
-        case ("POST", List("datasets", "register")) => register(ex)
-        case ("GET",  List("datasets"))             => list(ex)
-        case ("POST", List("datasets", name, "query")) => query(ex, name)
+        case ("POST", List("datasets", "register"))         => register(ex)
+        case ("GET",  List("datasets"))                     => list(ex)
+        case ("POST", List("datasets", name, "unregister")) => unregister(ex, name)
+        case ("GET",  List("datasets", name, "schema"))     => schema(ex, name)
+        case ("GET",  List("datasets", name, "parts"))      => parts(ex, name)
+        case ("GET",  List("datasets", name, "empty-query")) => query(ex, name, emptyBody = true)
+        case ("POST", List("datasets", name, "query"))      => query(ex, name, emptyBody = false)
+        case ("GET",  List("queries", id, "status"))        => queryStatus(ex, id)
         case _ => respond(ex, 404, """{"errorMessage": "not found"}""")
       }
     } catch {
@@ -58,6 +88,17 @@ final class ApiServer(spark: SparkSession, port: Int) {
         respond(ex, 500, s"""{"errorMessage": ${q(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
 
+  private def arg(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name => v }
+
+  private def boolArg(ex: HttpExchange, name: String): Boolean =
+    arg(ex, name).exists(_.trim.equalsIgnoreCase("true"))
+
+  // ---------------------------------------------------------------- routes
+
   private def register(ex: HttpExchange): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -68,9 +109,11 @@ final class ApiServer(spark: SparkSession, port: Int) {
     }
     val ds = Catalog.register(spark, str("name"), str("basepath"),
       str("groupIdColumn"), str("timestampColumn"))
+    val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
     respond(ex, 200,
       s"""{"dataset": ${q(ds.name)}, "rows": ${ds.numRows}, "groups": ${ds.numGroups},
          | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
+         | "potentialCategoricals": [${cats.map(q).mkString(", ")}],
          | "unsupportedColumns": [${ds.unsupportedColumns.map(q).mkString(", ")}]}""".stripMargin)
   }
 
@@ -81,18 +124,156 @@ final class ApiServer(spark: SparkSession, port: Int) {
     respond(ex, 200, s"""{"datasets": [${items.mkString(", ")}]}""")
   }
 
-  private def query(ex: HttpExchange, name: String): Unit = {
+  private def unregister(ex: HttpExchange, name: String): Unit =
+    Catalog.get(name) match {
+      case None =>
+        respond(ex, 200, """{"success": true, "datasetFound": false, "datasetLastUsed": null}""")
+      case Some(_) =>
+        val lastUsed = Catalog.lastUsed(name)
+        val sinceSec = lastUsed.map(t => (System.currentTimeMillis() - t) / 1000)
+        val blocked = sinceSec.exists(_ < unregisterSafetySec) && !boolArg(ex, "force")
+        if (blocked)
+          // Reference invoker_api.unregister_dataset: refuse within the
+          // safety interval unless forced (success=false, not an HTTP error).
+          respond(ex, 200,
+            s"""{"success": false, "datasetFound": true, "datasetLastUsed": ${lastUsed.get},
+               | "errorMessage": "Dataset was last used ${sinceSec.get} seconds ago, which is less than safety interval $unregisterSafetySec. Use the 'force' parameter to unregister anyway."}""".stripMargin)
+        else {
+          Catalog.unregister(name)
+          respond(ex, 200,
+            s"""{"success": true, "datasetFound": true, "datasetLastUsed": ${lastUsed.map(_.toString).getOrElse("null")}}""")
+        }
+    }
+
+  private def schema(ex: HttpExchange, name: String): Unit = {
     val ds = Catalog.get(name).getOrElse(
       throw QueryValidationException("schema", s"Unknown dataset '$name'"))
-    val parsed = QueryParser.parse(readBody(ex))
+    if (!boolArg(ex, "full")) {
+      // Short schema (reference DatasetShortSchema, dataset.py:142-150).
+      // Parquet/Spark has no pandas "category" dtype, so sourceCategoricals
+      // is always empty; registration-detected ones are potential.
+      val cols = ds.columns.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"${q(n)}: ${q(t.toString.toUpperCase)}" }
+      val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
+      respond(ex, 200,
+        s"""{"columns": {${cols.mkString(", ")}},
+           | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
+           | "sourceCategoricals": [], "potentialCategoricals": [${cats.map(q).mkString(", ")}]}""".stripMargin)
+    } else {
+      // Full schema (reference DatasetSchema: per-column DatasetColumn with
+      // dtype name + attributes from registration).
+      val cols = ds.columns.toSeq.sortBy(_._1).map { case (n, t) =>
+        val a = ds.columnAttrs.getOrElse(n, Catalog.ColumnAttrs())
+        val attrs = Seq(
+          a.numericMin.map(v => s""""numericMin": $v"""),
+          a.numericMax.map(v => s""""numericMax": $v"""),
+          Some(s""""categorical": ${a.categorical}"""),
+          a.catUniqueRatio.map(v => s""""catUniqueRatio": $v"""),
+          if (a.catTopValues.nonEmpty)
+            Some(s""""catTopValues": {${a.catTopValues.map { case (v, r) => s"${q(v)}: $r" }.mkString(", ")}}""")
+          else None
+        ).flatten.mkString(", ")
+        s"""${q(n)}: {"name": ${q(n)}, "dtypeName": ${q(ds.dtypeNames.getOrElse(n, ""))}, "coltype": ${q(t.toString.toUpperCase)}, "colattrs": {$attrs}}"""
+      }
+      val unsup = ds.unsupportedColumns.sorted
+        .map(n => s"${q(n)}: ${q(ds.dtypeNames.getOrElse(n, ""))}")
+      respond(ex, 200,
+        s"""{"groupIdColumn": ${q(ds.groupIdColumn)}, "timestampColumn": ${q(ds.timestampColumn)},
+           | "columns": {${cols.mkString(", ")}},
+           | "unsupportedColumns": {${unsup.mkString(", ")}}}""".stripMargin)
+    }
+  }
+
+  private def parts(ex: HttpExchange, name: String): Unit = {
+    val ds = Catalog.get(name).getOrElse(
+      throw QueryValidationException("schema", s"Unknown dataset '$name'"))
+    // Hadoop FS listing — works for local paths and s3a alike (reference
+    // DatasetPartsInfo with naming method LIST, dataset.py:81-96).
+    val path = new org.apache.hadoop.fs.Path(ds.basepath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (!base.startsWith("_") && !base.startsWith("."))
+        files += ((f.getPath.toUri.getPath, f.getLen))
+    }
+    val sorted = files.sortBy(_._1)
+    respond(ex, 200,
+      s"""{"namingMethod": "LIST", "totalParts": ${sorted.size},
+         | "totalSize": ${sorted.map(_._2).sum},
+         | "filenames": [${sorted.map(f => q(f._1)).mkString(", ")}]}""".stripMargin)
+  }
+
+  /** Plan + execute a query; `emptyBody` serves GET empty-query. */
+  private def query(ex: HttpExchange, name: String, emptyBody: Boolean): Unit = {
+    val ds = Catalog.get(name).getOrElse(
+      throw QueryValidationException("schema", s"Unknown dataset '$name'"))
+    val bodyText = if (emptyBody) "{}" else readBody(ex)
+    val parsed = QueryParser.parse(bodyText)
     SchemaValidator.validateTimeframeScale(parsed, ds.minTimestamp, ds.maxTimestamp)
     val df = Catalog.load(spark, name)
     val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn))
-    val (body, stats) = try JobStats.measure(spark) {
-      ResultJson.build(engine.runValidated(df, parsed))
-    } finally graft.util.Caches.drain() // no cache build-up in a long-lived server
-    respond(ex, 200, body.dropRight(1) + s""", "stats": ${stats.toJson}}""")
+
+    def execute(): String = {
+      val (body, stats) = try JobStats.measure(spark) {
+        ResultJson.build(engine.runValidated(df, parsed))
+      } finally graft.util.Caches.drain() // no cache build-up in a long-lived server
+      body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
+    }
+
+    if (boolArg(ex, "async")) {
+      val id = s"q${jobSeq.incrementAndGet()}"
+      val job = AsyncJob(id, name, stage = "RUNNING")
+      jobs.put(id, job)
+      new Thread(() => {
+        try { job.result = Some(execute()); job.stage = "DONE" }
+        catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
+      }, s"graft-query-$id").start()
+      respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
+    } else if (boolArg(ex, "stream")) {
+      // Chunked response: progress lines while the query runs, then the
+      // result as the last line (reference run_streamable, apiserver.py:125-172).
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0) // length 0 → chunked
+      val out = ex.getResponseBody
+      val done = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, String]]()
+      val t = new Thread(() => {
+        try done.set(Right(execute()))
+        catch { case e: Throwable => done.set(Left(e)) }
+      }, "graft-query-stream")
+      t.start()
+      var waited = 0L
+      while (done.get() == null) {
+        Thread.sleep(200)
+        waited += 200
+        if (waited % 1000 == 0) {
+          out.write(s"""{"stage": "RUNNING", "message": "query running", "elapsedMs": $waited}\n"""
+            .getBytes(StandardCharsets.UTF_8))
+          out.flush()
+        }
+      }
+      val last = done.get() match {
+        case Right(bodyJson) => bodyJson
+        case Left(e)         => s"""{"errorMessage": ${q(String.valueOf(e.getMessage))}}"""
+      }
+      out.write((last + "\n").getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    } else respond(ex, 200, execute())
   }
+
+  private def queryStatus(ex: HttpExchange, id: String): Unit =
+    Option(jobs.get(id)) match {
+      case None => respond(ex, 404, s"""{"errorMessage": "unknown query '$id'"}""")
+      case Some(job) =>
+        val result = job.result.map(r => s""", "result": $r""").getOrElse("")
+        val error = job.error.map(e => s""", "errorMessage": ${q(e)}""").getOrElse("")
+        respond(ex, 200,
+          s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": ${job.stage != "RUNNING"}$error$result}""")
+    }
+
+  // ----------------------------------------------------------------- plumbing
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -127,7 +308,8 @@ object ApiServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = new ApiServer(spark, port)
+    val srv = new ApiServer(spark, port,
+      unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt)
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

@@ -58,4 +58,115 @@ class ApiServerSpec extends SparkSpec {
     // unknown route → 404
     assert(get("/datasets/ev/bogus/deeper").statusCode() == 404)
   }
+
+  test("schema routes: short lists categoricals, full carries attributes") {
+    post("/datasets/register",
+      """{"name": "ev2", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+
+    val short = get("/datasets/ev2/schema")
+    assert(short.statusCode() == 200, short.body())
+    assert(short.body().contains(""""event_type": "STR""""), short.body())
+    // event_type has few distinct values over 1000 rows → categorical
+    assert(short.body().contains(""""potentialCategoricals": ["event_type""""), short.body())
+    assert(short.body().contains(""""sourceCategoricals": []"""))
+
+    val full = get("/datasets/ev2/schema?full=true")
+    assert(full.statusCode() == 200, full.body())
+    assert(full.body().contains(""""groupIdColumn": "user_id""""))
+    assert(full.body().contains(""""categorical": true"""), full.body())
+    assert(full.body().contains(""""catUniqueRatio""""), full.body())
+    assert(full.body().contains(""""catTopValues""""), full.body())
+    assert(full.body().contains(""""purchase""""), full.body()) // a top value
+    assert(full.body().contains(""""numericMin""""), full.body()) // numeric attrs
+  }
+
+  test("parts route lists dataset files with sizes") {
+    post("/datasets/register",
+      """{"name": "ev3", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    val parts = get("/datasets/ev3/parts")
+    assert(parts.statusCode() == 200, parts.body())
+    assert(parts.body().contains(""""namingMethod": "LIST""""))
+    assert(parts.body().contains(""""totalParts": 1"""))
+    assert(parts.body().contains("events.parquet"))
+  }
+
+  test("empty-query GET returns group/row stats") {
+    post("/datasets/register",
+      """{"name": "ev4", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    val eq = get("/datasets/ev4/empty-query")
+    assert(eq.statusCode() == 200, eq.body())
+    assert(eq.body().contains(""""matchingGroups": 15"""))
+    assert(eq.body().contains(""""matchingGroupRows": 1000"""))
+  }
+
+  test("async query: 202 + status polling to completion") {
+    post("/datasets/register",
+      """{"name": "ev5", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    val sub = post("/datasets/ev5/query?async=true", """{"query": {}}""")
+    assert(sub.statusCode() == 202, sub.body())
+    val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+    var status = ""
+    val deadline = System.currentTimeMillis() + 60000
+    while (!status.contains(""""done": true""") && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      status = get(s"/queries/$id/status").body()
+    }
+    assert(status.contains(""""stage": "DONE""""), status)
+    assert(status.contains(""""matchingGroups": 15"""), status)
+    // unknown id → 404
+    assert(get("/queries/zzz/status").statusCode() == 404)
+  }
+
+  test("streamed query emits progress chunks then the result") {
+    post("/datasets/register",
+      """{"name": "ev6", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    val res = post("/datasets/ev6/query?stream=true", """{"query": {}}""")
+    assert(res.statusCode() == 200, res.body())
+    val lines = res.body().split("\n").filter(_.nonEmpty)
+    // last line is the result; earlier lines (if the query ran >1s) are progress
+    assert(lines.last.contains(""""matchingGroups": 15"""), res.body())
+    assert(lines.init.forall(_.contains(""""stage": "RUNNING"""")), res.body())
+  }
+
+  test("unregister honors the safety interval and force flag") {
+    // dedicated server with a large safety interval
+    val s2 = new ApiServer(spark, 0, unregisterSafetySec = 3600)
+    s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}"
+      def post2(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b2 + path))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"query": {}}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      client.send(HttpRequest.newBuilder(URI.create(b2 + "/datasets/register"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name": "ev7", "basepath": "/root/testdata/sf0.001/events.parquet",
+            | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // not yet used → unregisters cleanly; then re-register and use it
+      val clean = post2("/datasets/ev7/unregister")
+      assert(clean.body().contains(""""success": true"""), clean.body())
+      client.send(HttpRequest.newBuilder(URI.create(b2 + "/datasets/register"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name": "ev7", "basepath": "/root/testdata/sf0.001/events.parquet",
+            | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      post2("/datasets/ev7/query") // marks last-used
+
+      val blocked = post2("/datasets/ev7/unregister")
+      assert(blocked.body().contains(""""success": false"""), blocked.body())
+      assert(blocked.body().contains("safety interval"), blocked.body())
+      val forced = post2("/datasets/ev7/unregister?force=true")
+      assert(forced.body().contains(""""success": true"""), forced.body())
+      // gone now
+      val again = post2("/datasets/ev7/unregister")
+      assert(again.body().contains(""""datasetFound": false"""), again.body())
+    } finally s2.stop()
+  }
 }

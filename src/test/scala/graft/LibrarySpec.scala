@@ -61,6 +61,35 @@ class LibrarySpec extends SparkSpec {
     }
   }
 
+  test("catalog: categorical + numeric column attributes on a known fixture") {
+    val dir = tmpDir("catstats")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("color", StringType), StructField("token", StringType),
+      StructField("price", DoubleType)))
+    // color: 3 distinct over 100 rows (ratio 0.03 → categorical; a=50%,
+    // b=30%, c=20%); token: 100 distinct (ratio 1.0 → not categorical)
+    frame(schema, (0 until 100).map { i =>
+      val color = if (i < 50) "a" else if (i < 80) "b" else "c"
+      Map[String, Any]("uid" -> i.toLong, "ts" -> (1000L + i), "color" -> color,
+        "token" -> s"t$i", "price" -> (i * 1.5))
+    }).write.mode("overwrite").parquet(dir)
+
+    val ds = Catalog.register(spark, "catstats", dir, "uid", "ts")
+    val color = ds.columnAttrs("color")
+    assert(color.categorical, s"color should be categorical: $color")
+    // approx_count_distinct is exact at this tiny cardinality
+    assert(color.catUniqueRatio.contains(0.03))
+    assert(color.catTopValues == Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val token = ds.columnAttrs("token")
+    assert(!token.categorical && token.catUniqueRatio.exists(_ > 0.9))
+    assert(token.catTopValues.isEmpty)
+    val price = ds.columnAttrs("price")
+    assert(price.numericMin.contains(0.0) && price.numericMax.contains(148.5))
+    // the timestamp column's range is already the dataset min/max timestamp
+    assert(!ds.columnAttrs.contains("ts"))
+  }
+
   test("grouped writer: every group lands in exactly one file") {
     val dir = tmpDir("gw")
     val schema = StructType(Seq(StructField("uid", LongType), StructField("v", LongType)))
