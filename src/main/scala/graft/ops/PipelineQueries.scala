@@ -104,12 +104,16 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // REAL codec round-trip: render a deterministic PNG per document, then
+    // decode it with javax.imageio; the oracle recomputes the expected
+    // dimensions + pixel statistics symbolically (no codec needed).
     "mm_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(docs(s, dir), "doc_id", "text").toDF()
+      Multimodal.decodeFeatures(
+        Multimodal.encodePayloads(docs(s, dir), "doc_id"), "doc_id", "payload").toDF()
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"),
+          col("n_px"), col("sum_gray"),
           col("f0").cast("long").as("f0"), col("f1").cast("long").as("f1"),
           col("f2").cast("long").as("f2"), col("f3").cast("long").as("f3")))
   )
@@ -266,15 +270,21 @@ object PipelineQueries {
         |           WHERE i <= greatest(len(text) - 7, 1))
         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
 
+    // Symbolic mirror of the PNG round-trip: geometry 4+id%13 × 3+id%11,
+    // pixel(idx) = (id*37 + idx*101) % 256 (Multimodal.pixel). The Spark
+    // side runs a real ImageIO decode; equality certifies the codec path.
     "mm_features" ->
-      """SELECT doc_id,
-        |  CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
-        |  CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
-        |  CAST(1 + strlen(text) % 8 AS BIGINT) AS n_frames,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS f0,
-        |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS f1,
-        |  CAST(ascii(substr(text, 3, 1)) AS BIGINT) AS f2,
-        |  CAST(ascii(substr(text, 4, 1)) AS BIGINT) AS f3
-        |FROM documents""".stripMargin
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, i, (doc_id * 37 + i * 101) % 256 AS p
+        |       FROM d, generate_series(0, 250) t(i) WHERE i < w * h)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px, CAST(sum(p) AS BIGINT) AS sum_gray,
+        |  CAST(max(CASE WHEN i = 0 THEN p END) AS BIGINT) AS f0,
+        |  CAST(max(CASE WHEN i = 1 THEN p END) AS BIGINT) AS f1,
+        |  CAST(max(CASE WHEN i = 2 THEN p END) AS BIGINT) AS f2,
+        |  CAST(max(CASE WHEN i = 3 THEN p END) AS BIGINT) AS f3
+        |FROM px GROUP BY doc_id, w, h""".stripMargin
   )
 }

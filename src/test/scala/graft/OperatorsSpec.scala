@@ -324,9 +324,22 @@ class OperatorsSpec extends SparkSpec {
     graft.util.Caches.drain()
   }
 
-  test("multimodal decode stub emits deterministic metadata") {
-    val d = docs((1L, "abcd"))
-    val r = graft.operators.Multimodal.decodeFeatures(d, "doc_id", "text").collect()(0)
-    assert(r.width == 64 + 4 % 512 && r.f0 == 'a'.toInt && r.f3 == 'd'.toInt)
+  test("multimodal: real PNG encode/decode round-trip recovers exact pixels") {
+    import graft.operators.Multimodal
+    // the payload is a genuine PNG (signature bytes 89 50 4E 47)
+    val png = Multimodal.syntheticPng(7L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+
+    val d = docs((7L, "unused"), (20L, "unused"))
+    val got = Multimodal.decodeFeatures(
+      Multimodal.encodePayloads(d, "doc_id"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(7L, 20L)) {
+      val (w, h) = Multimodal.dims(id)
+      val m = got(id)
+      assert(m.width == w && m.height == h && m.n_px == w.toLong * h)
+      assert(m.sum_gray == (0 until w * h).map(Multimodal.pixel(id, _)).map(_.toLong).sum)
+      assert(m.f0 == Multimodal.pixel(id, 0) && m.f3 == Multimodal.pixel(id, 3))
+    }
   }
 }
