@@ -93,17 +93,37 @@ object Ann {
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
-  /** Add an LSH bucket column: `nBits` sign bits of dot(v, hyperplane_b). */
-  def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, nBits: Int, seed: Int = 42): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val bucket = (0 until nBits).map { b =>
+  /** Expression computing the `nBits`-bit sign-LSH bucket of `vecCol`. */
+  private def bucketCol(vecCol: String, dim: Int, nBits: Int,
+                        seed: Int): org.apache.spark.sql.Column =
+    (0 until nBits).map { b =>
       val w = (0 until dim).map(i => planeWeight(seed, b, i))
       val warr = w.mkString("array(", "D, ", "D)")
       when(expr(s"vec_dot($vecCol, CAST($warr AS ARRAY<FLOAT>))") > 0,
         1L << b).otherwise(0L)
     }.reduce(_ + _)
-    emb.withColumn("bucket", bucket)
+
+  /** Add an LSH bucket column: `nBits` sign bits of dot(v, hyperplane_b). */
+  def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nBits: Int, seed: Int = 42): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.withColumn("bucket", bucketCol(vecCol, dim, nBits, seed))
+  }
+
+  /** Sorted (distance, cell) structs for the `nProbes` nearest centroids of
+    * the vector in `vecCol` — squared euclidean = ||v||² - 2·v·c + ||c||²,
+    * computed with the codegen'd vec expressions, ties to lowest cell id. */
+  private def probeCellsCol(vecCol: String, centroids: Array[Array[Double]],
+                            nProbes: Int): org.apache.spark.sql.Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val carr = c.mkString("array(", "D, ", "D)")
+      val cn = c.map(x => x * x).sum
+      struct(
+        (expr(s"vec_norm($vecCol)") * expr(s"vec_norm($vecCol)") -
+          lit(2.0) * expr(s"vec_dot($vecCol, CAST($carr AS ARRAY<FLOAT>))") + lit(cn)).as("d"),
+        lit(i).as("cell"))
+    }
+    slice(array_sort(array(dists: _*)), 1, nProbes)
   }
 
   /** IVF (inverted-file) cell assignment: Lloyd's k-means over the corpus,
@@ -120,19 +140,8 @@ object Ann {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def assignCol: org.apache.spark.sql.Column = {
-      // nearest centroid by squared euclidean = ||v||^2 - 2 v.c + ||c||^2
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val carr = c.mkString("array(", "D, ", "D)")
-        val cn = c.map(x => x * x).sum
-        struct(
-          (expr("vec_norm(__v)") * expr("vec_norm(__v)") -
-            lit(2.0) * expr(s"vec_dot(__v, CAST($carr AS ARRAY<FLOAT>))") + lit(cn)).as("d"),
-          lit(i).as("cell"))
-      }
-      // least struct = smallest distance, ties to lowest cell id
-      least(dists: _*).getField("cell")
-    }
+    def assignCol: org.apache.spark.sql.Column =
+      probeCellsCol("__v", centroids, 1).getItem(0).getField("cell")
 
     val base = corpus.withColumn("__v", col(vecCol))
     for (_ <- 0 until iters) {
@@ -149,22 +158,94 @@ object Ann {
     (base.withColumn("cell", assignCol).drop("__v"), centroids)
   }
 
-  /** IVF approximate top-k: rank by cosine only within the query's cell.
-    * Recall < 1 by design (single-probe); increase recall by probing
-    * neighboring cells (multi-probe) — out of scope here. */
+  /** IVF approximate top-k: rank by cosine within the query's `nProbes`
+    * nearest cells (multi-probe raises recall at nProbes × the candidate
+    * volume; corpus vectors stay single-cell — only queries fan out). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, nCells: Int, iters: Int,
-              k: Int): DataFrame = {
-    val (assigned, _) = ivfAssign(corpus, idCol, vecCol, dim, nCells, iters)
+              k: Int, nProbes: Int = 1): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, idCol, vecCol, dim, nCells, iters)
     val cb = assigned
       .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cell"))
       .withColumn("nn", expr("vec_norm(nv)"))
-    // queries are assigned with the same (final) centroids via a self-join
-    // on id — they are corpus members in this API.
-    val qb = cb.select(col("nid").as("qid"), col("nv").as("qv"),
-      col("cell"), col("nn").as("qn"))
-    val scored = cb.join(broadcast(qb.join(
-        broadcast(queries.select(col(idCol).as("qid"))), Seq("qid"))), Seq("cell"))
+    // queries re-derive their probe cells from the final centroids; the
+    // explode fans each query out to its nProbes cells for the equi-join.
+    val qb = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", expr("vec_norm(qv)"))
+      .withColumn("cell",
+        explode(probeCellsCol("qv", centroids, nProbes).getField("cell")))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", expr("vec_dot(qv, nv)") / (col("qn") * col("nn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
+  }
+
+  /** Multi-probe sign-LSH top-k (the probing-sequence idea of Lv et al.,
+    * VLDB'07): corpus vectors are bucketed once by [[signLshBuckets]]; each
+    * query probes its own bucket PLUS every combination of flipping its
+    * `nFlipBits` lowest-|margin| hyperplane bits — the bits most likely to
+    * disagree for a true neighbor. 2^nFlipBits probe buckets per query ≈
+    * 2^nFlipBits/2^nBits of the corpus scanned: recall rises steeply with
+    * nFlipBits while staying sub-linear. Probe generation runs as a typed
+    * mapPartitions on the (small) query side only — the Scala dot loop
+    * reproduces the expression-side arithmetic exactly (same accumulation
+    * order, float→double widening), so buckets agree with the corpus pass. */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, nBits: Int, k: Int,
+                        nFlipBits: Int = 4, nTables: Int = 4,
+                        seed: Int = 42): DataFrame = {
+    require(nFlipBits <= nBits, "cannot flip more bits than the bucket has")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // Corpus pass: one (nid, tbl, bucket) row per table — buckets only, the
+    // vectors aren't duplicated across tables (joined back after dedup).
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"), bucketCol(vecCol, dim, nBits, seed + t).as("bucket"))
+    }
+    val cb = corpus
+      .select(col(idCol).as("nid"), explode(array(tables: _*)).as("tb"))
+      .select(col("nid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, nBits, dim)(
+      (t, b, i) => planeWeight(seed + t, b, i))
+    val probes = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.flatMap { case (qid, v) =>
+        (0 until nTables).flatMap { t =>
+          val dots = planes(t).map { w =>
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, w.length)
+            while (i < n) { s += v(i).toDouble * w(i); i += 1 }
+            s
+          }
+          val bucket = dots.zipWithIndex.map { case (d, b) => if (d > 0) 1L << b else 0L }.sum
+          val flip = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+            .take(nFlipBits).map(_._2)
+          (0 until (1 << nFlipBits)).map { m =>
+            var p = bucket
+            var j = 0
+            while (j < nFlipBits) { if (((m >> j) & 1) == 1) p ^= 1L << flip(j); j += 1 }
+            (qid, t, p)
+          }.distinct
+        }
+      })
+      .toDF("qid", "tbl", "bucket")
+    // candidates can repeat across tables → dedup before scoring
+    val cand = cb.join(broadcast(probes), Seq("tbl", "bucket"))
+      .select(col("qid"), col("nid")).distinct()
+    val nvs = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", expr("vec_norm(nv)"))
+    val qb = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", expr("vec_norm(qv)"))
+    val scored = cand.join(nvs, Seq("nid"))
+      .join(broadcast(qb), Seq("qid"))
       .where(col("qid") =!= col("nid"))
       .withColumn("cos", expr("vec_dot(qv, nv)") / (col("qn") * col("nn")))
     scored

@@ -324,6 +324,32 @@ class OperatorsSpec extends SparkSpec {
     graft.util.Caches.drain()
   }
 
+  test("multi-probe LSH and 2-probe IVF reach target recall at sf0.01") {
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = e.where(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteForceTopK(e, qs, "vec_id", "embedding", 5))
+
+    val single = pairs(Ann.lshTopK(e, qs, "vec_id", "embedding", dim = 64, nBits = 8, k = 5))
+    val multi = pairs(Ann.multiProbeLshTopK(e, qs, "vec_id", "embedding",
+      dim = 64, nBits = 8, k = 5, nFlipBits = 5, nTables = 4))
+    val sRecall = (single & brute).size.toDouble / brute.size
+    val mRecall = (multi & brute).size.toDouble / brute.size
+    info(f"LSH recall: single-probe $sRecall%.2f, multi-probe $mRecall%.2f")
+    assert(mRecall >= 0.8, f"multi-probe recall $mRecall%.2f < 0.8")
+    assert(mRecall > sRecall, "multi-probe must beat single-probe")
+
+    val ivf1 = pairs(Ann.ivfTopK(e, qs, "vec_id", "embedding", 64, 8, 2, 5))
+    val ivf2 = pairs(Ann.ivfTopK(e, qs, "vec_id", "embedding", 64, 8, 2, 5, nProbes = 2))
+    val i1 = (ivf1 & brute).size.toDouble / brute.size
+    val i2 = (ivf2 & brute).size.toDouble / brute.size
+    info(f"IVF recall: 1-probe $i1%.2f, 2-probe $i2%.2f")
+    assert(i2 >= 0.9, f"2-probe IVF recall $i2%.2f < 0.9")
+    assert(i2 >= i1)
+  }
+
   test("multimodal: real PNG encode/decode round-trip recovers exact pixels") {
     import graft.operators.Multimodal
     // the payload is a genuine PNG (signature bytes 89 50 4E 47)
