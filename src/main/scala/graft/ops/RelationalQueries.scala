@@ -123,6 +123,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
 
+    // Reference S8 first half: CSV ingest (dataprep_example/
+    // ingest_retailrocket_dataset.py shape) — export the fact table to a
+    // real CSV fixture, read it back through spark.read.csv with an
+    // explicit schema (no inference job), cast, broadcast-join the parquet
+    // dim, aggregate. The oracle re-reads the SAME csv via DuckDB read_csv,
+    // so the whole parse→cast→join path is gate-checked.
+    "q_csv_ingest" -> ((s, dir) => {
+      val fixture = "/tmp/graft_csv_fixture/orders"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(fixture)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .csv(fixture)
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     "q_union" -> ((s, dir) =>
       t(s, dir, "customer").where(col("c_acctbal") > 9000)
         .select(col("c_custkey").as("key"))
@@ -216,6 +239,18 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    // Reads the same CSV fixture the Spark query exported (Verify runs the
+    // Spark side first, so the file exists when the oracle executes).
+    "q_csv_ingest" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM read_csv('/tmp/graft_csv_fixture/orders/*.csv', header=true,
+        |              types={'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+        |                     'o_totalprice': 'DOUBLE', 'o_orderpriority': 'VARCHAR'}) o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
 
     "q_union" ->
       """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
