@@ -30,10 +30,14 @@ object Bench {
       // timed run may legitimately reuse caches its own warmup populated
       // (same as any repeated production query).
       spark.catalog.clearCache()
+      // Force a collection between queries: in a ~150-execution JVM, one
+      // query's garbage otherwise lands as a multi-second GC pause inside a
+      // later query's timed run (measured 0.6s isolated vs 4s in-battery).
+      System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // Min of two timed runs: single-run times swing +-seconds from GC in a
-      // ~100-execution JVM; the min is the stable steady-state figure.
-      val times = (1 to 2).map { _ =>
+      // Min of three timed runs: single-run times swing +-seconds from GC
+      // in a ~150-execution JVM; the min is the stable steady-state figure.
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
