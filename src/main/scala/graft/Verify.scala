@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Queries that materialize side fixtures (q_csv_ingest) key their paths
+    // by SF-dir name; the dumped oracle SQL must reference the same paths,
+    // so record the name before queries run AND before oracleSql is built.
+    sys.props("graft.sfdir.name") = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -73,4 +73,26 @@ object TextAnalysis {
   def fingerprint(textCol: String, n: Int): Column =
     expr(s"array_min(transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
          s"i -> md5(substring($textCol, i, $n))))")
+
+  /** Token-window chunking with overlap — the standard training-data prep
+    * step that splits long documents into model-context-sized pieces.
+    * Chunk i covers tokens [i·stride, i·stride + chunkSize) with stride =
+    * chunkSize − overlap; the last chunk is short (never dropped), and a
+    * doc shorter than chunkSize yields exactly one chunk. Output: one row
+    * per chunk (doc_id, chunk_idx, chunk). Pure array expressions per
+    * document row — chunk generation never shuffles; at 100 TB this is a
+    * map-only stage that preserves the input partitioning. */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+             chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("__nc", greatest(lit(1),
+        expr(s"CAST((size(__toks) - $overlap + $stride - 1) DIV $stride AS INT)")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, __nc - 1), " +
+        s"i -> array_join(slice(__toks, i * $stride + 1, $chunkSize), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+  }
 }

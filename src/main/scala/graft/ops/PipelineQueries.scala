@@ -108,6 +108,14 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // Token-window chunking (32-token chunks, 8-token overlap): one row per
+    // chunk with its token count and content hash.
+    "tx_chunks" -> ((s, dir) =>
+      TextAnalysis.chunks(docs(s, dir), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_hash"))),
+
     // REAL codec round-trip: render a deterministic PNG per document, then
     // decode it with javax.imageio; the oracle recomputes the expected
     // dimensions + pixel statistics symbolically (no codec needed).
@@ -267,6 +275,19 @@ object PipelineQueries {
         |       WHEN contains(text, 'customer') THEN 'es'
         |       ELSE 'en' END AS lang_pred
         |FROM documents""".stripMargin,
+
+    // DuckDB list slicing is 1-based inclusive and clamps at the end, so
+    // toks[s : s+31] mirrors Spark's slice(toks, s, 32).
+    "tx_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t2 AS (SELECT doc_id, toks, greatest(1, (len(toks) - 8 + 24 - 1) // 24) AS nc FROM t),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
+        |      FROM t2, generate_series(0, 200) g(i) WHERE i < nc)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(chunk) AS chunk_hash
+        |FROM c""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH g AS (SELECT doc_id, md5(substr(text, i, 8)) AS h

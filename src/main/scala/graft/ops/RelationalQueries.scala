@@ -28,6 +28,12 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** CSV fixture location for q_csv_ingest, keyed by SF-dir name so runs at
+    * different scale factors (Verify at sf0.01, Bench at sf0.1) never
+    * clobber each other's fixture between dump and oracle compare. */
+  private[ops] def csvFixturePath(dir: String): String =
+    s"/tmp/graft_csv_fixture/${new java.io.File(dir).getName}/orders"
+
   /** sum(extendedprice*(1-discount)) with exact decimal arithmetic. */
   private val revenue =
     sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -130,7 +136,7 @@ object RelationalQueries {
     // dim, aggregate. The oracle re-reads the SAME csv via DuckDB read_csv,
     // so the whole parse→cast→join path is gate-checked.
     "q_csv_ingest" -> ((s, dir) => {
-      val fixture = "/tmp/graft_csv_fixture/orders"
+      val fixture = csvFixturePath(dir)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -167,7 +173,9 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("sum").cast("double").as("sum"), col("count")))
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: q_csv_ingest's SQL embeds the SF-keyed fixture path,
+  // resolved from the property Verify sets before dumping oracle_sql.json.
+  def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -243,14 +251,15 @@ object RelationalQueries {
     // Reads the same CSV fixture the Spark query exported (Verify runs the
     // Spark side first, so the file exists when the oracle executes).
     "q_csv_ingest" ->
-      """SELECT c.c_mktsegment AS segment,
-        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_orders
-        |FROM read_csv('/tmp/graft_csv_fixture/orders/*.csv', header=true,
-        |              types={'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
-        |                     'o_totalprice': 'DOUBLE', 'o_orderpriority': 'VARCHAR'}) o
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY c.c_mktsegment""".stripMargin,
+      s"""SELECT c.c_mktsegment AS segment,
+         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_orders
+         |FROM read_csv('/tmp/graft_csv_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/orders/*.csv',
+         |              header=true,
+         |              types={'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+         |                     'o_totalprice': 'DOUBLE', 'o_orderpriority': 'VARCHAR'}) o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment""".stripMargin,
 
     "q_union" ->
       """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000

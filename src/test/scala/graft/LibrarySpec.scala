@@ -197,6 +197,26 @@ class LibrarySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrences, drops watermark-window dupes") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("doc_id", "tsl", "text")
+      .withColumn("ts", timestamp_seconds(col("tsl")))
+    val out = StreamingDedup.firstOccurrences(docs, "ts", "text", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "aaa"), (2L, 2L, "bbb"), (3L, 3L, "aaa"))
+      q.processAllAvailable()
+      input.addData((4L, 4L, "aaa"), (5L, 5L, "ccc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L)) // 3 and 4 are duplicates of 1
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch sequence semantics on in-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -115,6 +115,23 @@ class OperatorsSpec extends SparkSpec {
     assert(b(0) == b(1))
   }
 
+  test("token chunking: stride, overlap, short tail, and tiny-doc cases") {
+    val d = docs(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"))                                    // shorter than a chunk
+    // chunkSize 4, overlap 1 → stride 3; doc1 starts at 1,4,7,10 → ceil(9/3)=3 chunks
+    val got = TextAnalysis.chunks(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got((1L, 0)) == "w1 w2 w3 w4")
+    assert(got((1L, 1)) == "w4 w5 w6 w7") // overlap of 1 token
+    assert(got((1L, 2)) == "w7 w8 w9 w10")
+    assert(got((2L, 0)) == "a b") // tiny doc → one short chunk
+    assert(got.size == 4)
+    // every token appears in at least one chunk (no data loss)
+    val covered = got.collect { case ((id, _), c) if id == 1L => c.split(" ") }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("text quality features on a crafted doc") {
     val d = docs((1L, "the cat sat"))
     val r = TextAnalysis.quality(d, "doc_id", "text", Seq("the", "a")).collect()(0)
