@@ -117,18 +117,25 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** 32-bit SimHash over whitespace tokens: per bit p, sum (+1/-1) of bit p
-    * of md5(token) across tokens; fingerprint sets bit p iff the sum is
+  /** SimHash over whitespace tokens: per bit p, sum (+1/-1) of bit p of
+    * md5(token) across tokens; fingerprint sets bit p iff the sum is
     * positive. The ±1 sum is positive iff 2 × (tokens with bit p set) >
-    * n_tokens, so all 32 bit counts run as aggregate columns of a SINGLE
-    * groupBy — no 32× row explosion and one shuffle instead of two (the
+    * n_tokens, so all bit counts run as aggregate columns of a SINGLE
+    * groupBy — no nBits× row explosion and one shuffle instead of two (the
     * naive (id, p) explode shape moves 32× the data at corpus scale). Pure
-    * codegen'd expressions (instr/shiftright on hex chars). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * codegen'd expressions (instr/shiftright on hex chars).
+    *
+    * `nBits` up to 64 (md5 has 128 bits available). 32-bit matches the
+    * cross-engine oracle battery; 64-bit is the production scale choice —
+    * [[simHashPairs]] banding with maxHamming=3 then keys on 16-bit bands
+    * (candidate volume ~n²/2^16 per band instead of n²/2^8). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
       .select(col("id"), md5(col("tok")).as("h"))
-    val bitSums = (0 until 32).map { p =>
+    val bitSums = (0 until nBits).map { p =>
       sum(expr(
         s"shiftright(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1, " +
         s"${3 - (p % 4)}) & 1")).as(s"__s$p")
@@ -136,7 +143,7 @@ object Dedup {
     toks.groupBy(col("id"))
       .agg(count(lit(1)).as("__n"), bitSums: _*)
       .select(col("id"),
-        (0 until 32).map { p =>
+        (0 until nBits).map { p =>
           when(col(s"__s$p") * 2 > col("__n"), lit(1L << p)).otherwise(0L)
         }.reduce(_ + _).as("fp"))
   }

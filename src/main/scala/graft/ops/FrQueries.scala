@@ -172,6 +172,15 @@ object FrQueries {
       }.get
     }),
 
+    // Sessionization: per-user session summary at a 6-hour inactivity gap
+    // (one window exchange — the sequence/funnel plan shape). Timestamps
+    // truncated to MICROseconds on both sides: DuckDB's TIMESTAMP is µs
+    // internally, and the span subtraction would expose the dropped nanos.
+    "fr_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.groupSummary(
+        Tables.events(s, dir).select(col("user_id"), expr("ts div 1000").as("ts_us")),
+        "user_id", "ts_us", maxGap = 21600000000L)),
+
     "fr_agg_count" -> ((s, dir) => aggQuery(s, dir, Aggregation(None, "value", AggType.Count, None))),
     "fr_agg_count_per_value" -> ((s, dir) =>
       aggQuery(s, dir, Aggregation(None, "event_type", AggType.CountPerValue, None))),
@@ -388,6 +397,20 @@ object FrQueries {
          |SELECT e.event_type AS value, count(DISTINCT e.user_id) AS groups
          |FROM e WHERE e.user_id IN (SELECT user_id FROM s1)
          |GROUP BY e.event_type ORDER BY groups DESC, value ASC LIMIT 10""".stripMargin,
+
+    "fr_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tl FROM events),
+        |g AS (SELECT user_id, tl,
+        |        CASE WHEN lag(tl) OVER w IS NULL OR tl - lag(tl) OVER w > 21600000000
+        |             THEN 1 ELSE 0 END AS nb
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tl)),
+        |s AS (SELECT user_id, sum(nb) OVER (PARTITION BY user_id ORDER BY tl
+        |        ROWS UNBOUNDED PRECEDING) - 1 AS sid, tl FROM g),
+        |per AS (SELECT user_id, sid, count(*) AS n, min(tl) AS st, max(tl) AS en
+        |        FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+        |       max(en - st) AS longest_session_span
+        |FROM per GROUP BY user_id""".stripMargin,
 
     "fr_agg_count" ->
       s"""$MATCHED_PURCHASE

@@ -231,6 +231,28 @@ class OperatorsSpec extends SparkSpec {
     assert(aggD.subsetOf(viaAgg) && aggD != viaAgg) // duration actually restricts
   }
 
+  test("sessionization splits at gaps, handles ties and single events") {
+    import graft.operators.Sessionize
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType)))
+    // u1: [10,15,15,30] gap>10 at 30 → sessions {10,15,15} and {30}
+    // u2: single event → one session
+    val df = frame(schema, Seq(
+      Map[String, Any]("uid" -> 1L, "ts" -> 10L),
+      Map[String, Any]("uid" -> 1L, "ts" -> 15L),
+      Map[String, Any]("uid" -> 1L, "ts" -> 15L),
+      Map[String, Any]("uid" -> 1L, "ts" -> 30L),
+      Map[String, Any]("uid" -> 2L, "ts" -> 7L)))
+    val ids = Sessionize.withSessionIds(df, "uid", "ts", maxGap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ids((1L, 10L)) == 0 && ids((1L, 15L)) == 0 && ids((1L, 30L)) == 1)
+    assert(ids((2L, 7L)) == 0)
+    val summary = Sessionize.groupSummary(df, "uid", "ts", maxGap = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(summary(1L) == ((2L, 3L, 5L))) // 2 sessions; biggest 3 events; span 15-10
+    assert(summary(2L) == ((1L, 1L, 0L)))
+  }
+
   test("skew utilities match their unsalted equivalents") {
     import graft.operators.Skew
     val schema = StructType(Seq(
@@ -300,6 +322,30 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute) // pigeonhole: recall is exact for ham <= bands-1
     assert(brute.nonEmpty)
+
+    // 64-bit fingerprints (incl. set sign bits): same equivalence holds
+    val base64 = Seq.fill(10)(rnd.nextLong())
+    val fps64 = frame(schema, (0 until 60).map { i =>
+      var f = base64(i % 10)
+      (0 until i % 7).foreach(_ => f ^= 1L << rnd.nextInt(64))
+      Map[String, Any]("id" -> i.toLong, "fp" -> f)
+    })
+    val got64 = Dedup.simHashPairs(fps64, maxHamming = 3, nBits = 64)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute64 = fps64.select(col("id").as("d1"), col("fp").as("fa"))
+      .crossJoin(fps64.select(col("id").as("d2"), col("fp").as("fb")))
+      .where(col("d1") < col("d2") && expr("bit_count(fa ^ fb)") <= 3)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got64 == brute64)
+    assert(brute64.nonEmpty)
+
+    // 64-bit simHash itself: identical docs collide, fingerprints differ
+    val d64 = Dedup.simHash(docs((1L, "x y z"), (2L, "x y z"), (3L, "p q r")),
+      "doc_id", "text", nBits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d64(1L) == d64(2L) && d64(1L) != d64(3L))
   }
 
   test("jaccard df cap excludes near-universal shingles from the measure") {
