@@ -179,6 +179,51 @@ object Dedup {
       .distinct() // a close pair can agree on several bands
   }
 
+  /** Connected components over an undirected duplicate-pair list (d1, d2):
+    * iterative min-label propagation — each node repeatedly takes the
+    * smallest label among itself and its neighbors until fixpoint. Returns
+    * (id, label) where label = the component's minimum id, so results are
+    * deterministic in any engine. Converges in O(component diameter)
+    * distributed joins; near-dup clusters are shallow in practice (every
+    * member pairs with the canonical original), so a handful of iterations
+    * suffice even at corpus scale. Each iteration localCheckpoints to keep
+    * the plan from growing with the loop. */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = graft.util.Caches.retain(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("blabel")).as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters from a pair list: one row per component with its
+    * canonical representative (min id — the doc a dedup pass would keep)
+    * and member count. The standard last step of a near-dup pipeline:
+    * pairs → clusters → keep one per cluster. */
+  def clusters(pairs: DataFrame): DataFrame =
+    components(pairs)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,
     * NOT a scale path (the only deliberate cross join in this package). */

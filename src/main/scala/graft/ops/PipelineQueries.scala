@@ -26,14 +26,23 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
 
+  /** MinHash-LSH candidate pairs over documents (shared by dd_minhash_lsh
+    * and dd_clusters). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh  = Dedup.charShingles(docs(s, dir), "doc_id", "text", 5)
+    val sig = Dedup.minHashSignature(sh, k = 8)
+    Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4))
+  }
+
   val queries: Map[String, QFn] = Map(
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
-    "dd_minhash_lsh" -> ((s, dir) => {
-      val sh  = Dedup.charShingles(docs(s, dir), "doc_id", "text", 5)
-      val sig = Dedup.minHashSignature(sh, k = 8)
-      Dedup.lshCandidates(Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4))
-    }),
+    "dd_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // Pairs → connected components → one canonical doc per cluster: the
+    // final step of a dedup pipeline. Min-label propagation, O(diameter)
+    // iterations; the oracle recomputes components via a recursive CTE.
+    "dd_clusters" -> ((s, dir) => Dedup.clusters(minhashPairs(s, dir))),
 
     // Full corpus (no sample): the df cap is what keeps the inverted-index
     // join linear-in-corpus, so the query exercises the scale guard itself.
@@ -148,6 +157,27 @@ object PipelineQueries {
        |                                     ELSE 0 END) AS BIGINT) AS fp
        |        FROM c GROUP BY doc_id)""".stripMargin
 
+  /** MinHash-LSH candidate-pair CTEs ending in `pairs(d1, d2)`. Mirrors
+    * Dedup.minHashSignature (h_i = min of the i-th 8-hex-char slice of
+    * md5("<i/4>:" || shingle)); bc/bt mirror lshCandidates' maxBucket=1000
+    * skew guard (a no-op on this data, but pinned so the gate stays green
+    * on duplicate-heavy corpora where oversized buckets are dropped). */
+  private val MINHASH_PAIR_CTES: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i").mkString(", ")
+    val bands = (0 until 2).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bkt FROM sig")
+      .mkString(" UNION ALL ")
+    s"""${SH("documents")},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |b AS ($bands),
+       |bc AS (SELECT band, bkt, count(*) AS n FROM b GROUP BY band, bkt),
+       |bt AS (SELECT b.* FROM b JOIN bc USING (band, bkt) WHERE bc.n <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |          FROM bt a JOIN bt b2
+       |            ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
   private val EMB_UNNEST =
     """idx AS (SELECT i FROM generate_series(1, 64) t(i)),
       |u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM embeddings, idx),
@@ -157,25 +187,20 @@ object PipelineQueries {
     "dd_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
 
-    "dd_minhash_lsh" -> {
-      // Mirrors Dedup.minHashSignature: h_i = min of the i-th 8-hex-char
-      // slice of md5("<i/4>:" || shingle).
-      val mins = (0 until 8).map(i =>
-        s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i").mkString(", ")
-      val bands = (0 until 2).map(b =>
-        s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bkt FROM sig")
-        .mkString(" UNION ALL ")
-      // bc/bt mirror lshCandidates' maxBucket=1000 skew guard (a no-op on
-      // this data, but pinned so the gate stays green on duplicate-heavy
-      // corpora where oversized buckets are dropped).
-      s"""WITH ${SH("documents")},
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |b AS ($bands),
-         |bc AS (SELECT band, bkt, count(*) AS n FROM b GROUP BY band, bkt),
-         |bt AS (SELECT b.* FROM b JOIN bc USING (band, bkt) WHERE bc.n <= 1000)
-         |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
-         |FROM bt a JOIN bt b2 ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id""".stripMargin
-    },
+    "dd_minhash_lsh" ->
+      s"""WITH $MINHASH_PAIR_CTES
+         |SELECT d1, d2 FROM pairs""".stripMargin,
+
+    // Components via recursive transitive closure; label = min id reachable
+    // (matches Dedup.components' min-label propagation exactly).
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |lab AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+         |SELECT label AS cluster_rep, count(*) AS n_members
+         |FROM lab GROUP BY label""".stripMargin,
 
     // Mirrors jaccardPairs' maxDf=100 cap: sizes AND intersections over the
     // df-capped shingle universe (see DIVERGENCES.md — near-universal

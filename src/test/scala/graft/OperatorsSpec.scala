@@ -348,6 +348,26 @@ class OperatorsSpec extends SparkSpec {
     assert(d64(1L) == d64(2L) && d64(1L) != d64(3L))
   }
 
+  test("connected components: chains, separate clusters, canonical min rep") {
+    val schema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    // chain 5-4-3-2-1 (worst case for propagation: diameter 4),
+    // triangle {10,11,12}, isolated pair {20,21}
+    val pairs = frame(schema, Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).map { case (a, b) => Map[String, Any]("d1" -> a, "d2" -> b) })
+    val labels = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(labels(_) == 1L)) // whole chain collapses to min
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    val cl = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 5L, 10L -> 3L, 20L -> 2L))
+    graft.util.Caches.drain()
+  }
+
   test("jaccard df cap excludes near-universal shingles from the measure") {
     // "XXXXX" appears in every doc; with maxDf=2 it can't contribute, so
     // docs sharing ONLY that shingle produce no pair.
