@@ -110,6 +110,24 @@ object Ann {
     emb.withColumn("bucket", bucketCol(vecCol, dim, nBits, seed))
   }
 
+  /** Per-bucket centroid sufficient statistics over a quantized sign-LSH
+    * partition of the corpus: (bucket, pos, qsum, n) with qsum =
+    * Σ floor(v[pos]·1024) over the bucket's vectors — the centroid is
+    * qsum/n/1024. All-integer outputs, so a re-derivation in any engine is
+    * bit-exact (same property [[multiTableQBuckets]] relies on). One
+    * shuffle by (bucket, pos) with map-side partials; the embedding
+    * aggregation shape IVF coarse-quantizer training uses at scale. */
+  def bucketCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nBits: Int): DataFrame = {
+    val bk = multiTableQBuckets(emb, idCol, vecCol, dim, nBits, nTables = 1)
+      .select(col("id"), col("bucket"))
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .join(bk, "id")
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)")).as("qsum"),
+        count(lit(1)).as("n"))
+  }
+
   /** Sorted (distance, cell) structs for the `nProbes` nearest centroids of
     * the vector in `vecCol` — squared euclidean = ||v||² - 2·v·c + ||c||²,
     * computed with the codegen'd vec expressions, ties to lowest cell id. */

@@ -93,6 +93,13 @@ object PipelineQueries {
         dim = 64, nBits = 8, k = 5, nFlipBits = 5, nTables = 4)
     }),
 
+    // Embedding aggregation: per-LSH-bucket quantized centroid sums —
+    // exact integers, so the oracle re-derives buckets AND sums bit-for-bit.
+    "emb_centroids" -> ((s, dir) =>
+      Ann.bucketCentroids(emb(s, dir), "vec_id", "embedding", dim = 64, nBits = 6)
+        .select(col("bucket"), col("pos").cast("long").as("pos"),
+          col("qsum"), col("n"))),
+
     "tx_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -273,6 +280,24 @@ object PipelineQueries {
          |           FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Single-table variant of the dd_embed_near bucket mirror (seed 1000),
+    // then exact integer per-position sums per bucket.
+    "emb_centroids" ->
+      s"""WITH $EMB_UNNEST,
+         |q AS (SELECT vec_id, i, CAST(floor(v * 1024) AS BIGINT) AS qv FROM u),
+         |w AS (SELECT b AS bit, i + 1 AS i,
+         |        CAST(strpos('0123456789abcdef',
+         |               substr(md5('1000:' || b || ':' || i), 1, 1)) - 9 AS BIGINT) AS w
+         |      FROM generate_series(0, 5) bb(b), generate_series(0, 63) ii(i)),
+         |dots AS (SELECT q.vec_id, w.bit, sum(q.qv * w.w) AS d
+         |         FROM q JOIN w ON q.i = w.i GROUP BY q.vec_id, w.bit),
+         |bk AS (SELECT vec_id,
+         |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+         |       FROM dots GROUP BY vec_id)
+         |SELECT bk.bucket, CAST(q.i - 1 AS BIGINT) AS pos,
+         |       sum(q.qv) AS qsum, count(*) AS n
+         |FROM q JOIN bk USING (vec_id) GROUP BY bk.bucket, q.i""".stripMargin,
 
     "tx_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",

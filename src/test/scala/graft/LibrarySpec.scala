@@ -197,6 +197,38 @@ class LibrarySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window matches batch sessionization boundaries") {
+    import graft.streaming.StreamingSessions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("uid", "tsl")
+      .withColumn("ts", timestamp_seconds(col("tsl")))
+    // 10s gap: u1 has sessions {100,105,109} and {130}; u2 has {200}
+    val out = StreamingSessions.sessionCounts(events, "uid", "ts",
+      gap = "10 seconds", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 100L), (1L, 105L), (1L, 109L), (1L, 130L), (2L, 200L))
+      q.processAllAvailable()
+      input.addData((1L, 500L)) // advance watermark far enough to close all
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select(col("uid"), unix_timestamp(col("session_start")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows((1L, 100L)) == 3L) // merged 100,105,109 (chained gaps < 10)
+      assert(rows((1L, 130L)) == 1L)
+      assert(rows((2L, 200L)) == 1L)
+      // batch operator agrees on boundaries for the same data
+      val batch = graft.operators.Sessionize.sessions(
+        Seq((1L, 100L), (1L, 105L), (1L, 109L), (1L, 130L), (2L, 200L))
+          .toDF("uid", "ts"), "uid", "ts", maxGap = 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).size
+      assert(batch == 3) // same 3 sessions among these events
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrences, drops watermark-window dupes") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
