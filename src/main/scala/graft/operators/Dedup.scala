@@ -201,15 +201,26 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
         .groupBy(col("a").as("id")).agg(min(col("blabel")).as("nbr"))
-      val next = labels
+      // Carry the previous label through the round so convergence needs no
+      // extra join against the old frame.
+      val hop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      // Path halving: jump to the label's own label, so label chains
+      // collapse exponentially — O(log diameter) rounds instead of
+      // O(diameter) (each round is a fixed number of distributed joins,
+      // which is what matters when a round costs a full job at scale).
+      val next = hop
+        .join(hop.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("label") === col("__lid"), "left")
+        .select(col("id"), coalesce(col("__ll"), col("label")).as("label"),
+          col("__old"))
+        .localCheckpoint(true)
+      changed = next.where(col("label") =!= col("__old")).count()
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     labels

@@ -224,6 +224,14 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     }
 
     if (boolArg(ex, "async")) {
+      // Bound the job registry: evict finished jobs beyond the last 1000
+      // (a long-lived server would otherwise accumulate one entry per query).
+      if (jobs.size > 1000) {
+        import scala.jdk.CollectionConverters._
+        jobs.values.asScala.filter(_.stage != "RUNNING")
+          .toSeq.sortBy(_.id.drop(1).toLong)
+          .dropRight(500).foreach(j => jobs.remove(j.id))
+      }
       val id = s"q${jobSeq.incrementAndGet()}"
       val job = AsyncJob(id, name, stage = "RUNNING")
       jobs.put(id, job)
