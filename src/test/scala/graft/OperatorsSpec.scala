@@ -231,6 +231,62 @@ class OperatorsSpec extends SparkSpec {
     assert(aggD.subsetOf(viaAgg) && aggD != viaAgg) // duration actually restricts
   }
 
+  test("chunking invariants hold on random docs (reconstruction, bounds)") {
+    val rnd = new scala.util.Random(19)
+    val (size, overlap) = (7, 3)
+    val stride = size - overlap
+    val texts = (0L until 100L).map { i =>
+      i -> (0 until (1 + rnd.nextInt(40))).map(j => s"t${i}_$j").mkString(" ")
+    }
+    val d = docs(texts: _*)
+    val chunks = TextAnalysis.chunks(d, "doc_id", "text", size, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, text) <- texts) {
+      val toks = text.split(" ").toSeq
+      val cs = chunks(id)
+      // chunk sizes: all full except possibly the last; indices contiguous
+      assert(cs.init.forall(_.split(" ").length == size) || toks.length < size)
+      assert(cs.last.split(" ").length <= size)
+      // reconstruction: dropping the overlap from every non-first chunk
+      // yields exactly the original token stream
+      val rebuilt = cs.head.split(" ").toSeq ++
+        cs.tail.flatMap(_.split(" ").drop(overlap))
+      assert(rebuilt == toks, s"doc $id: $rebuilt != $toks")
+      // expected chunk count
+      val expected = math.max(1, (toks.length - overlap + stride - 1) / stride)
+      assert(cs.length == expected)
+    }
+  }
+
+  test("sessionization invariants hold on random event streams") {
+    import graft.operators.Sessionize
+    val rnd = new scala.util.Random(23)
+    val maxGap = 50L
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType)))
+    val rows = (0L until 50L).flatMap { u =>
+      var t = rnd.nextInt(100).toLong
+      (0 until (1 + rnd.nextInt(30))).map { _ =>
+        t += rnd.nextInt(150).toLong // gaps straddle maxGap both ways
+        Map[String, Any]("uid" -> u, "ts" -> t)
+      }
+    }
+    val ids = Sessionize.withSessionIds(frame(schema, rows), "uid", "ts", maxGap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((u, evts) <- ids.groupBy(_._1)) {
+      val sorted = evts.sortBy(_._2)
+      // session ids start at 0, are contiguous, and never decrease in time
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach { case Array((_, t1, s1), (_, t2, s2)) =>
+        val gap = t2 - t1
+        if (gap > maxGap) assert(s2 == s1 + 1, s"uid $u: gap $gap must split")
+        else assert(s2 == s1, s"uid $u: gap $gap must not split")
+      case _ => ()
+      }
+    }
+  }
+
   test("sessionization splits at gaps, handles ties and single events") {
     import graft.operators.Sessionize
     val schema = StructType(Seq(
