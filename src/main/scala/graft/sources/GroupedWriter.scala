@@ -28,12 +28,24 @@ object GroupedWriter {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Bucketed+sorted managed table; downstream per-group aggregations and
-    * joins on `groupIdCol` skip the shuffle entirely. */
+    * joins on `groupIdCol` skip the shuffle entirely. Extra `sortCols`
+    * (typically the timestamp) extend the in-bucket sort order: with one
+    * file per bucket — guaranteed by the pre-write repartition — the scan
+    * reports its output ordering, so window plans over
+    * (groupIdCol, sortCols...) skip the per-query SORT as well as the
+    * exchange. At 100 TB that turns every sequence/funnel/sessionization
+    * query into a pure map-side pass.
+    *
+    * Readers must set `spark.sql.legacy.bucketedTableScan.outputOrdering=
+    * true` to exploit the sort: Spark ≥3.0 ignores bucket sort order by
+    * default because it cannot be trusted with multiple files per bucket —
+    * exactly what the repartition here rules out. */
   def bucketBy(df: DataFrame, groupIdCol: String, nBuckets: Int,
-               table: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+               table: String, sortCols: String*): Unit =
+    df.repartition(nBuckets, col(groupIdCol)) // one file per bucket
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, groupIdCol)
-      .sortBy(groupIdCol)
+      .sortBy(groupIdCol, sortCols: _*)
       .option("path", s"spark-warehouse/$table")
       .saveAsTable(table)
 }

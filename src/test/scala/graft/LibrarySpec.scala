@@ -115,17 +115,29 @@ class LibrarySpec extends SparkSpec {
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click"))))), None)),
       None, Nil, None)
 
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    def count(df: org.apache.spark.sql.DataFrame, pat: String): Int =
+      pat.r.findAllIn(df.queryExecution.executedPlan.toString).length
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = count(df, "Exchange")
+    def sorts(df: org.apache.spark.sql.DataFrame): Int = count(df, "\\n[^\\n]*Sort \\[")
 
-    val plain = exchanges(engine.run(ev, q).summary)
+    val plainPlan = engine.run(ev, q).summary
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
-    GroupedWriter.bucketBy(ev, "uid", 4, "ev_bucketed")
-    val bucketed = exchanges(engine.run(spark.table("ev_bucketed"), q).summary)
+    GroupedWriter.bucketBy(ev, "uid", 4, "ev_bucketed", "ts")
+    // sound here: the writer guarantees one file per bucket (see scaladoc);
+    // counts are forced inside the conf window (planning is lazy)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val (bx, bs, bplan) = try {
+      val p = engine.run(spark.table("ev_bucketed"), q).summary
+      (exchanges(p), sorts(p), p.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     // Plain source: one exchange for the window partitioning + the final
     // aggregation gather. Bucketed source: the window exchange disappears —
-    // the reference's shuffle-free layout, planner-managed.
-    assert(bucketed < plain, s"bucketed=$bucketed plain=$plain")
+    // the reference's shuffle-free layout, planner-managed — and because
+    // buckets are written sorted by (uid, ts) with one file per bucket, the
+    // window's SORT disappears too: the whole query is a map-side pass.
+    assert(bx < exchanges(plainPlan), s"bucketed=$bx plain=${exchanges(plainPlan)}")
+    assert(bs < sorts(plainPlan),
+      s"bucketed sorts=$bs plain=${sorts(plainPlan)}\n$bplan")
   }
 
   test("job stats settle correctly for a >1000-task job") {
