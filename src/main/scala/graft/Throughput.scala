@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off throughput probe for the BASELINE.md comparison: the reference's
+ * only published number is the empty query (distinct groups + row count)
+ * over 254M rows on 256 warm Lambda cores — 2.11 s wall, i.e. ~470k
+ * rows/s/core end-to-end, ~4.3M rows/s/core compute-only (docs/api.md).
+ *
+ * At sf0.1 (100k rows) fixed job overhead dominates, so this main builds a
+ * ~50M-row parquet replica of the events table once (user ids shifted per
+ * replica so group cardinality scales too) and measures the same
+ * scan → partial/final aggregate plan warm. Prints one JSON line with
+ * rows/s/core for a like-for-like comparison.
+ */
+object Throughput {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(500)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val target = s"/tmp/graft_scale/events_x$replicas"
+    if (!new java.io.File(target, "_SUCCESS").exists()) {
+      val ev = ops.Tables.events(spark, "/root/testdata/sf0.1")
+      ev.withColumn("__r", explode(lit((0 until replicas).toArray)))
+        .withColumn("user_id", col("user_id") + col("__r").cast("long") * 1000000L)
+        .drop("__r")
+        .repartition(cpus * 4)
+        .write.mode("overwrite").parquet(target)
+    }
+
+    val df = spark.read.parquet(target)
+    def run(): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = df.agg(count_distinct(col("user_id")).as("matching_groups"),
+        count(lit(1)).as("matching_group_rows")).collect()(0)
+      (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    run() // warm
+    val (groups, rows, sec) = (1 to 3).map(_ => run()).minBy(_._3)
+    val perCore = rows / sec / cpus
+    println(f"""{"rows": $rows, "groups": $groups, "sec": $sec%.3f, """ +
+      f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f}""")
+    spark.stop()
+  }
+}

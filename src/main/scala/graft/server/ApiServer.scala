@@ -107,14 +107,21 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       case JString(s) => s
       case _ => throw QueryValidationException("schema", s"register requires string field '$k'")
     }
-    val ds = Catalog.register(spark, str("name"), str("basepath"),
-      str("groupIdColumn"), str("timestampColumn"))
-    val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
-    respond(ex, 200,
+    val (name, path, gid, ts) =
+      (str("name"), str("basepath"), str("groupIdColumn"), str("timestampColumn"))
+    def doRegister(): String = {
+      val ds = Catalog.register(spark, name, path, gid, ts)
+      val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
       s"""{"dataset": ${q(ds.name)}, "rows": ${ds.numRows}, "groups": ${ds.numGroups},
          | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
          | "potentialCategoricals": [${cats.map(q).mkString(", ")}],
-         | "unsupportedColumns": [${ds.unsupportedColumns.map(q).mkString(", ")}]}""".stripMargin)
+         | "unsupportedColumns": [${ds.unsupportedColumns.map(q).mkString(", ")}]}""".stripMargin
+    }
+    // Registration scans the whole dataset (stats + categorical pass) — at
+    // 100 TB that's a long job, so the async path mirrors the reference's
+    // streamed registration (apiserver.py:176-184).
+    if (boolArg(ex, "async")) submitAsync(ex, s"register:$name")(doRegister())
+    else respond(ex, 200, doRegister())
   }
 
   private def list(ex: HttpExchange): Unit = {
@@ -223,24 +230,8 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
     }
 
-    if (boolArg(ex, "async")) {
-      // Bound the job registry: evict finished jobs beyond the last 1000
-      // (a long-lived server would otherwise accumulate one entry per query).
-      if (jobs.size > 1000) {
-        import scala.jdk.CollectionConverters._
-        jobs.values.asScala.filter(_.stage != "RUNNING")
-          .toSeq.sortBy(_.id.drop(1).toLong)
-          .dropRight(500).foreach(j => jobs.remove(j.id))
-      }
-      val id = s"q${jobSeq.incrementAndGet()}"
-      val job = AsyncJob(id, name, stage = "RUNNING")
-      jobs.put(id, job)
-      new Thread(() => {
-        try { job.result = Some(execute()); job.stage = "DONE" }
-        catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
-      }, s"graft-query-$id").start()
-      respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
-    } else if (boolArg(ex, "stream")) {
+    if (boolArg(ex, "async")) submitAsync(ex, name)(execute())
+    else if (boolArg(ex, "stream")) {
       // Chunked response: progress lines while the query runs, then the
       // result as the last line (reference run_streamable, apiserver.py:125-172).
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -269,6 +260,27 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       out.write((last + "\n").getBytes(StandardCharsets.UTF_8))
       out.flush()
     } else respond(ex, 200, execute())
+  }
+
+  /** Run `work` on a new thread, track it in the job registry, answer 202
+    * with the id + status URL. */
+  private def submitAsync(ex: HttpExchange, dataset: String)(work: => String): Unit = {
+    // Bound the job registry: evict finished jobs beyond the last 1000
+    // (a long-lived server would otherwise accumulate one entry per query).
+    if (jobs.size > 1000) {
+      import scala.jdk.CollectionConverters._
+      jobs.values.asScala.filter(_.stage != "RUNNING")
+        .toSeq.sortBy(_.id.drop(1).toLong)
+        .dropRight(500).foreach(j => jobs.remove(j.id))
+    }
+    val id = s"q${jobSeq.incrementAndGet()}"
+    val job = AsyncJob(id, dataset, stage = "RUNNING")
+    jobs.put(id, job)
+    new Thread(() => {
+      try { job.result = Some(work); job.stage = "DONE" }
+      catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
+    }, s"graft-job-$id").start()
+    respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
   }
 
   private def queryStatus(ex: HttpExchange, id: String): Unit =

@@ -121,6 +121,23 @@ class ApiServerSpec extends SparkSpec {
     assert(get("/queries/zzz/status").statusCode() == 404)
   }
 
+  test("async registration: 202 + status polling to the register result") {
+    val sub = post("/datasets/register?async=true",
+      """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    assert(sub.statusCode() == 202, sub.body())
+    val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+    var status = ""
+    val deadline = System.currentTimeMillis() + 60000
+    while (!status.contains(""""done": true""") && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      status = get(s"/queries/$id/status").body()
+    }
+    assert(status.contains(""""stage": "DONE""""), status)
+    assert(status.contains(""""rows": 1000"""), status)
+    assert(get("/datasets").body().contains(""""name": "ev8""""))
+  }
+
   test("streamed query emits progress chunks then the result") {
     post("/datasets/register",
       """{"name": "ev6", "basepath": "/root/testdata/sf0.001/events.parquet",
