@@ -30,10 +30,13 @@ object Throughput {
     val target = s"/tmp/graft_scale/events_x$replicas"
     if (!new java.io.File(target, "_SUCCESS").exists()) {
       val ev = ops.Tables.events(spark, "/root/testdata/sf0.1")
-      ev.withColumn("__r", explode(lit((0 until replicas).toArray)))
+      // Repartition BEFORE the explode: the source is a single parquet file
+      // (1-2 input splits), so exploding first would run the 250M-row
+      // generation on 1-2 cores and the write behind a 250M-row shuffle.
+      ev.repartition(cpus * 4)
+        .withColumn("__r", explode(lit((0 until replicas).toArray)))
         .withColumn("user_id", col("user_id") + col("__r").cast("long") * 1000000L)
         .drop("__r")
-        .repartition(cpus * 4)
         .write.mode("overwrite").parquet(target)
     }
 
