@@ -100,6 +100,25 @@ object PipelineQueries {
         .select(col("bucket"), col("pos").cast("long").as("pos"),
           col("qsum"), col("n"))),
 
+    // Capstone: the full training-data cleaning pipeline composed from the
+    // individual operators — marker language filter → token-count band →
+    // mean-token-length sanity → exact dedup (keep min doc id) → token-
+    // window chunking — as ONE oracle-checked query. This is the C4-style
+    // clean+dedup+chunk flow a 100 TB corpus prep actually runs; every
+    // stage is a map or a single hash shuffle.
+    "pipeline_clean" -> ((s, dir) => {
+      val lang = TextAnalysis.langIdMarkers(col("text"),
+        Seq("customer" -> "es"), default = "en")
+      val kept = docs(s, dir)
+        .where(lang === "en" &&
+          TextAnalysis.tokenCount(col("text")).between(30, 90) &&
+          length(col("text")) / TextAnalysis.tokenCount(col("text")) <= 9)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      TextAnalysis.chunks(kept, "doc_id", "text", chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_hash"))
+    }),
+
     "tx_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -325,6 +344,21 @@ object PipelineQueries {
         |       WHEN contains(text, 'customer') THEN 'es'
         |       ELSE 'en' END AS lang_pred
         |FROM documents""".stripMargin,
+
+    "pipeline_clean" ->
+      """WITH f AS (SELECT doc_id, text FROM documents
+        |           WHERE NOT contains(text, 'customer')
+        |             AND len(string_split(text, ' ')) BETWEEN 30 AND 90
+        |             AND len(text) / len(string_split(text, ' ')) <= 9),
+        |k AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM k),
+        |t2 AS (SELECT doc_id, toks, greatest(1, (len(toks) - 8 + 24 - 1) // 24) AS nc FROM t),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
+        |      FROM t2, generate_series(0, 200) g(i) WHERE i < nc)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  md5(chunk) AS chunk_hash
+        |FROM c""".stripMargin,
 
     // DuckDB list slicing is 1-based inclusive and clamps at the end, so
     // toks[s : s+31] mirrors Spark's slice(toks, s, 32).
