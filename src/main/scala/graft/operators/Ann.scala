@@ -161,7 +161,9 @@ object Ann {
     def assignCol: org.apache.spark.sql.Column =
       probeCellsCol("__v", centroids, 1).getItem(0).getField("cell")
 
-    val base = corpus.withColumn("__v", col(vecCol))
+    // The iteration loop scans `base` once per iteration plus the final
+    // assignment — persist it so k-means doesn't re-read parquet each time.
+    val base = graft.util.Caches.retain(corpus.withColumn("__v", col(vecCol)))
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("cell", assignCol)
       val sums = assigned
