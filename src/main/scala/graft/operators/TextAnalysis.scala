@@ -23,11 +23,15 @@ object TextAnalysis {
     size(regexp_extract_all(textCol, lit(BpeishPattern), lit(0)))
 
   /** Per-document quality features: char count, token count, mean token
-    * length, stopword ratio. Ratios are single divisions of exact integer
-    * counts — deterministic across engines. */
+    * length, stopword ratio, and Gopher-style symbol/digit ratios (the
+    * rule-based signals corpus cleaning pipelines threshold on). Ratios are
+    * single divisions of exact integer counts — deterministic across
+    * engines. */
   def quality(docs: DataFrame, idCol: String, textCol: String,
               stopwords: Seq[String]): DataFrame = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    def strippedLen(pattern: String) =
+      length(regexp_replace(col(textCol), pattern, ""))
     docs.select(
       col(idCol),
       length(col(textCol)).as("n_chars"),
@@ -35,7 +39,12 @@ object TextAnalysis {
       ((length(col(textCol)) - (tokenCount(col(textCol)) - 1)).cast("double") /
         tokenCount(col(textCol))).as("avg_tok_len"),
       (expr(s"size(filter(split($textCol, ' '), t -> t IN ($stopList)))").cast("double") /
-        tokenCount(col(textCol))).as("stop_ratio"))
+        tokenCount(col(textCol))).as("stop_ratio"),
+      // chars removed by stripping the class = count of chars IN the class
+      ((length(col(textCol)) - strippedLen("[^a-zA-Z0-9 ]")).cast("double") /
+        length(col(textCol))).as("punct_ratio"),
+      ((length(col(textCol)) - strippedLen("[0-9]")).cast("double") /
+        length(col(textCol))).as("digit_ratio"))
   }
 
   /** Marker-based language ID: first matching marker wins. A deliberately

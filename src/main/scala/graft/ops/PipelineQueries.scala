@@ -131,7 +131,8 @@ object PipelineQueries {
       TextAnalysis.quality(docs(s, dir), "doc_id", "text", Seq("a", "the"))
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("n_tokens").cast("long").as("n_tokens"),
-          col("avg_tok_len"), col("stop_ratio"))),
+          col("avg_tok_len"), col("stop_ratio"),
+          col("punct_ratio"), col("digit_ratio"))),
 
     "tx_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -326,6 +327,8 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
 
+    // DuckDB regexp_replace replaces the FIRST match unless given the 'g'
+    // flag (Spark replaces all by default).
     "tx_quality" ->
       """SELECT doc_id,
         |  CAST(len(text) AS BIGINT) AS n_chars,
@@ -333,7 +336,11 @@ object PipelineQueries {
         |  CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_tok_len,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
-        |    / len(string_split(text, ' ')) AS stop_ratio
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / len(text) AS punct_ratio,
+        |  CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / len(text) AS digit_ratio
         |FROM documents""".stripMargin,
 
     "tx_langid" ->
