@@ -34,23 +34,31 @@ object Bench {
       // query's garbage otherwise lands as a multi-second GC pause inside a
       // later query's timed run (measured 0.6s isolated vs 4s in-battery).
       System.gc()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      var err: Option[String] = None
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
       // Min of three timed runs: single-run times swing +-seconds from GC
       // in a ~150-execution JVM; the min is the stable steady-state figure.
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
         (System.nanoTime() - t0) / 1e9
       }
       // Release operator-retained caches (LSH bucket tables etc.) so one
       // query's persisted blocks don't occupy memory during the next.
       graft.util.Caches.drain()
-      name -> times.min
+      // A failed query must not masquerade as a fast run: report it as an
+      // explicit "err" entry and exclude it from the total.
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, _, Some(e)) => "\"" + k + "\":\"err:" + e + "\""
+      case (k, v, None)    => "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

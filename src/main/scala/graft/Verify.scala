@@ -24,6 +24,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A stale dump from a previous run (possibly another SF) would be
+        // hashed against a fresh oracle — delete it so the gate reports a
+        // missing/err row instead of grading garbage.
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.writeString(Paths.get(s"$outDir/${name}_FAILED"),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       } finally graft.util.Caches.drain() // no cache build-up across 50+ queries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

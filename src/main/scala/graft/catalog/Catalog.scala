@@ -62,9 +62,38 @@ object Catalog {
       numRows: Long,
       registeredAt: Long,
       columnAttrs: Map[String, ColumnAttrs] = Map.empty,
-      dtypeNames: Map[String, String] = Map.empty)
+      dtypeNames: Map[String, String] = Map.empty,
+      statsExact: Boolean = true,
+      sampledParts: Int = 0,
+      totalParts: Int = 0)
 
   final case class RegistrationException(msg: String) extends RuntimeException(msg)
+
+  /** File-selection mode for the registration stats/validation scan
+    * (reference DatasetValidationMode — registration_job.py:100-121,
+    * docs/api.md:50-55). `Full` is this engine's default: stats are exact
+    * because one distributed aggregate over all files is cheap for Spark
+    * (deliberate divergence, DIVERGENCES.md #3). The sampled modes exist
+    * for the reference's reason — registering a 100 TB dataset must not
+    * cost a full scan — and mark the resulting stats approximate. Sampled
+    * extras are evenly spaced rather than random (reference samples
+    * randomly): registration must be reproducible run-to-run here. */
+  sealed trait ValidationMode
+  object ValidationMode {
+    case object Full      extends ValidationMode
+    case object Single    extends ValidationMode
+    case object FirstLast extends ValidationMode
+    final case class Sample(ratio: Double = 0.1, maxSamples: Int = 10) extends ValidationMode
+
+    def parse(s: String): ValidationMode = s.toUpperCase match {
+      case "FULL"       => Full
+      case "SINGLE"     => Single
+      case "FIRST_LAST" => FirstLast
+      case "SAMPLE"     => Sample()
+      case other => throw RegistrationException(
+        s"Unknown validationMode '$other' (expected FULL, SINGLE, FIRST_LAST or SAMPLE)")
+    }
+  }
 
   private val datasets = new ConcurrentHashMap[String, RegisteredDataset]()
 
@@ -80,14 +109,63 @@ object Catalog {
     case _                                             => None
   }
 
+  /** Parquet part files under `basepath` (or the file itself), sorted
+    * lexicographically — the ordering the reference's SINGLE/FIRST_LAST
+    * choices are defined over (registration_job.py:104-107). Hadoop FS, so
+    * local paths and s3a list the same way. */
+  private def partFiles(spark: SparkSession, basepath: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(basepath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (!base.startsWith("_") && !base.startsWith(".")) files += f.getPath.toString
+    }
+    files.toSeq.sorted
+  }
+
+  /** The part files the stats/validation scan reads under `mode`: all of
+    * them (Full), the first (Single), first+last (FirstLast), or
+    * first+last plus up to `maxSamples` evenly-spaced extras (Sample). */
+  private[catalog] def chooseParts(files: Seq[String],
+                                   mode: ValidationMode): Seq[String] = {
+    val n = files.size
+    mode match {
+      case ValidationMode.Full      => files
+      case ValidationMode.Single    => files.take(1)
+      case ValidationMode.FirstLast => (files.take(1) ++ files.takeRight(1)).distinct
+      case ValidationMode.Sample(ratio, maxSamples) =>
+        // First + last always included (like the reference), plus up to
+        // `extras` evenly-spaced interior files.
+        val extras = math.min(maxSamples, math.ceil(n * ratio).toInt)
+        val interior =
+          if (n > 2 && extras > 0)
+            (1 until n - 1 by math.max(1, (n - 2) / extras)).take(extras)
+          else Seq.empty
+        (Seq(0, n - 1) ++ interior).distinct.sorted.map(files)
+    }
+  }
+
   def register(spark: SparkSession, name: String, basepath: String,
                groupIdColumn: String, timestampColumn: String,
                categoricalRatio: Double = 0.1,
                categoricalTopCount: Int = 20,
-               categoricalTopMinPct: Double = 0.01): RegisteredDataset = {
+               categoricalTopMinPct: Double = 0.01,
+               mode: ValidationMode = ValidationMode.Full): RegisteredDataset = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(basepath)
-    val schema = df.schema
+    // Schema always comes from the full basepath (parquet footers — no data
+    // scan); only the stats/validation pass below is restricted to the
+    // sampled files.
+    val allParts = partFiles(spark, basepath)
+    if (allParts.isEmpty)
+      throw RegistrationException(s"No part files found under $basepath")
+    val sampled = chooseParts(allParts, mode)
+    val df =
+      if (mode == ValidationMode.Full) spark.read.parquet(basepath)
+      else spark.read.parquet(sampled: _*)
+    val schema = spark.read.parquet(basepath).schema
 
     def field(c: String): StructField =
       schema.find(_.name == c).getOrElse(
@@ -177,8 +255,11 @@ object Catalog {
       stats.getAs[Long]("n_groups"), nRows,
       System.currentTimeMillis(),
       columnAttrs = (numericAttrs ++ stringAttrs).toMap,
-      dtypeNames = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap)
+      dtypeNames = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap,
+      statsExact = mode == ValidationMode.Full,
+      sampledParts = sampled.size, totalParts = allParts.size)
     datasets.put(name, ds)
+    saveStore()
     ds
   }
 
@@ -189,7 +270,9 @@ object Catalog {
   /** Remove a dataset; returns whether it was registered. */
   def unregister(name: String): Boolean = {
     lastUsedAt.remove(name)
-    datasets.remove(name) != null
+    val removed = datasets.remove(name) != null
+    if (removed) saveStore()
+    removed
   }
 
   /** Epoch-millis of the dataset's last query, if any (reference
@@ -206,5 +289,115 @@ object Catalog {
     lastUsedAt.put(name, System.currentTimeMillis())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(ds.basepath)
+  }
+
+  // ------------------------------------------------------------ persistence
+  //
+  // JSON-file dataset store — the durable-registration role the reference
+  // gives Redis (frocket/datastore/redis_store.py:83-94): registrations
+  // survive server restarts. The file is the driver's local (or mounted)
+  // disk; at cluster scale the same JSON would live on shared storage —
+  // the writer is a whole-file atomic replace either way.
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+
+  @volatile private var storePath: Option[java.nio.file.Path] = None
+
+  /** Point the catalog at a JSON store file and load whatever it holds.
+    * Registrations/unregistrations from now on rewrite the file. */
+  def enablePersistence(path: String): Unit = synchronized {
+    val p = java.nio.file.Paths.get(path)
+    storePath = Some(p)
+    if (java.nio.file.Files.exists(p)) {
+      JsonMethods.parse(java.nio.file.Files.readString(p)) \ "datasets" match {
+        case JArray(items) =>
+          items.foreach { j => val ds = dsFromJson(j); datasets.put(ds.name, ds) }
+        case _ => ()
+      }
+    }
+  }
+
+  /** Detach from the store (test isolation); in-memory state is kept. */
+  def disablePersistence(): Unit = storePath = None
+
+  /** Drop every registration (and persist the empty state if attached). */
+  def clear(): Unit = { datasets.clear(); lastUsedAt.clear(); saveStore() }
+
+  private def saveStore(): Unit = synchronized {
+    storePath.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val json = JObject("datasets" ->
+        JArray(datasets.values.asScala.toList.sortBy(_.name).map(dsToJson)))
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def dsToJson(d: RegisteredDataset): JValue =
+    ("name" -> d.name) ~ ("basepath" -> d.basepath) ~
+      ("groupIdColumn" -> d.groupIdColumn) ~
+      ("timestampColumn" -> d.timestampColumn) ~
+      ("columns" -> d.columns.map { case (k, v) => k -> v.toString }) ~
+      ("unsupportedColumns" -> d.unsupportedColumns) ~
+      ("minTimestamp" -> d.minTimestamp) ~ ("maxTimestamp" -> d.maxTimestamp) ~
+      ("numGroups" -> d.numGroups) ~ ("numRows" -> d.numRows) ~
+      ("registeredAt" -> d.registeredAt) ~ ("statsExact" -> d.statsExact) ~
+      ("sampledParts" -> d.sampledParts) ~ ("totalParts" -> d.totalParts) ~
+      ("dtypeNames" -> d.dtypeNames) ~
+      ("columnAttrs" -> d.columnAttrs.map { case (k, a) =>
+        k -> (("numericMin" -> a.numericMin) ~ ("numericMax" -> a.numericMax) ~
+          ("categorical" -> a.categorical) ~
+          ("catUniqueRatio" -> a.catUniqueRatio) ~
+          ("catTopValues" -> a.catTopValues.map { case (v, s) =>
+            ("value" -> v) ~ ("share" -> s)
+          }))
+      })
+
+  private def dsFromJson(j: JValue): RegisteredDataset = {
+    implicit val formats: Formats = DefaultFormats
+    def colType(s: String): ColType = s match {
+      case "Int" => ColType.Int
+      case "Float" => ColType.Float
+      case "Bool" => ColType.Bool
+      case _ => ColType.Str
+    }
+    val attrs = j \ "columnAttrs" match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> ColumnAttrs(
+          numericMin = (v \ "numericMin").extractOpt[Double],
+          numericMax = (v \ "numericMax").extractOpt[Double],
+          categorical = (v \ "categorical").extractOpt[Boolean].getOrElse(false),
+          catUniqueRatio = (v \ "catUniqueRatio").extractOpt[Double],
+          catTopValues = v \ "catTopValues" match {
+            case JArray(xs) => xs.map(x =>
+              ((x \ "value").extract[String], (x \ "share").extract[Double]))
+            case _ => Nil
+          })
+      }.toMap
+      case _ => Map.empty[String, ColumnAttrs]
+    }
+    RegisteredDataset(
+      name = (j \ "name").extract[String],
+      basepath = (j \ "basepath").extract[String],
+      groupIdColumn = (j \ "groupIdColumn").extract[String],
+      timestampColumn = (j \ "timestampColumn").extract[String],
+      columns = (j \ "columns").extract[Map[String, String]]
+        .map { case (k, v) => k -> colType(v) },
+      unsupportedColumns = (j \ "unsupportedColumns").extract[Seq[String]],
+      minTimestamp = (j \ "minTimestamp").extract[Double],
+      maxTimestamp = (j \ "maxTimestamp").extract[Double],
+      numGroups = (j \ "numGroups").extract[Long],
+      numRows = (j \ "numRows").extract[Long],
+      registeredAt = (j \ "registeredAt").extract[Long],
+      columnAttrs = attrs,
+      dtypeNames = (j \ "dtypeNames").extract[Map[String, String]],
+      statsExact = (j \ "statsExact").extractOpt[Boolean].getOrElse(true),
+      sampledParts = (j \ "sampledParts").extractOpt[Int].getOrElse(0),
+      totalParts = (j \ "totalParts").extractOpt[Int].getOrElse(0))
   }
 }

@@ -194,7 +194,7 @@ object Dedup {
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var prevPersisted: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -208,21 +208,32 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("__old"))
-        .localCheckpoint(true)
       // Path halving: jump to the label's own label, so label chains
       // collapse exponentially — O(log diameter) rounds instead of
-      // O(diameter) (each round is a fixed number of distributed joins,
-      // which is what matters when a round costs a full job at scale).
-      val next = hop
+      // O(diameter). `hop` is referenced twice by the self-join but not
+      // materialized: its inputs (edges, previous labels) are cached, so
+      // recomputing two in-memory joins is cheaper than paying a separate
+      // materialization job per round.
+      var next = hop
         .join(hop.select(col("id").as("__lid"), col("label").as("__ll")),
           col("label") === col("__lid"), "left")
         .select(col("id"), coalesce(col("__ll"), col("label")).as("label"),
           col("__old"))
-        .localCheckpoint(true)
+      // ONE job per round: the convergence count below both fills `next`'s
+      // cache and computes `changed` (the previous eager-checkpoint shape
+      // cost 3 jobs per round — at scale, per-round scheduling overhead is
+      // the dominant constant of an iterative fixpoint). A localCheckpoint
+      // every 3rd round bounds logical-plan growth; that round pays one
+      // extra (block-local, near-free) job.
+      if (i % 3 == 2) next = next.localCheckpoint(true)
+      next.persist()
       changed = next.where(col("label") =!= col("__old")).count()
+      prevPersisted.foreach(_.unpersist(false))
+      prevPersisted = Some(next)
       labels = next.select(col("id"), col("label"))
       i += 1
     }
+    prevPersisted.foreach(graft.util.Caches.retain)
     labels
   }
 

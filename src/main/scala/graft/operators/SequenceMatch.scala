@@ -25,20 +25,31 @@ import graft.query.QueryAst.SequenceStep
  */
 object SequenceMatch {
 
-  /** Per-group buffer: one (unsorted, deduplicated-on-merge-only) timestamp
-    * array per step. */
-  type Buf = Array[Array[Long]]
+  /** Per-group buffer: one unsorted timestamp array per step, with an
+    * explicit fill count so appends can double capacity (amortized O(1))
+    * instead of reallocating per row — a dense group with thousands of
+    * step-matching rows would otherwise pay O(n²) in the partial
+    * aggregate. Slack capacity is trimmed on merge, so shuffled partials
+    * stay tight. */
+  final case class Buf(arrs: Array[Array[Long]], sizes: Array[Int])
 
   private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
       extends Aggregator[(Long, Array[Boolean]), Buf, Boolean] {
 
-    override def zero: Buf = Array.fill(numSteps)(Array.emptyLongArray)
+    override def zero: Buf =
+      Buf(Array.fill(numSteps)(Array.emptyLongArray), new Array[Int](numSteps))
 
     override def reduce(b: Buf, row: (Long, Array[Boolean])): Buf = {
       val (ts, matches) = row
       var s = 0
       while (s < numSteps) {
-        if (matches(s)) b(s) = b(s) :+ ts
+        if (matches(s)) {
+          val n = b.sizes(s)
+          if (n == b.arrs(s).length)
+            b.arrs(s) = java.util.Arrays.copyOf(b.arrs(s), math.max(8, n * 2))
+          b.arrs(s)(n) = ts
+          b.sizes(s) = n + 1
+        }
         s += 1
       }
       b
@@ -46,7 +57,15 @@ object SequenceMatch {
 
     override def merge(a: Buf, b: Buf): Buf = {
       var s = 0
-      while (s < numSteps) { a(s) = a(s) ++ b(s); s += 1 }
+      while (s < numSteps) {
+        val na = a.sizes(s); val nb = b.sizes(s)
+        val out = new Array[Long](na + nb)
+        System.arraycopy(a.arrs(s), 0, out, 0, na)
+        System.arraycopy(b.arrs(s), 0, out, na, nb)
+        a.arrs(s) = out
+        a.sizes(s) = na + nb
+        s += 1
+      }
       a
     }
 
@@ -55,12 +74,13 @@ object SequenceMatch {
       var first = Long.MinValue
       var s = 0
       while (s < numSteps) {
-        val arr = b(s)
-        java.util.Arrays.sort(arr)
+        val arr = b.arrs(s)
+        val n = b.sizes(s)
+        java.util.Arrays.sort(arr, 0, n)
         // first ts strictly greater than the previous anchor (step 0: any)
         var i = 0
         var found = Long.MinValue
-        while (i < arr.length && found == Long.MinValue) {
+        while (i < n && found == Long.MinValue) {
           if (s == 0 || arr(i) > anchor) found = arr(i)
           i += 1
         }

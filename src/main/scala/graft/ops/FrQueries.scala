@@ -200,6 +200,19 @@ object FrQueries {
         .orderBy(desc("groups_approx"), asc("value"))
     }),
 
+    // Error gate for the approx path: max relative error of HLL++ vs the
+    // exact distinct count across all values, reduced to `passed = 1` iff
+    // <= 15% (3× the default 5% rsd). HLL++ is deterministic for fixed
+    // input, so this pins the fast mode's accuracy as a hard oracle row.
+    "fr_agg_groups_approx_err" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy(col("event_type").as("value"))
+        .agg(approx_count_distinct(col("user_id")).as("a"),
+          countDistinct(col("user_id")).as("x"))
+        .agg(max(abs(col("a") - col("x")) / col("x")).as("maxerr"))
+        .select(when(col("maxerr") <= 0.15, lit(1L)).otherwise(lit(0L)).as("passed"))
+    }),
+
     "fr_top_k" -> ((s, dir) =>
       aggQuery(s, dir, Aggregation(None, "user_id", AggType.CountPerValue, None))),
 
@@ -273,6 +286,10 @@ object FrQueries {
       |       WHERE e.event_type = 'purchase' AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin.format(E)
 
   val oracleSql: Map[String, String] = Map(
+    // Spark reduces approx-vs-exact to a boolean row; the oracle is the
+    // literal expectation (see ann_*_recall for the same pattern).
+    "fr_agg_groups_approx_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
+
     "fr_empty" ->
       "SELECT count(DISTINCT user_id) AS matching_groups, count(*) AS matching_group_rows FROM events",
 

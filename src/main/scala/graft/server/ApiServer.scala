@@ -27,6 +27,7 @@ import graft.result.{JobStats, ResultJson}
  *        ?stream=true                    chunked: progress lines, then the result
  *        ?async=true                     → {"queryId"}; poll GET /queries/<id>/status
  *   GET  /queries/<id>/status            {"stage","done",...,"result"? }
+ *   GET  /metrics                        Prometheus text exposition (counters)
  *
  * Errors return the reference's shape: {"errorMessage": ...} with 400 for
  * validation failures and 500 otherwise (apiserver.py error handling).
@@ -35,15 +36,21 @@ import graft.result.{JobStats, ResultJson}
  * actually call this (the reference's run_streamable, apiserver.py:125-172);
  * the sync path stays for small interactive queries.
  */
-final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int = 0) {
+final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int = 0,
+                      catalogStore: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  // Durable registrations (reference redis_store.py:83-94): with a store
+  // configured, a server restart reloads every registered dataset.
+  catalogStore.foreach(Catalog.enablePersistence)
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex))
     server.createContext("/queries", (ex: HttpExchange) => handle(ex))
+    server.createContext("/metrics", (ex: HttpExchange) => handle(ex))
     // Two worker threads: one can poll /queries status while a query runs.
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
     server.start()
@@ -75,6 +82,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
         case ("GET",  List("datasets", name, "empty-query")) => query(ex, name, emptyBody = true)
         case ("POST", List("datasets", name, "query"))      => query(ex, name, emptyBody = false)
         case ("GET",  List("queries", id, "status"))        => queryStatus(ex, id)
+        case ("GET",  List("metrics"))                      => metrics(ex)
         case _ => respond(ex, 404, """{"errorMessage": "not found"}""")
       }
     } catch {
@@ -109,11 +117,21 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     }
     val (name, path, gid, ts) =
       (str("name"), str("basepath"), str("groupIdColumn"), str("timestampColumn"))
+    // validationMode: FULL (default — exact stats) | SINGLE | FIRST_LAST |
+    // SAMPLE, mirroring the reference's register request (docs/api.md:50-55).
+    // Sampled modes scan only the chosen part files, so stats come back
+    // flagged approximate.
+    val mode = body \ "validationMode" match {
+      case JString(s) => Catalog.ValidationMode.parse(s)
+      case _          => Catalog.ValidationMode.Full
+    }
     def doRegister(): String = {
-      val ds = Catalog.register(spark, name, path, gid, ts)
+      val ds = Catalog.register(spark, name, path, gid, ts, mode = mode)
       val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
       s"""{"dataset": ${q(ds.name)}, "rows": ${ds.numRows}, "groups": ${ds.numGroups},
          | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
+         | "statsExact": ${ds.statsExact}, "sampledParts": ${ds.sampledParts},
+         | "totalParts": ${ds.totalParts},
          | "potentialCategoricals": [${cats.map(q).mkString(", ")}],
          | "unsupportedColumns": [${ds.unsupportedColumns.map(q).mkString(", ")}]}""".stripMargin
     }
@@ -226,7 +244,15 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     def execute(): String = {
       val (body, stats) = try JobStats.measure(spark) {
         ResultJson.build(engine.runValidated(df, parsed))
+      } catch { case e: Throwable =>
+        mQueryErrors.incrementAndGet()
+        throw e
       } finally graft.util.Caches.drain() // no cache build-up in a long-lived server
+      mQueries.incrementAndGet()
+      mQueryMs.addAndGet(stats.wallTimeMs)
+      mRowsScanned.addAndGet(stats.rowsScanned)
+      mBytesScanned.addAndGet(stats.bytesScanned)
+      mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
       body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
     }
 
@@ -293,6 +319,36 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
           s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": ${job.stage != "RUNNING"}$error$result}""")
     }
 
+  // ----------------------------------------------------------------- metrics
+
+  // Cumulative server counters, exposed in the Prometheus text format —
+  // parity with the reference's Prometheus export (frocket/common/
+  // metrics.py:126-174, invoker/stats_builder.py). Per-query detail stays
+  // in each response's "stats" block; this is the fleet-scrape view.
+  private val mQueries      = new AtomicLong()
+  private val mQueryErrors  = new AtomicLong()
+  private val mQueryMs      = new AtomicLong()
+  private val mRowsScanned  = new AtomicLong()
+  private val mBytesScanned = new AtomicLong()
+  private val mShuffleBytes = new AtomicLong()
+
+  private def metrics(ex: HttpExchange): Unit = {
+    def m(name: String, kind: String, help: String, value: Long): String =
+      s"# HELP $name $help\n# TYPE $name $kind\n$name $value\n"
+    val body =
+      m("graft_queries_total", "counter", "Queries executed successfully", mQueries.get) +
+      m("graft_query_errors_total", "counter", "Queries that failed", mQueryErrors.get) +
+      m("graft_query_wall_ms_total", "counter", "Total query wall time (ms)", mQueryMs.get) +
+      m("graft_rows_scanned_total", "counter", "Rows read by queries", mRowsScanned.get) +
+      m("graft_bytes_scanned_total", "counter", "Bytes read by queries", mBytesScanned.get) +
+      m("graft_shuffle_bytes_total", "counter", "Shuffle bytes written by queries", mShuffleBytes.get) +
+      m("graft_datasets_registered", "gauge", "Currently registered datasets", Catalog.list().size.toLong)
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
   // ----------------------------------------------------------------- plumbing
 
   private def readBody(ex: HttpExchange): String =
@@ -329,7 +385,8 @@ object ApiServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srv = new ApiServer(spark, port,
-      unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt)
+      unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt,
+      catalogStore = sys.env.get("GRAFT_CATALOG_STORE"))
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

@@ -186,4 +186,91 @@ class ApiServerSpec extends SparkSpec {
       assert(again.body().contains(""""datasetFound": false"""), again.body())
     } finally s2.stop()
   }
+
+  test("catalog store: a fresh server instance reloads registrations") {
+    val store = java.nio.file.Files.createTempDirectory("srvstore")
+      .resolve("catalog.json").toString
+    val s1 = new ApiServer(spark, 0, catalogStore = Some(store))
+    s1.start()
+    try {
+      val b1 = s"http://127.0.0.1:${s1.boundPort}"
+      val reg = client.send(HttpRequest.newBuilder(URI.create(b1 + "/datasets/register"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name": "evp", "basepath": "/root/testdata/sf0.001/events.parquet",
+            | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(reg.statusCode() == 200, reg.body())
+    } finally s1.stop()
+    // Simulate process death: wipe the in-memory catalog while detached.
+    graft.catalog.Catalog.disablePersistence()
+    graft.catalog.Catalog.unregister("evp")
+    assert(graft.catalog.Catalog.get("evp").isEmpty)
+
+    val s2 = new ApiServer(spark, 0, catalogStore = Some(store))
+    s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}"
+      val ls = client.send(HttpRequest.newBuilder(URI.create(b2 + "/datasets"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(ls.body().contains(""""name": "evp""""), ls.body())
+      val sch = client.send(HttpRequest.newBuilder(URI.create(b2 + "/datasets/evp/schema"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(sch.statusCode() == 200 && sch.body().contains("user_id"), sch.body())
+      // and it is queryable without re-registering
+      val q = client.send(HttpRequest.newBuilder(URI.create(b2 + "/datasets/evp/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query": {}}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200 && q.body().contains(""""matchingGroups""""), q.body())
+    } finally {
+      s2.stop()
+      graft.catalog.Catalog.disablePersistence()
+      graft.catalog.Catalog.unregister("evp")
+    }
+  }
+
+  test("sampled registration over HTTP marks stats approximate") {
+    val r = post("/datasets/register",
+      """{"name": "evs", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts",
+        | "validationMode": "SINGLE"}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    // single-file dataset: the one sampled part IS the whole dataset, but
+    // the mode still flags the stats as sampled
+    assert(r.body().contains(""""statsExact": false"""), r.body())
+    assert(r.body().contains(""""sampledParts": 1"""), r.body())
+    val bad = post("/datasets/register",
+      """{"name": "evs2", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts",
+        | "validationMode": "BOGUS"}""".stripMargin)
+    assert(bad.statusCode() == 400 && bad.body().contains("validationMode"), bad.body())
+    post("/datasets/evs/unregister", "{}")
+  }
+
+  test("GET /metrics exposes Prometheus counters that move with queries") {
+    post("/datasets/register",
+      """{"name": "evm", "basepath": "/root/testdata/sf0.001/events.parquet",
+        | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+    def scrape(): Map[String, Long] = {
+      val r = get("/metrics")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.headers.firstValue("Content-Type").orElse("").startsWith("text/plain"), "exposition content type")
+      r.body().linesIterator.filterNot(_.startsWith("#")).map { l =>
+        val Array(k, v) = l.split(" ", 2); k -> v.toLong
+      }.toMap
+    }
+    val before = scrape()
+    assert(before.contains("graft_queries_total") &&
+      before.contains("graft_query_errors_total") &&
+      before.contains("graft_rows_scanned_total") &&
+      before.contains("graft_datasets_registered"), before.toString)
+    assert(get("/metrics").body().contains("# TYPE graft_queries_total counter"))
+
+    val q = post("/datasets/evm/query", """{"query": {}}""")
+    assert(q.statusCode() == 200, q.body())
+    val after = scrape()
+    assert(after("graft_queries_total") == before("graft_queries_total") + 1)
+    assert(after("graft_rows_scanned_total") > before("graft_rows_scanned_total"))
+    assert(after("graft_query_errors_total") == before("graft_query_errors_total"))
+    post("/datasets/evm/unregister", "{}")
+  }
 }

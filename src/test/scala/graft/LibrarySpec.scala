@@ -90,6 +90,69 @@ class LibrarySpec extends SparkSpec {
     assert(!ds.columnAttrs.contains("ts"))
   }
 
+  test("catalog: sampled validation modes scan only the chosen part files") {
+    val dir = tmpDir("catsample")
+    // 4 part files with disjoint uid/ts ranges so sampled stats are
+    // distinguishable from the exact ones.
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType)))
+    frame(schema, (0 until 400).map(i =>
+      Map[String, Any]("uid" -> i.toLong, "ts" -> (1000L + i))))
+      .repartition(4, col("uid")).write.mode("overwrite").parquet(dir)
+
+    val full = Catalog.register(spark, "vm_full", dir, "uid", "ts")
+    assert(full.statsExact && full.numRows == 400)
+    assert(full.sampledParts == full.totalParts && full.totalParts == 4)
+
+    val single = Catalog.register(spark, "vm_single", dir, "uid", "ts",
+      mode = Catalog.ValidationMode.Single)
+    assert(!single.statsExact)
+    assert(single.sampledParts == 1 && single.totalParts == 4)
+    assert(single.numRows > 0 && single.numRows < 400)
+
+    val fl = Catalog.register(spark, "vm_fl", dir, "uid", "ts",
+      mode = Catalog.ValidationMode.FirstLast)
+    assert(!fl.statsExact && fl.sampledParts == 2)
+    assert(fl.numRows > single.numRows && fl.numRows < 400)
+
+    val sm = Catalog.register(spark, "vm_sm", dir, "uid", "ts",
+      mode = Catalog.ValidationMode.Sample(ratio = 0.5, maxSamples = 1))
+    assert(!sm.statsExact && sm.sampledParts == 3) // first + last + 1 extra
+
+    // schema still comes from the full footprint in every mode
+    assert(single.columns.keySet == full.columns.keySet)
+    assert(Catalog.ValidationMode.parse("first_last") == Catalog.ValidationMode.FirstLast)
+    intercept[Catalog.RegistrationException](Catalog.ValidationMode.parse("nope"))
+    Seq("vm_full", "vm_single", "vm_fl", "vm_sm").foreach(Catalog.unregister)
+  }
+
+  test("catalog: JSON store round-trips registrations across a restart") {
+    val store = Files.createTempDirectory("catstore").resolve("catalog.json")
+    Catalog.enablePersistence(store.toString)
+    try {
+      val ds = Catalog.register(spark, "pers1",
+        "/root/testdata/sf0.001/events.parquet", "user_id", "ts")
+      assert(Files.exists(store))
+      // Simulate a driver restart: drop the in-memory state while detached,
+      // then re-attach to the store — the registration must come back whole.
+      Catalog.disablePersistence()
+      Catalog.unregister("pers1")
+      assert(Catalog.get("pers1").isEmpty)
+      Catalog.enablePersistence(store.toString)
+      val back = Catalog.get("pers1").getOrElse(fail("pers1 not reloaded"))
+      assert(back == ds) // schema, stats, attrs — bit-identical round trip
+      // Unregister while attached persists the removal too.
+      Catalog.unregister("pers1")
+      Catalog.disablePersistence()
+      Catalog.unregister("pers1")
+      Catalog.enablePersistence(store.toString)
+      assert(Catalog.get("pers1").isEmpty)
+    } finally {
+      Catalog.disablePersistence()
+      Catalog.unregister("pers1")
+    }
+  }
+
   test("grouped writer: every group lands in exactly one file") {
     val dir = tmpDir("gw")
     val schema = StructType(Seq(StructField("uid", LongType), StructField("v", LongType)))

@@ -38,6 +38,14 @@ for name in sorted(oracle):
         bad = None
         for c in got.columns:
             a, b = got[c], exp[c]
+            # The driver hashes typed values: int64 -8 != float64 -8.0. A
+            # DuckDB HUGEINT sum lands as float64 in pandas, so flag any
+            # int-vs-float dtype split the way the driver's hash would
+            # (the round-3 emb_centroids false-green was exactly this).
+            kinds = {a.dtype.kind, b.dtype.kind}
+            if kinds == {"i", "f"} or kinds == {"u", "f"}:
+                bad = f"TYPE mismatch in {c}: {a.dtype} vs {b.dtype}"
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 import numpy as np
                 if not np.allclose(a.astype(float), b.astype(float),
