@@ -34,11 +34,13 @@ object Bench {
       // query's garbage otherwise lands as a multi-second GC pause inside a
       // later query's timed run (measured 0.6s isolated vs 4s in-battery).
       System.gc()
-      var err: Option[String] = None
       try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+      catch { case _: Throwable => () } // warmup failures don't mark the query
       // Min of three timed runs: single-run times swing +-seconds from GC
       // in a ~150-execution JVM; the min is the stable steady-state figure.
+      // Only timed-run failures mark the query as err — a transient warmup
+      // failure must not exclude a query whose timed runs all succeed.
+      var err: Option[String] = None
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

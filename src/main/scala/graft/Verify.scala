@@ -20,6 +20,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // A FAILED marker from a previous run must not outlive a subsequent
+      // success — delete it up front; a fresh failure rewrites it below.
+      Files.deleteIfExists(Paths.get(s"$outDir/${name}_FAILED"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

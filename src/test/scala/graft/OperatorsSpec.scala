@@ -478,7 +478,8 @@ class OperatorsSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      val labels = Dedup.components(pairs)
+      val result = Dedup.components(pairs)
+      val labels = result
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((1L to 5L).forall(labels(_) == 1L) && labels(11L) == 10L)
       // listener events post asynchronously — settle before reading
@@ -488,14 +489,44 @@ class OperatorsSpec extends SparkSpec {
         if (cur == prev) settled += 1 else settled = 0
         prev = cur; iters += 1; Thread.sleep(100)
       }
-      // Chain of diameter 4 converges in 3 path-halved rounds: 3 counts +
-      // the round-3 lineage checkpoint + the final collect = 5 actions
-      // (the old eager-checkpoint shape ran 13).
-      assert(actions.get() <= 6, s"expected <= 6 actions, saw ${actions.get()}")
+      // Chain of diameter 4 converges in 3 path-halved rounds; each round
+      // fires exactly 3 listener events — eager hop checkpoint (a real
+      // job), lazy next checkpoint (plan-only, no job), and the fused
+      // convergence count — + the final collect = 10. A per-round shape
+      // regression (an extra eager materialization: 4/round = 13) trips
+      // this.
+      assert(actions.get() <= 10,
+        s"expected <= 10 actions, saw ${actions.get()}")
+      // The round-4 regression (persist-only rounds) kept the action count
+      // flat but let the logical plan double per round through the
+      // path-halving self-join — 4-8x wall time in pure driver planning.
+      // Pin plan flatness: the result must sit on a checkpoint boundary
+      // (LogicalRDD + projection), with size independent of diameter.
+      val planSize = result.queryExecution.analyzed.collect { case n => n }.size
+      assert(planSize <= 6, s"components plan not flat: $planSize nodes")
     } finally {
       spark.listenerManager.unregister(listener)
       graft.util.Caches.drain()
     }
+  }
+
+  test("components plan stays flat as diameter (and round count) grows") {
+    val schema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    def chain(n: Int) = frame(schema, (1 until n).map(i =>
+      Map[String, Any]("d1" -> i.toLong, "d2" -> (i + 1).toLong)))
+    // Twice the rounds must NOT mean a deeper plan: every round ends on a
+    // localCheckpoint boundary, so the analyzed plan of the result is the
+    // same handful of nodes for a 6-node chain and a 40-node chain.
+    val small = Dedup.components(chain(6))
+    val large = Dedup.components(chain(40))
+    val sizeS = small.queryExecution.analyzed.collect { case n => n }.size
+    val sizeL = large.queryExecution.analyzed.collect { case n => n }.size
+    assert(sizeL == sizeS,
+      s"plan grew with iteration count: $sizeS -> $sizeL nodes")
+    val labels = large.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(labels(_) == 1L))
+    graft.util.Caches.drain()
   }
 
   test("jaccard df cap excludes near-universal shingles from the measure") {
