@@ -85,7 +85,10 @@ object Catalog {
     case object FirstLast extends ValidationMode
     final case class Sample(ratio: Double = 0.1, maxSamples: Int = 10) extends ValidationMode
 
-    def parse(s: String): ValidationMode = s.toUpperCase match {
+    // Locale.ROOT: a Turkish default locale uppercases "single" to a
+    // dotted-I form that would fail to match.
+    def parse(s: String): ValidationMode =
+      s.toUpperCase(java.util.Locale.ROOT) match {
       case "FULL"       => Full
       case "SINGLE"     => Single
       case "FIRST_LAST" => FirstLast
@@ -153,7 +156,8 @@ object Catalog {
                categoricalRatio: Double = 0.1,
                categoricalTopCount: Int = 20,
                categoricalTopMinPct: Double = 0.01,
-               mode: ValidationMode = ValidationMode.Full): RegisteredDataset = {
+               mode: ValidationMode = ValidationMode.Full,
+               validateGroupLocality: Boolean = false): RegisteredDataset = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Schema always comes from the full basepath (parquet footers — no data
     // scan); only the stats/validation pass below is restricted to the
@@ -164,7 +168,20 @@ object Catalog {
     val sampled = chooseParts(allParts, mode)
     val df =
       if (mode == ValidationMode.Full) spark.read.parquet(basepath)
-      else spark.read.parquet(sampled: _*)
+      else {
+        // basePath keeps hive-style partition columns visible when reading
+        // leaf part files directly — without it a partitioned dataset's
+        // stats scan would drop columns the schema (read from the full
+        // basepath) still lists, and every agg on them would fail. Spark
+        // requires basePath to be a directory, so skip it when the
+        // registered basepath is a single parquet file (no partition
+        // columns possible there anyway).
+        val fs = new org.apache.hadoop.fs.Path(basepath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rd = if (fs.getFileStatus(new org.apache.hadoop.fs.Path(basepath)).isDirectory)
+          spark.read.option("basePath", basepath) else spark.read
+        rd.parquet(sampled: _*)
+      }
     val schema = spark.read.parquet(basepath).schema
 
     def field(c: String): StructField =
@@ -213,6 +230,30 @@ object Catalog {
         max(col(n).cast("double")).as(s"__max_$n"))) ++
       stringCols.map(n => approx_count_distinct(col(n)).as(s"__acd_$n"))
     val allAggs = baseAggs ++ colAggs
+    // Optional data-quality assertion for users migrating reference
+    // datasets: the reference's execution model REQUIRES each group id to
+    // live in exactly one part file and verifies it at registration
+    // (frocket/invoker/jobs/registration_job.py:252-272). Spark doesn't
+    // need the invariant (shuffles co-locate groups at query time), but a
+    // GroupedWriter bucketed layout is supposed to satisfy it — so offer
+    // the same check over the scanned (sampled or full) parts: one
+    // aggregation, no extra scan beyond the one registration already does.
+    if (validateGroupLocality && sampled.size > 1) {
+      // input_file_name() is nondeterministic, so project it before the
+      // aggregate (it may not appear inside an aggregate function).
+      val split = df
+        .select(col(groupIdColumn), input_file_name().as("__file"))
+        .groupBy(col(groupIdColumn))
+        .agg(count_distinct(col("__file")).as("__files"))
+        .where(col("__files") > 1)
+        .limit(5)
+        .collect()
+      if (split.nonEmpty)
+        throw RegistrationException(
+          s"Group locality violated: ${split.length}+ group ids span multiple " +
+          s"part files (e.g. ${split.map(_.get(0)).mkString(", ")}) — " +
+          "regroup with GroupedWriter or register with validateGroupLocality=false")
+    }
     val stats = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
     if (stats.getAs[Long]("null_gids") > 0)
       throw RegistrationException(s"Group id column '$groupIdColumn' contains nulls")
@@ -306,9 +347,20 @@ object Catalog {
   @volatile private var storePath: Option[java.nio.file.Path] = None
 
   /** Point the catalog at a JSON store file and load whatever it holds.
-    * Registrations/unregistrations from now on rewrite the file. */
+    * Registrations/unregistrations from now on rewrite the file.
+    * The catalog is process-global, so at most one store per JVM:
+    * re-attaching the same path is an idempotent no-op; a different path
+    * is rejected (it would silently repoint every live server's
+    * persistence and overlay stored datasets onto in-memory state) —
+    * call [[disablePersistence]] first if the switch is intentional. */
   def enablePersistence(path: String): Unit = synchronized {
     val p = java.nio.file.Paths.get(path)
+    storePath.foreach { cur =>
+      if (cur == p) return
+      throw RegistrationException(
+        s"Catalog already persists to $cur; detach (disablePersistence) " +
+        s"before attaching $p")
+    }
     storePath = Some(p)
     if (java.nio.file.Files.exists(p)) {
       JsonMethods.parse(java.nio.file.Files.readString(p)) \ "datasets" match {

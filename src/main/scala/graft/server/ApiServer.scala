@@ -41,13 +41,15 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
-  // Durable registrations (reference redis_store.py:83-94): with a store
-  // configured, a server restart reloads every registered dataset.
-  catalogStore.foreach(Catalog.enablePersistence)
-
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
+    // Durable registrations (reference redis_store.py:83-94): with a store
+    // configured, a server restart reloads every registered dataset.
+    // Attached here, not at construction: merely constructing a server
+    // must not mutate the process-global catalog. The catalog itself
+    // rejects a second, different store (one store per JVM).
+    catalogStore.foreach(Catalog.enablePersistence)
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex))
     server.createContext("/queries", (ex: HttpExchange) => handle(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handle(ex))
@@ -125,8 +127,15 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       case JString(s) => Catalog.ValidationMode.parse(s)
       case _          => Catalog.ValidationMode.Full
     }
+    // Opt-in migration check: assert each group id lives in one part file,
+    // as the reference's execution model requires (registration_job.py:252-272).
+    val vgl = body \ "validateGroupLocality" match {
+      case JBool(b) => b
+      case _        => false
+    }
     def doRegister(): String = {
-      val ds = Catalog.register(spark, name, path, gid, ts, mode = mode)
+      val ds = Catalog.register(spark, name, path, gid, ts, mode = mode,
+        validateGroupLocality = vgl)
       val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
       s"""{"dataset": ${q(ds.name)}, "rows": ${ds.numRows}, "groups": ${ds.numGroups},
          | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
@@ -253,6 +262,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       mRowsScanned.addAndGet(stats.rowsScanned)
       mBytesScanned.addAndGet(stats.bytesScanned)
       mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
+      mCoreMs.addAndGet(stats.executorCpuMs)
       body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
     }
 
@@ -331,6 +341,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   private val mRowsScanned  = new AtomicLong()
   private val mBytesScanned = new AtomicLong()
   private val mShuffleBytes = new AtomicLong()
+  private val mCoreMs       = new AtomicLong()
 
   private def metrics(ex: HttpExchange): Unit = {
     def m(name: String, kind: String, help: String, value: Long): String =
@@ -342,6 +353,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       m("graft_rows_scanned_total", "counter", "Rows read by queries", mRowsScanned.get) +
       m("graft_bytes_scanned_total", "counter", "Bytes read by queries", mBytesScanned.get) +
       m("graft_shuffle_bytes_total", "counter", "Shuffle bytes written by queries", mShuffleBytes.get) +
+      m("graft_core_ms_total", "counter", "Executor-core milliseconds consumed by queries (cost basis)", mCoreMs.get) +
       m("graft_datasets_registered", "gauge", "Currently registered datasets", Catalog.list().size.toLong)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")

@@ -41,6 +41,9 @@ class ApiServerSpec extends SparkSpec {
     assert(q.body().contains(""""matchingGroups": 15"""))
     assert(q.body().contains(""""matchingGroupRows": 1000"""))
     assert(q.body().contains(""""stats""") && q.body().contains(""""rowsScanned"""), q.body())
+    // per-query cost figure: executor-core-seconds (the reference's cost
+    // estimate analog — stats_builder.py:42+)
+    assert(q.body().contains(""""coreSecs"""), q.body())
 
     // validation error → 400 with errorMessage (reference error shape)
     val bad = post("/datasets/ev/query",
@@ -262,6 +265,7 @@ class ApiServerSpec extends SparkSpec {
     assert(before.contains("graft_queries_total") &&
       before.contains("graft_query_errors_total") &&
       before.contains("graft_rows_scanned_total") &&
+      before.contains("graft_core_ms_total") &&
       before.contains("graft_datasets_registered"), before.toString)
     assert(get("/metrics").body().contains("# TYPE graft_queries_total counter"))
 

@@ -126,6 +126,39 @@ class LibrarySpec extends SparkSpec {
     Seq("vm_full", "vm_single", "vm_fl", "vm_sm").foreach(Catalog.unregister)
   }
 
+  test("catalog: group-locality validation flags groups split across parts") {
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType)))
+    val rows = (0 until 200).map(i =>
+      Map[String, Any]("uid" -> (i % 10).toLong, "ts" -> (1000L + i)))
+
+    // Round-robin partitioning deliberately scatters every uid over all 3
+    // part files — the invariant the reference asserts at registration
+    // (registration_job.py:252-272) is violated.
+    val splitDir = tmpDir("catloc_split")
+    frame(schema, rows).repartition(3)
+      .write.mode("overwrite").parquet(splitDir)
+    val e = intercept[Catalog.RegistrationException] {
+      Catalog.register(spark, "loc_bad", splitDir, "uid", "ts",
+        validateGroupLocality = true)
+    }
+    assert(e.getMessage.contains("Group locality"), e.getMessage)
+    assert(Catalog.get("loc_bad").isEmpty) // failed registration not kept
+
+    // Hash-partitioned by uid = each group lives in exactly one file; the
+    // same check passes, including under a sampled mode.
+    val okDir = tmpDir("catloc_ok")
+    frame(schema, rows).repartition(3, col("uid"))
+      .write.mode("overwrite").parquet(okDir)
+    val ds = Catalog.register(spark, "loc_ok", okDir, "uid", "ts",
+      mode = Catalog.ValidationMode.FirstLast, validateGroupLocality = true)
+    assert(ds.sampledParts == 2)
+    // default stays off: the split layout registers fine without the flag
+    val ds2 = Catalog.register(spark, "loc_bad_ok", splitDir, "uid", "ts")
+    assert(ds2.numRows == 200)
+    Seq("loc_ok", "loc_bad_ok").foreach(Catalog.unregister)
+  }
+
   test("catalog: JSON store round-trips registrations across a restart") {
     val store = Files.createTempDirectory("catstore").resolve("catalog.json")
     Catalog.enablePersistence(store.toString)
