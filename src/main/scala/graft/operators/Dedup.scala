@@ -188,7 +188,13 @@ object Dedup {
     * member pairs with the canonical original), so a handful of iterations
     * suffice even at corpus scale. Each iteration localCheckpoints to keep
     * the plan from growing with the loop. */
-  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    componentsWithRounds(pairs, maxIters)._1
+
+  /** [[components]] plus the number of fixpoint rounds it ran — the scale
+    * probe (graft.ComponentsScale) validates the O(log diameter) claim
+    * against this. */
+  def componentsWithRounds(pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = graft.util.Caches.retain(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
@@ -238,7 +244,7 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Duplicate clusters from a pair list: one row per component with its
