@@ -15,8 +15,10 @@ object SparkEntry {
     ops.FrQueries.queries("fr_funnel")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.FrQueries.queries ++ ops.PipelineQueries.queries ++ ops.RelationalQueries.queries
+    ops.FrQueries.queries ++ ops.PipelineQueries.queries ++
+      ops.RelationalQueries.queries ++ ops.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.FrQueries.oracleSql ++ ops.PipelineQueries.oracleSql ++ ops.RelationalQueries.oracleSql
+    ops.FrQueries.oracleSql ++ ops.PipelineQueries.oracleSql ++
+      ops.RelationalQueries.oracleSql ++ ops.StreamingQueries.oracleSql
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{StreamingSessions, WindowedRates}
+
+/**
+ * Battery-promoted Structured Streaming queries (SURVEY.md §2.9 extension —
+ * the reference has no streaming surface): the same event-time operators the
+ * unit specs exercise with MemoryStream, here driven end-to-end through a
+ * REAL file stream source → availableNow trigger → memory sink, and gated
+ * by the DuckDB oracle like every batch operator.
+ *
+ * Determinism (the driver hashes results): the input is finite, the
+ * availableNow trigger processes all of it, and `complete` output mode
+ * emits every window/session regardless of watermark progress — so the
+ * result equals the batch equivalent row-for-row. Watermark-driven
+ * APPEND emission (what an unbounded production stream would use, where
+ * only watermark-finalized windows ever emit) is covered by the
+ * MemoryStream unit specs instead, because its output on a finite input
+ * depends on batch boundaries — the last batch's windows are never
+ * finalized — which is exactly the nondeterminism the battery must avoid.
+ * Timestamps are emitted as epoch-micros longs (cross-engine rule: no
+ * timestamp arithmetic in the compared output).
+ */
+object StreamingQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Run a (bounded) streaming frame to completion into a memory sink and
+    * return the sink's contents as a batch frame. */
+  private def runToBatch(s: SparkSession, stream: DataFrame,
+                         sink: String): DataFrame = {
+    s.catalog.dropTempView(sink) // re-runs (bench warmup/timed) re-create it
+    val q = stream.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** File-source stream over the events table: schema (and the nanos-as-
+    * long conf) come from the batch reader; ts arrives as epoch-nanos long
+    * and becomes a proper event-time timestamp at micros precision. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(s, dir).schema
+    // The file stream source requires a DIRECTORY path; pathGlobFilter
+    // narrows it to the events table (the SF dir holds all tables).
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // Event-time hourly rates by event type: readStream → watermark →
+    // window → agg, the canonical Structured Streaming shape. State at
+    // scale is O(active windows × keys), bounded by the watermark.
+    "st_rates" -> ((s, dir) => {
+      val rates = WindowedRates.perWindow(
+        eventsStream(s, dir)
+          .withColumn("value_d", col("value").cast("decimal(20,4)")),
+        "event_ts", "event_type", "value_d", "1 hour", "10 minutes")
+      runToBatch(s, rates, "st_rates_sink")
+        .select(unix_micros(col("window_start")).as("window_us"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    // Per-user session_window sessions (30-minute inactivity gap), the
+    // streaming counterpart of the batch fr_sessions operator. State per
+    // group is only the open session once the watermark passes.
+    "st_sessions" -> ((s, dir) => {
+      val sessions = StreamingSessions.sessionCounts(
+        eventsStream(s, dir), "user_id", "event_ts",
+        "30 minutes", "10 minutes")
+      runToBatch(s, sessions, "st_sessions_sink")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
+    }))
+
+  /** DuckDB equivalents over the same parquet (batch semantics — complete
+    * mode over a finite stream must agree exactly). Session islands break
+    * where the gap to the previous event is >= 30 min, mirroring
+    * session_window's half-open [ts, ts+gap) merge rule; session_end =
+    * last event + gap. */
+  val oracleSql: Map[String, String] = Map(
+    "st_rates" ->
+      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "st_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id,
+        |       min(us) AS session_start_us,
+        |       max(us) + 1800000000 AS session_end_us,
+        |       count(*) AS n_events
+        |FROM g
+        |GROUP BY user_id, sid""".stripMargin)
+}
