@@ -15,6 +15,16 @@ final case class MediaMeta(
     doc_id: Long, width: Int, height: Int, n_px: Long, sum_gray: Long,
     f0: Int, f1: Int, f2: Int, f3: Int)
 
+/** Nearest-neighbor-resized image features: source + target geometry,
+  * brightness sum and first four pixels of the RESIZED raster. Integer
+  * sampling (sx = x*srcW/outW) keeps the result engine-exact. */
+final case class ResizedMeta(
+    doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+    sum_resized: Long, r0: Int, r1: Int, r2: Int, r3: Int)
+
+/** One sampled frame of a clip: frame index + luma sum. */
+final case class FrameMeta(doc_id: Long, frame_no: Int, sum_luma: Long)
+
 /**
  * Multimodal-column plumbing: treat image/audio/video payloads as opaque
  * `binary` columns, decode/feature-extract per partition, return typed
@@ -99,6 +109,117 @@ object Multimodal {
             y += 1
           }
           MediaMeta(id, w, h, w.toLong * h, sum, first(0), first(1), first(2), first(3))
+        }
+      }
+  }
+
+  /** Decode + nearest-neighbor resize to a fixed target geometry — the
+    * normalize-before-training step of an image pipeline. Real ImageIO
+    * decode per partition; the resample is integer floor sampling
+    * (sx = x*srcW/outW, sy = y*srcH/outH), so the oracle can recompute the
+    * resized raster symbolically. Interpolating kernels (bilinear etc.)
+    * slot into the same shape but are float-valued — nearest keeps the
+    * gate exact. */
+  def resizeFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                     outW: Int, outH: Int): Dataset[ResizedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          val first = new Array[Int](4)
+          var i = 0
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val v = raster.getSample(x * w / outW, sy, 0)
+              sum += v
+              if (i < 4) first(i) = v
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMeta(id, w, h, outW, outH, sum,
+            first(0), first(1), first(2), first(3))
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- clips
+  //
+  // Video-shaped payloads. The container has no video codec (and the
+  // corpus no video column), so a clip is a deterministic RAW frame stack
+  // — the post-decode representation a real pipeline would hold after
+  // ffmpeg/your-codec-here — behind the same binary-column plumbing: a
+  // 4-byte header (w, h, nFrames, version) + nFrames w*h-byte grayscale
+  // frames, luma(f, idx) = (id*37 + f*7919 + idx*101) % 256. The decode
+  // step is the honest stub; the Spark-side schema, partitioning, and
+  // per-partition iterator transform are real and oracle-checked.
+
+  /** Luma of pixel `idx` in frame `f` of doc `id`'s synthetic clip. */
+  def clipLuma(id: Long, f: Int, idx: Int): Int =
+    ((id * 37 + f.toLong * 7919 + idx.toLong * 101) % 256).toInt
+
+  /** Attach a synthetic raw clip payload: (doc_id, clip). */
+  def encodeClips(df: DataFrame, idCol: String, nFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = dims(id)
+        val bytes = new Array[Byte](4 + nFrames * w * h)
+        bytes(0) = w.toByte; bytes(1) = h.toByte
+        bytes(2) = nFrames.toByte; bytes(3) = 1
+        var f = 0
+        var o = 4
+        while (f < nFrames) {
+          var idx = 0
+          while (idx < w * h) {
+            bytes(o) = clipLuma(id, f, idx).toByte; o += 1; idx += 1
+          }
+          f += 1
+        }
+        (id, bytes)
+      })
+      .toDF("doc_id", "clip")
+  }
+
+  /** Sample every `stride`-th frame of a raw clip payload (frame geometry
+    * from the clip header, not from the id — the operator only sees
+    * bytes), emitting per-frame luma sums: the keyframe-extraction step of
+    * a video pipeline as a per-partition iterator transform. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   stride: Int): Dataset[FrameMeta] = {
+    require(stride > 0, "stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          require(bytes.length >= 4 && bytes(3) == 1,
+            s"doc $id: not a v1 raw clip")
+          val w = bytes(0) & 0xff
+          val h = bytes(1) & 0xff
+          val nFrames = bytes(2) & 0xff
+          require(bytes.length == 4 + nFrames * w * h,
+            s"doc $id: truncated clip payload")
+          (0 until nFrames by stride).iterator.map { f =>
+            var sum = 0L
+            val base = 4 + f * w * h
+            var idx = 0
+            while (idx < w * h) { sum += bytes(base + idx) & 0xff; idx += 1 }
+            FrameMeta(id, f, sum)
+          }
         }
       }
   }

@@ -213,7 +213,33 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           col("n_px"), col("sum_gray"),
           col("f0").cast("long").as("f0"), col("f1").cast("long").as("f1"),
-          col("f2").cast("long").as("f2"), col("f3").cast("long").as("f3")))
+          col("f2").cast("long").as("f2"), col("f3").cast("long").as("f3"))),
+
+    // Decode + nearest-neighbor resize to 8x6 (normalize-before-training):
+    // real ImageIO decode, integer floor resample so the oracle can
+    // recompute the resized raster from the closed-form pixel function.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeFeatures(
+        Multimodal.encodePayloads(docs(s, dir), "doc_id"),
+        "doc_id", "payload", outW = 8, outH = 6).toDF()
+        .select(col("doc_id"),
+          col("src_w").cast("long").as("src_w"),
+          col("src_h").cast("long").as("src_h"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("sum_resized"),
+          col("r0").cast("long").as("r0"), col("r1").cast("long").as("r1"),
+          col("r2").cast("long").as("r2"), col("r3").cast("long").as("r3"))),
+
+    // Keyframe extraction: every 4th frame of a 12-frame raw clip (header
+    // + frame stack — the post-decode representation; geometry read from
+    // the clip header, not the id), per-frame luma sums per partition.
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.encodeClips(docs(s, dir), "doc_id", nFrames = 12),
+        "doc_id", "clip", stride = 4).toDF()
+        .select(col("doc_id"),
+          col("frame_no").cast("long").as("frame_no"), col("sum_luma")))
   )
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
@@ -472,6 +498,40 @@ object PipelineQueries {
         |  CAST(max(CASE WHEN i = 1 THEN p END) AS BIGINT) AS f1,
         |  CAST(max(CASE WHEN i = 2 THEN p END) AS BIGINT) AS f2,
         |  CAST(max(CASE WHEN i = 3 THEN p END) AS BIGINT) AS f3
-        |FROM px GROUP BY doc_id, w, h""".stripMargin
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // Nearest-neighbor 8x6 resample of the synthetic raster: out pixel
+    // i = (oy, ox) samples source (oy*h//6)*w + ox*w//8 — integer floor
+    // division on both engines.
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, i,
+        |         (doc_id * 37 +
+        |          (((i // 8) * h // 6) * w + ((i % 8) * w // 8)) * 101) % 256 AS p
+        |       FROM d, generate_series(0, 47) t(i))
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |  CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+        |  CAST(sum(p) AS BIGINT) AS sum_resized,
+        |  CAST(max(CASE WHEN i = 0 THEN p END) AS BIGINT) AS r0,
+        |  CAST(max(CASE WHEN i = 1 THEN p END) AS BIGINT) AS r1,
+        |  CAST(max(CASE WHEN i = 2 THEN p END) AS BIGINT) AS r2,
+        |  CAST(max(CASE WHEN i = 3 THEN p END) AS BIGINT) AS r3
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // Frames 0/4/8 of the 12-frame clip, luma(f, idx) =
+    // (id*37 + f*7919 + idx*101) % 256 (Multimodal.clipLuma).
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, f
+        |       FROM d, generate_series(0, 11) s(f) WHERE f % 4 = 0),
+        |px AS (SELECT doc_id, f,
+        |         (doc_id * 37 + f * 7919 + i * 101) % 256 AS p
+        |       FROM fr, generate_series(0, 250) t(i) WHERE i < w * h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST(sum(p) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY doc_id, f""".stripMargin
   )
 }

@@ -612,4 +612,48 @@ class OperatorsSpec extends SparkSpec {
       assert(m.f0 == Multimodal.pixel(id, 0) && m.f3 == Multimodal.pixel(id, 3))
     }
   }
+
+  test("multimodal: nearest-neighbor resize matches floor-sampled source") {
+    import graft.operators.Multimodal
+    val d = docs((3L, "unused"), (11L, "unused"))
+    val (outW, outH) = (8, 6)
+    val got = Multimodal.resizeFeatures(
+      Multimodal.encodePayloads(d, "doc_id"), "doc_id", "payload", outW, outH)
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(3L, 11L)) {
+      val (w, h) = Multimodal.dims(id)
+      val m = got(id)
+      assert(m.src_w == w && m.src_h == h && m.out_w == outW && m.out_h == outH)
+      val expected = for (y <- 0 until outH; x <- 0 until outW)
+        yield Multimodal.pixel(id, (y * h / outH) * w + (x * w / outW))
+      assert(m.sum_resized == expected.map(_.toLong).sum)
+      assert(m.r0 == expected(0) && m.r1 == expected(1) &&
+        m.r2 == expected(2) && m.r3 == expected(3))
+    }
+  }
+
+  test("multimodal: frame sampling reads geometry from the clip header") {
+    import graft.operators.Multimodal
+    val d = docs((5L, "unused"), (9L, "unused"))
+    val rows = Multimodal.sampleFrames(
+      Multimodal.encodeClips(d, "doc_id", nFrames = 12), "doc_id", "clip",
+      stride = 4)
+      .collect().map(m => (m.doc_id, m.frame_no) -> m.sum_luma).toMap
+    // every 4th of 12 frames, per doc
+    assert(rows.keySet == (for (id <- Seq(5L, 9L); f <- Seq(0, 4, 8))
+      yield (id, f)).toSet)
+    for (id <- Seq(5L, 9L); f <- Seq(0, 4, 8)) {
+      val (w, h) = Multimodal.dims(id)
+      val expected = (0 until w * h).map(Multimodal.clipLuma(id, f, _).toLong).sum
+      assert(rows((id, f)) == expected, s"doc $id frame $f")
+    }
+    // corrupt header version rejected
+    import org.apache.spark.sql.functions._
+    val bad = Multimodal.encodeClips(d, "doc_id", nFrames = 2)
+      .withColumn("clip", expr("substring(clip, 1, 10)"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(bad, "doc_id", "clip", stride = 1).collect()
+    }
+    assert(e.getMessage.contains("clip"), e.getMessage)
+  }
 }
