@@ -456,6 +456,40 @@ class OperatorsSpec extends SparkSpec {
     graft.util.Caches.drain()
   }
 
+  test("connected components agree with union-find on random graphs") {
+    val schema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse random graph: ~1.2 edges/node leaves a mix of large
+      // components, small trees, chains, and cycles
+      val n = 300
+      val edges = Seq.fill(360)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      // expected labels are the component MINIMUM among touched nodes:
+      // union-by-min with path compression guarantees find() is the min
+      val got = Dedup.components(
+        frame(schema, edges.map { case (a, b) =>
+          Map[String, Any]("d1" -> a, "d2" -> b) }))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: components diverge from union-find")
+      graft.util.Caches.drain()
+    }
+  }
+
   test("connected components costs one action per iteration") {
     val schema = StructType(Seq(
       StructField("d1", LongType), StructField("d2", LongType)))
