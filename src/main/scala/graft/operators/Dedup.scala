@@ -198,8 +198,13 @@ object Dedup {
     val edges = graft.util.Caches.retain(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed with min(id, min neighbor) — one aggregation over the (already
+    // bidirectional) edge list, same shuffle the identity-label distinct()
+    // would cost, but it collapses every star in "round 0" for free: one
+    // fewer join round both here and at 100x scale.
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__nb"))
+      .select(col("a").as("id"), least(col("a"), col("__nb")).as("label"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
