@@ -261,6 +261,20 @@ object Dedup {
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** The dedup pipeline's final materialization: the corpus with every
+    * duplicate-cluster member dropped except its canonical (min-id)
+    * representative; rows never named in a pair pass through untouched.
+    * The drop list holds only duplicate ids — usually far smaller than
+    * the corpus, in which case AQE turns the anti-join into a broadcast;
+    * when a corpus IS mostly duplicates it stays a safe shuffled anti-join
+    * rather than an overflowing forced broadcast. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dups = components(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,
     * NOT a scale path (the only deliberate cross join in this package). */

@@ -60,6 +60,13 @@ object PipelineQueries {
     // iterations; the oracle recomputes components via a recursive CTE.
     "dd_clusters" -> ((s, dir) => Dedup.clusters(minhashPairs(s, dir))),
 
+    // The pipeline's final materialization: the corpus with every
+    // duplicate-cluster member dropped except its canonical min-id rep.
+    // md5(text) stands in for the full payload in the compared output.
+    "dd_keep_one" -> ((s, dir) =>
+      Dedup.keepCanonical(docs(s, dir), "doc_id", minhashPairs(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))),
+
     // Full corpus (no sample): the df cap is what keeps the inverted-index
     // join linear-in-corpus, so the query exercises the scale guard itself.
     "dd_jaccard" -> ((s, dir) =>
@@ -311,6 +318,18 @@ object PipelineQueries {
          |lab AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
          |SELECT label AS cluster_rep, count(*) AS n_members
          |FROM lab GROUP BY label""".stripMargin,
+
+    // Same transitive closure; keep docs that are their cluster's min id
+    // (or in no pair at all).
+    "dd_keep_one" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |lab AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         |dups AS (SELECT id FROM lab WHERE id != label)
+         |SELECT doc_id, md5(text) AS text_md5 FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dups)""".stripMargin,
 
     // Mirrors jaccardPairs' maxDf=100 cap: sizes AND intersections over the
     // df-capped shingle universe (see DIVERGENCES.md — near-universal
