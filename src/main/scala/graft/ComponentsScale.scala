@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
 object ComponentsScale {
   def main(args: Array[String]): Unit = {
     val chainLen = args.headOption.map(_.toInt).getOrElse(64)
+    require(chainLen >= 2, s"chain length must be >= 2, got $chainLen")
     val sizes =
       if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
       else Seq(1000000L, 10000000L)

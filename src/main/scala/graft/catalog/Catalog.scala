@@ -236,8 +236,10 @@ object Catalog {
     // (frocket/invoker/jobs/registration_job.py:252-272). Spark doesn't
     // need the invariant (shuffles co-locate groups at query time), but a
     // GroupedWriter bucketed layout is supposed to satisfy it — so offer
-    // the same check over the scanned (sampled or full) parts: one
-    // aggregation, no extra scan beyond the one registration already does.
+    // the same check over the scanned (sampled or full) parts. This is a
+    // SECOND scan+shuffle job on top of the stats pass (the per-gid
+    // aggregation can't fuse into the global stats aggregate), which is
+    // why it's opt-in: enabling it roughly doubles registration I/O.
     if (validateGroupLocality && sampled.size > 1) {
       // input_file_name() is nondeterministic, so project it before the
       // aggregate (it may not appear inside an aggregate function).
@@ -355,19 +357,21 @@ object Catalog {
     * call [[disablePersistence]] first if the switch is intentional. */
   def enablePersistence(path: String): Unit = synchronized {
     val p = java.nio.file.Paths.get(path)
-    storePath.foreach { cur =>
-      if (cur == p) return
-      throw RegistrationException(
-        s"Catalog already persists to $cur; detach (disablePersistence) " +
-        s"before attaching $p")
-    }
-    storePath = Some(p)
-    if (java.nio.file.Files.exists(p)) {
-      JsonMethods.parse(java.nio.file.Files.readString(p)) \ "datasets" match {
-        case JArray(items) =>
-          items.foreach { j => val ds = dsFromJson(j); datasets.put(ds.name, ds) }
-        case _ => ()
-      }
+    storePath match {
+      case Some(cur) if cur == p => () // idempotent re-attach
+      case Some(cur) =>
+        throw RegistrationException(
+          s"Catalog already persists to $cur; detach (disablePersistence) " +
+          s"before attaching $p")
+      case None =>
+        storePath = Some(p)
+        if (java.nio.file.Files.exists(p)) {
+          JsonMethods.parse(java.nio.file.Files.readString(p)) \ "datasets" match {
+            case JArray(items) =>
+              items.foreach { j => val ds = dsFromJson(j); datasets.put(ds.name, ds) }
+            case _ => ()
+          }
+        }
     }
   }
 

@@ -207,6 +207,7 @@ object Dedup {
       .select(col("a").as("id"), least(col("a"), col("__nb")).as("label"))
     var changed = 1L
     var i = 0
+    var prevRound: Seq[DataFrame] = Nil
     while (changed > 0 && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
@@ -242,13 +243,20 @@ object Dedup {
       // Second (and last) job of the round: materializes `next` into its
       // checkpoint blocks and computes convergence in the same pass.
       changed = next.where(col("label") =!= col("__old")).count()
-      // Superseded checkpoint blocks (previous rounds' hop/next) are
-      // reclaimed by the context cleaner once unreferenced — a local
-      // checkpoint IS its lineage, so an explicit unpersist would break
-      // recomputation of anything still reading it.
+      // The previous round's checkpoint blocks are provably dead once this
+      // round's `next` is materialized (all state lives in next's own
+      // blocks) — free them now rather than waiting for driver GC + the
+      // context cleaner, which at ComponentsScale sizes lets multi-GB of
+      // dead label frames pile up across rounds.
+      prevRound.foreach(graft.util.Caches.freeCheckpoint)
+      prevRound = Seq(hopM, next)
       labels = next.select(col("id"), col("label"))
       i += 1
     }
+    // The final round's hop is dead too; its `next` backs the returned
+    // frame — track it so the caller's drain() can free the blocks.
+    prevRound.headOption.foreach(graft.util.Caches.freeCheckpoint)
+    prevRound.drop(1).foreach(graft.util.Caches.track)
     (labels, i)
   }
 

@@ -22,13 +22,13 @@ object JobStats {
       bytesScanned: Long,
       shuffleBytesWritten: Long,
       peakExecutionMemory: Long,
-      executorCpuMs: Long) {
+      executorRunMs: Long) {
     /** Engine-appropriate analog of the reference's per-query cost estimate
       * (invoker/stats_builder.py:42+, api.md "cost"): the reference prices
       * Lambda GB-seconds; on Spark the billable unit is executor-core time,
       * so report summed task run time as core-seconds. Cluster $/query =
       * coreSecs x the deployment's per-core-second rate. */
-    def coreSecs: Double = executorCpuMs / 1000.0
+    def coreSecs: Double = executorRunMs / 1000.0
     def toJson: String =
       s"""{"wallTimeMs": $wallTimeMs, "tasks": $tasks, "rowsScanned": $rowsScanned, """ +
       s""""bytesScanned": $bytesScanned, "shuffleBytesWritten": $shuffleBytesWritten, """ +
@@ -45,7 +45,7 @@ object JobStats {
     val bytes = new AtomicLong
     val shuffle = new AtomicLong
     val peak = new AtomicLong
-    val cpuMs = new AtomicLong
+    val runMs = new AtomicLong
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -57,7 +57,7 @@ object JobStats {
           peak.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
           // Run time, not CPU time: a core blocked on shuffle I/O is still
           // a core the deployment pays for.
-          cpuMs.addAndGet(m.executorRunTime)
+          runMs.addAndGet(m.executorRunTime)
         }
       }
     }
@@ -80,7 +80,7 @@ object JobStats {
         Thread.sleep(50)
       }
       (result, Snapshot((System.nanoTime() - t0) / 1000000, tasks.get(),
-        rows.get(), bytes.get(), shuffle.get(), peak.get(), cpuMs.get()))
+        rows.get(), bytes.get(), shuffle.get(), peak.get(), runMs.get()))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

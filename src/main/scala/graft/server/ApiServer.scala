@@ -48,8 +48,11 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // configured, a server restart reloads every registered dataset.
     // Attached here, not at construction: merely constructing a server
     // must not mutate the process-global catalog. The catalog itself
-    // rejects a second, different store (one store per JVM).
-    catalogStore.foreach(Catalog.enablePersistence)
+    // rejects a second, different store (one store per JVM) — on that
+    // failure, release the port the constructor bound so a corrected
+    // retry on the same port doesn't hit BindException.
+    try catalogStore.foreach(Catalog.enablePersistence)
+    catch { case e: Throwable => server.stop(0); throw e }
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex))
     server.createContext("/queries", (ex: HttpExchange) => handle(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handle(ex))
@@ -262,7 +265,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       mRowsScanned.addAndGet(stats.rowsScanned)
       mBytesScanned.addAndGet(stats.bytesScanned)
       mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
-      mCoreMs.addAndGet(stats.executorCpuMs)
+      mCoreMs.addAndGet(stats.executorRunMs)
       body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
     }
 

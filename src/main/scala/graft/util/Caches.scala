@@ -25,13 +25,35 @@ object Caches {
     ds
   }
 
+  /** Register `ds` for [[drain]] WITHOUT persisting it — for frames whose
+    * storage is already bound elsewhere (localCheckpoint blocks). */
+  def track[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    bin += ds
+    ds
+  }
+
+  /** Release the blocks behind a localCheckpoint-backed frame. A local
+    * checkpoint IS its lineage — the blocks cannot be recomputed — so call
+    * this only once nothing will read the frame again. No-op for plans not
+    * rooted in a checkpoint/RDD. */
+  def freeCheckpoint(ds: Dataset[_]): Unit = {
+    ds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
+    ()
+  }
+
   /** Unpersist every retained dataset and clear the registry. Blocking:
     * callers drain between measured queries (Bench) or between requests
     * (ApiServer), and a non-blocking unpersist lets one query's block
     * cleanup churn leak into the next measurement (observed 1.5-4x
     * in-battery inflation at sf0.1). */
   def drain(): Unit = synchronized {
-    bin.foreach(_.unpersist(blocking = true))
+    bin.foreach { ds =>
+      ds.unpersist(blocking = true)
+      freeCheckpoint(ds) // tracked checkpoint-backed frames free here
+    }
     bin.clear()
   }
 }

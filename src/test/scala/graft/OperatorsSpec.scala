@@ -681,13 +681,21 @@ class OperatorsSpec extends SparkSpec {
       val expected = (0 until w * h).map(Multimodal.clipLuma(id, f, _).toLong).sum
       assert(rows((id, f)) == expected, s"doc $id frame $f")
     }
-    // corrupt header version rejected
+    // truncated payload rejected (header intact, frames cut short)
     import org.apache.spark.sql.functions._
-    val bad = Multimodal.encodeClips(d, "doc_id", nFrames = 2)
+    val truncated = Multimodal.encodeClips(d, "doc_id", nFrames = 2)
       .withColumn("clip", expr("substring(clip, 1, 10)"))
-    val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.sampleFrames(bad, "doc_id", "clip", stride = 1).collect()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(truncated, "doc_id", "clip", stride = 1).collect()
     }
-    assert(e.getMessage.contains("clip"), e.getMessage)
+    assert(e1.getMessage.contains("truncated clip"), e1.getMessage)
+    // unknown header version rejected (byte 3 flipped to 2)
+    val badVersion = Multimodal.encodeClips(d, "doc_id", nFrames = 2)
+      .withColumn("clip", concat(expr("substring(clip, 1, 3)"),
+        lit(Array[Byte](2.toByte)), expr("substring(clip, 5, 1000000)")))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(badVersion, "doc_id", "clip", stride = 1).collect()
+    }
+    assert(e2.getMessage.contains("not a v1 raw clip"), e2.getMessage)
   }
 }
