@@ -83,6 +83,115 @@ object TextAnalysis {
     expr(s"array_min(transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
          s"i -> md5(substring($textCol, i, $n))))")
 
+  /** Gopher-style repetition signals per document: duplicate-token fraction,
+    * most-frequent-token fraction, and most-frequent-bigram fraction — the
+    * rule-based repetition filters corpus cleaning thresholds on (a doc whose
+    * top bigram covers 20% of it is boilerplate, not prose). Ratios are
+    * single divisions of exact integer counts — deterministic across engines.
+    *
+    * Shape at scale: explode + two groupBys keyed by doc id — all partial
+    * aggregation is map-side (a document's tokens live in one row, hence one
+    * partition), so the shuffle carries one row per (doc, distinct token),
+    * not per token. Docs with fewer than 2 tokens get a NULL bigram fraction
+    * (there is no bigram to measure). */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tokTop = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    val bgTop = bigrams(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    tokTop.join(bgTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_tok_frac"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        (col("top_bigram").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** One row per (doc, bigram occurrence): (doc_id, bg). The CASE guard
+    * must live INSIDE the expression, not only in a row filter: Spark's
+    * sequence(1, n) DESCENDS when n < 1, and InferFiltersFromGenerate +
+    * predicate pushdown can evaluate the array expression on rows the
+    * `where` would have dropped (a pushed `size(<expr>) > 0` filter runs
+    * below the size guard). CASE branches evaluate lazily, so short docs
+    * never reach the descending-sequence path. */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(__toks) >= 2 THEN " +
+        "transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) " +
+        "ELSE array() END")).as("bg"))
+
+  /** Corpus-level top-`k` bigram heavy hitters: (bigram, n), deterministic
+    * under ties (count desc, then bigram asc). The plan is one hash
+    * aggregation (map-side partials) + TakeOrdered — Spark computes per-
+    * partition top-k and merges on the driver, so no global sort and no
+    * single-partition shuffle even when the distinct-bigram set is huge. */
+  def ngramTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy(col("bg").as("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
+  /** Benchmark-contamination check (the n-gram overlap scan run before
+    * training on any scraped corpus, cf. the 13-gram dedup in the GPT-3
+    * paper's data-prep appendix): for each corpus document sharing at least
+    * one token `n`-gram with the eval set, the count of its distinct grams
+    * (`n_grams`) and how many of them appear in the eval set (`n_hits`).
+    * Grams are md5-hashed so the join key is fixed-width.
+    *
+    * Shape at scale: the eval set is small by definition — its distinct-gram
+    * table is explicitly broadcast, so the corpus side is a map-only
+    * explode + broadcast semi-join + one groupBy(doc_id) with map-side
+    * partials. No shuffle of corpus grams ever happens. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    // Explode the window INDEX first, then hash with top-level (codegen'd)
+    // md5/slice/array_join — an md5 inside a `transform` lambda is
+    // interpreted per element and measured 3x slower end-to-end. slice's
+    // start is always >= 1 here because the generator only emits valid
+    // indices (the CASE keeps sequence() from descending through 0 on
+    // short docs under InferFiltersFromGenerate + pushdown, which evaluate
+    // the generator expression on rows the `where` would have dropped).
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__toks"), explode(expr(
+        s"CASE WHEN size(__toks) >= $n THEN sequence(1, size(__toks) - ${n - 1}) " +
+        s"ELSE array() END")).as("__i"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice(__toks, __i, $n), ' ')")).as("gh"))
+      .distinct()
+    val ev = grams(evalSet).select(col("gh"), lit(1).as("__hit")).distinct()
+    // One pass over the corpus grams: count(*) = distinct grams per doc,
+    // counted hits from the broadcast left join — no second execution of
+    // the gram lineage for a separate n_grams aggregate.
+    grams(corpus)
+      .join(broadcast(ev), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
+
+  /** Deterministic hash-based train/val/test assignment: buckets on the
+    * first hex char of md5("<salt>:<id>") — 12/16 train, 2/16 val, 2/16
+    * test. A pure string comparison on the md5 hex digest ('0' < … < '9' <
+    * 'a' < … < 'f'), so any engine assigns every row identically — the
+    * property a split must have for a pipeline to be re-runnable. Map-only;
+    * changing `salt` re-rolls the split without touching the data. */
+  def hashSplit(idCol: Column, salt: String): Column = {
+    val h = substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
   /** Token-window chunking with overlap — the standard training-data prep
     * step that splits long documents into model-context-sized pieces.
     * Chunk i covers tokens [i·stride, i·stride + chunkSize) with stride =

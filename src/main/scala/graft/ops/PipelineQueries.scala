@@ -201,6 +201,35 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // Gopher-style repetition filters: duplicate-token / top-token /
+    // top-bigram fractions per document.
+    "tx_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
+
+    // Corpus-level bigram heavy hitters (hash agg + TakeOrdered; the
+    // (count desc, bigram asc) tiebreak makes the top-50 set deterministic).
+    "tx_ngram_topk" -> ((s, dir) =>
+      TextAnalysis.ngramTopK(docs(s, dir), "doc_id", "text", k = 50)),
+
+    // Benchmark-contamination scan: docs (id >= 20) sharing any 13-token
+    // gram with the eval set (id < 20). Eval grams broadcast; the corpus
+    // side never shuffles its grams.
+    "tx_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contamination(
+        d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+        "doc_id", "text", n = 13)
+    }),
+
+    // Deterministic hash split (train/val/test) + per-split corpus stats:
+    // the re-runnable split assignment every training pipeline needs.
+    "pipeline_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.hashSplit(col("doc_id"), "split").as("split"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))),
+
     // Token-window chunking (32-token chunks, 8-token overlap): one row per
     // chunk with its token count and content hash.
     "tx_chunks" -> ((s, dir) =>
@@ -501,6 +530,61 @@ object PipelineQueries {
         |           FROM documents, generate_series(1, 4000) t(i)
         |           WHERE i <= greatest(len(text) - 7, 1))
         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.repetition: token/bigram occurrence counts per
+    // doc, ratios as single divisions of exact integer counts. toks[i] is
+    // 1-based; i <= len-1 bounds the bigram index exactly as Spark's
+    // sequence(1, size-1).
+    "tx_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct, max(c) AS top_tok
+        |       FROM tc GROUP BY doc_id),
+        |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) x,
+        |           generate_series(1, 200) s(i) WHERE i <= len(toks) - 1),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+        |       FROM bc GROUP BY doc_id)
+        |SELECT ts.doc_id, ts.n_tokens,
+        |  CAST(ts.n_tokens - ts.n_distinct AS DOUBLE) / ts.n_tokens AS dup_tok_frac,
+        |  CAST(ts.top_tok AS DOUBLE) / ts.n_tokens AS top_tok_frac,
+        |  CAST(bs.top_bigram AS DOUBLE) / bs.n_bigrams AS top_bigram_frac
+        |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "tx_ngram_topk" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |      FROM t, generate_series(1, 200) s(i) WHERE i <= len(toks) - 1)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    // Mirrors TextAnalysis.contamination: distinct md5'd 13-token grams,
+    // eval = doc_id < 20, corpus = the rest. toks[i : i+12] is 1-based
+    // INCLUSIVE — 13 elements, exactly Spark's slice(toks, i, 13).
+    "tx_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i+12], ' ')) AS gh
+        |      FROM t, generate_series(1, 200) s(i) WHERE i <= len(toks) - 12),
+        |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE doc_id >= 20
+        |       GROUP BY doc_id)
+        |SELECT g.doc_id, ng.n_grams, count(*) AS n_hits
+        |FROM g JOIN ev USING (gh) JOIN ng ON g.doc_id = ng.doc_id
+        |WHERE g.doc_id >= 20
+        |GROUP BY g.doc_id, ng.n_grams""".stripMargin,
+
+    // Mirrors TextAnalysis.hashSplit: first hex char of md5('split:' || id),
+    // '0'..'b' train (12/16), 'c'..'d' val, 'e'..'f' test.
+    "pipeline_split" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  len(string_split(text, ' ')) AS nt FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY split""".stripMargin,
 
     // Symbolic mirror of the PNG round-trip: geometry 4+id%13 × 3+id%11,
     // pixel(idx) = (id*37 + idx*101) % 256 (Multimodal.pixel). The Spark

@@ -698,4 +698,56 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not a v1 raw clip"), e2.getMessage)
   }
+
+  test("repetition signals: known fractions, single-token doc gets null bigram frac") {
+    val d = docs(
+      (1L, "a a a b"),        // 4 toks, 2 distinct; top tok 3x; bigrams: "a a"x2, "a b" → top 2/3
+      (2L, "x y z w"),        // no repetition at all
+      (3L, "solo"))           // 1 token: no bigrams
+    val got = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((4L, 0.5, 0.75, Some(2.0 / 3))))
+    assert(got(2L) == ((4L, 0.0, 0.25, Some(1.0 / 3))))
+    assert(got(3L) == ((1L, 0.0, 1.0, None)))
+  }
+
+  test("ngram top-k: counts, deterministic tie-break, limit") {
+    val d = docs((1L, "p q p q"), (2L, "p q r"), (3L, "z z"))
+    // bigrams: "p q"x3, "q p"x1, "q r"x1, "z z"x1
+    val got = TextAnalysis.ngramTopK(d, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("p q", 3L), ("q p", 1L), ("q r", 1L))) // ties → asc bigram
+  }
+
+  test("contamination: gram overlap counts, short docs excluded, broadcast plan") {
+    val mk = (s: String, n: Int) => Seq.fill(n)(s).mkString(" ")
+    val shared = (1 to 13).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      (1L, shared + " tail"),          // eval doc: grams of the shared window
+      (30L, shared),                   // exactly the shared 13-gram → 1/1 hit
+      (31L, mk("zz", 20)),             // no overlap → absent from result
+      (32L, mk("w", 12)))              // < 13 tokens → excluded entirely
+    val q = TextAnalysis.contamination(
+      d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), "doc_id", "text", 13)
+    val got = q.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(30L -> ((1L, 1L))))
+    // the eval-gram side must be broadcast — no shuffle of corpus grams
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      q.queryExecution.executedPlan.toString)
+  }
+
+  test("hash split: total, deterministic, and salt-sensitive") {
+    val d = docs((0 until 64).map(i => (i.toLong, s"doc $i")): _*)
+    val a = d.select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), "s1").as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.values.forall(Set("train", "val", "test")), a.values.toSet.toString)
+    assert(a.values.toSet.size == 3) // 64 ids hit all three buckets w.h.p.
+    val b = d.select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), "s1").as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // same salt → identical assignment
+    val c = d.select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), "s2").as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c) // different salt re-rolls the split
+  }
 }
