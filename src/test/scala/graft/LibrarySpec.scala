@@ -251,7 +251,8 @@ class LibrarySpec extends SparkSpec {
     // join Catalyst can only execute as BroadcastNestedLoop) fails here even
     // while the small-SF oracle stays green.
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("dd_simhash_pairs", "dd_embed_near", "dd_jaccard", "dd_minhash_lsh")) {
+    for (name <- Seq("dd_simhash_pairs", "dd_embed_near", "dd_jaccard", "dd_minhash_lsh",
+                     "tx_contamination")) {
       val plan = graft.ops.PipelineQueries.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
