@@ -29,13 +29,18 @@ object StreamingQueries {
   type QFn = (SparkSession, String) => DataFrame
 
   /** Run a (bounded) streaming frame to completion into a memory sink and
-    * return the sink's contents as a batch frame. */
+    * return the sink's contents as a batch frame. Aggregations run in
+    * `complete` mode (every window emits regardless of watermark progress);
+    * row-emitting operators like dropDuplicates use `append` (they emit
+    * each surviving row immediately, so a finite input still yields the
+    * complete result — unlike watermark-finalized window APPEND, which
+    * never emits the last batch's windows). */
   private def runToBatch(s: SparkSession, stream: DataFrame,
-                         sink: String): DataFrame = {
+                         sink: String, mode: String = "complete"): DataFrame = {
     s.catalog.dropTempView(sink) // re-runs (bench warmup/timed) re-create it
     val q = stream.writeStream
       .format("memory").queryName(sink)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -70,6 +75,23 @@ object StreamingQueries {
           col("sum_value").cast("double").as("sum_value"))
     }),
 
+    // Streaming exact dedup over the event stream: first occurrence of each
+    // (user, event_type) pair — continuous first-touch dedup backed by
+    // dropDuplicatesWithinWatermark state. Determinism: only the KEY set is
+    // emitted (which duplicate row survives depends on task scheduling),
+    // and the watermark delay (90 d) exceeds the table's event-time span,
+    // so state never expires mid-run and the result is exactly the batch
+    // DISTINCT — the production-sized watermark (bounded state, horizon-
+    // scoped dedup) is covered by the MemoryStream unit spec instead.
+    "st_dedup" -> ((s, dir) => {
+      val keyed = eventsStream(s, dir)
+        .withColumn("__payload", concat_ws(":", col("user_id"), col("event_type")))
+      val first = graft.streaming.StreamingDedup.firstOccurrences(
+        keyed, "event_ts", "__payload", "90 days")
+      runToBatch(s, first, "st_dedup_sink", mode = "append")
+        .select(col("user_id"), col("event_type"))
+    }),
+
     // Per-user session_window sessions (30-minute inactivity gap), the
     // streaming counterpart of the batch fr_sessions operator. State per
     // group is only the open session once the watermark passes.
@@ -97,6 +119,8 @@ object StreamingQueries {
         |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "st_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "st_sessions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
