@@ -70,7 +70,20 @@ final class QueryEngine(spec: DatasetSpec) {
         // both pushed to parquet row-group stats by Catalyst.
         val lower = from.map(f => col(ts) >= lit(f))
         val upper = to.map(t => col(ts) < lit(t))
-        (lower ++ upper).reduceOption(_ && _).map(df.filter).getOrElse(df)
+        // Day-partitioned layouts (GroupedWriter.partitionByDay) carry a
+        // `dt` DATE partition column; derive its bounds from the timeframe
+        // so whole day directories are pruned at planning time (the filter
+        // is a superset of the row filter above, which stays authoritative).
+        // The upper bound uses to-1ns: an exact-midnight `to` excludes its
+        // own day entirely.
+        val dtBounds =
+          if (df.schema.exists(f =>
+                f.name == "dt" && f.dataType == org.apache.spark.sql.types.DateType)) {
+            val dayOf = (nanos: Long) => to_date(timestamp_micros(lit(nanos / 1000L)))
+            from.map(f => col("dt") >= dayOf(f)) ++
+              to.map(t => col("dt") <= dayOf(t - 1L))
+          } else Nil
+        (lower ++ upper ++ dtBounds).reduceOption(_ && _).map(df.filter).getOrElse(df)
       case None => df
     }
 
@@ -121,7 +134,14 @@ final class QueryEngine(spec: DatasetSpec) {
   def runValidated(df: DataFrame, q: GraftQuery): PlannedQuery = {
     graft.query.SchemaValidator.validate(df.schema, spec, q)
     val used = graft.query.SchemaValidator.usedColumns(spec, q)
-    run(df.select(used.map(col): _*), q)
+    // Keep the dt partition column through the projection when a timeframe
+    // is present, or the derived partition pruning in run() has nothing to
+    // bind to.
+    val usedPlus =
+      if (q.timeframe.nonEmpty && df.columns.contains("dt") && !used.contains("dt"))
+        used :+ "dt"
+      else used
+    run(df.select(usedPlus.map(col): _*), q)
   }
 
   // ------------------------------------------------------------------ filters

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, to_date}
 
 /**
  * Data-prep writers reproducing the reference's physical layout guarantees.
@@ -26,6 +26,21 @@ object GroupedWriter {
                          path: String): Unit =
     df.repartition(nParts, col(groupIdCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style day-partitioned layout: adds a `dt` DATE partition column
+    * derived from the epoch-nanos timestamp and writes one directory per
+    * day. The 100 TB timeframe story: row-group stats pushdown (S2) still
+    * skips within files, but a `dt=...` directory layout lets the planner
+    * skip whole days without listing their files — and
+    * [[graft.engine.QueryEngine]] derives `dt` partition bounds from any
+    * query timeframe automatically when the scanned frame carries this
+    * column. `nParts` bounds output files per day (each day's rows are
+    * hash-clustered by `groupIdCol` into at most `nParts` files). */
+  def partitionByDay(df: DataFrame, tsNanosCol: String, groupIdCol: String,
+                     nParts: Int, path: String): Unit =
+    df.withColumn("dt", to_date(timestamp_micros(expr(s"$tsNanosCol div 1000"))))
+      .repartition(nParts, col("dt"), col(groupIdCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(path)
 
   /** Bucketed+sorted managed table; downstream per-group aggregations and
     * joins on `groupIdCol` skip the shuffle entirely. Extra `sortCols`

@@ -198,6 +198,41 @@ class LibrarySpec extends SparkSpec {
     assert(filesPerGroup == 1L)
   }
 
+  test("day-partitioned source: timeframe prunes whole day directories") {
+    import graft.query.QueryAst._
+    val dir = tmpDir("dtpart")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    // 10 days of events at nanos timestamps starting 2024-01-01 UTC.
+    val day0 = 1704067200000000000L
+    val dayNs = 86400000000000L
+    val ev = frame(schema, (0L until 500L).map(i => Map[String, Any](
+      "uid" -> i % 20, "ts" -> (day0 + (i % 10) * dayNs + i * 1000000L),
+      "etype" -> Seq("view", "click", "buy")((i % 3).toInt))))
+    GroupedWriter.partitionByDay(ev, "ts", "uid", nParts = 2, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("dt=")) == 10)
+
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    // Days 2..4 (from inclusive, to exclusive at an exact midnight).
+    val q = GraftQuery(
+      Some(Timeframe(Some(day0 + 2 * dayNs), Some(day0 + 5 * dayNs))),
+      Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
+        Scalar.Str("view"))), Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      None, Nil, None)
+    val part = engine.runValidated(spark.read.parquet(dir), q).summary
+    val plan = part.queryExecution.executedPlan.toString
+    // dt bounds reach the scan's partition filters — whole days are pruned
+    // at planning time (an exact-midnight `to` excludes its own day).
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains(">= 2024-01-03") && plan.contains("<= 2024-01-05"), plan)
+    // Same numbers as the flat (unpartitioned) layout.
+    val flat = engine.run(ev, q).summary.collect()(0)
+    val got = part.collect()(0)
+    assert(got == flat, s"partitioned $got vs flat $flat")
+    assert(got.getLong(1) > 0L) // the timeframe actually selected rows
+  }
+
   test("bucketed-by-group source eliminates the window shuffle (100 TB plan)") {
     import graft.query.QueryAst._
     val schema = StructType(Seq(
