@@ -117,6 +117,25 @@ object FrQueries {
       Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 1))),
       None, Nil, None)).summary),
 
+    // Same timeframe query over a day-partitioned (dt=DATE) copy of events:
+    // the engine derives dt partition bounds from the timeframe, so whole
+    // day directories are pruned at planning time (the 100 TB layout path,
+    // plan-pinned in LibrarySpec). The fixture is keyed by SF-dir name —
+    // the side-effect-fixture rule q_csv_ingest established.
+    "fr_timeframe_pruned" -> ((s, dir) => {
+      val fixture =
+        s"/tmp/graft_dtpart_fixture/${new java.io.File(dir).getName}/events"
+      graft.sources.GroupedWriter.partitionByDay(
+        ev(s, dir), "ts", "user_id", nParts = 4, fixture)
+      engine.runValidated(
+        s.read.parquet(fixture)
+          .withColumn("value", col("value").cast("decimal(20,4)")),
+        GraftQuery(
+          Some(Timeframe(Some(1705000000000000000L), Some(1706000000000000000L))),
+          Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 1))),
+          None, Nil, None)).summary
+    }),
+
     "fr_sequence" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(Condition.Sequence(None, valueSteps, None)),
       None, Nil, None)).summary),
@@ -357,6 +376,16 @@ object FrQueries {
          |$SUMMARY""".stripMargin,
 
     "fr_timeframe" ->
+      s"""WITH e0 AS ($E),
+         |e AS (SELECT * FROM e0 WHERE tl >= 1705000000000000000 AND tl < 1706000000000000000),
+         |m AS (SELECT user_id FROM e GROUP BY user_id
+         |      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1)
+         |SELECT count(DISTINCT e.user_id) AS matching_groups, count(*) AS matching_group_rows
+         |FROM e JOIN m ON e.user_id = m.user_id""".stripMargin,
+
+    // Identical semantics to fr_timeframe: partition pruning must not
+    // change results, only the number of directories scanned.
+    "fr_timeframe_pruned" ->
       s"""WITH e0 AS ($E),
          |e AS (SELECT * FROM e0 WHERE tl >= 1705000000000000000 AND tl < 1706000000000000000),
          |m AS (SELECT user_id FROM e GROUP BY user_id
