@@ -192,6 +192,39 @@ object TextAnalysis {
     when(h < "c", "train").when(h < "e", "val").otherwise("test")
   }
 
+  /** Deterministic uniform draw in [0,1) per id: the first 8 hex chars of
+    * md5("<salt>:<id>") read as a 32-bit integer, scaled by 2^-32. The
+    * engine-portable substitute for rand(): any engine computing the same
+    * md5 assigns every row the same u, so a mixture-rebalancing pass
+    * (`u < rate`) is exactly re-runnable and composes with [[hashSplit]]
+    * (different salts → independent draws). Map-only; the standard
+    * FineWeb/DoReMi-style corpus-mixing primitive: downsample an
+    * over-represented language/domain with `where(hashUniform(id, salt) <
+    * targetRate)` — no shuffle, no state, works identically on 5k or 5B
+    * docs. */
+  def hashUniform(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic per-key cap: keep at most `n` rows per `keyCol`,
+    * chosen by hash order (md5 of salted id, id as tie-break) so the kept
+    * set is a uniform-without-replacement sample that any engine
+    * reproduces bit-for-bit. One window exchange partitioned by key —
+    * fine when keys are domains/sources (many keys, bounded per-key
+    * counts). For a 100 TB corpus with billion-row hot keys, compose the
+    * approximate variant instead: count per key, then
+    * `where(hashUniform(id, salt) < n / count)` — two map-side-partial
+    * aggregation passes, no per-key sort at all. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+                salt: String): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n).drop("__rk")
+  }
+
   /** Token-window chunking with overlap — the standard training-data prep
     * step that splits long documents into model-context-sized pieces.
     * Chunk i covers tokens [i·stride, i·stride + chunkSize) with stride =

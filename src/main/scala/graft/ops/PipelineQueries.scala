@@ -201,6 +201,24 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // Corpus length distribution via the t-digest-style GK sketch
+    // (approx_percentile — the 100 TB path: mergeable, single pass, fixed
+    // memory) gated against Spark's exact percentile in the same job, the
+    // fr_agg_groups_approx_err pattern: the compared output is the single
+    // gate bit, so sketch-merge-order noise can't flip the oracle as long
+    // as the error floor (5%) holds. p50 + p90 over token counts.
+    "tx_len_quantiles_err" -> ((s, dir) => {
+      val lens = docs(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("double").as("n"))
+      lens.agg(
+          expr("percentile(n, array(0.5, 0.9))").as("exact"),
+          expr("approx_percentile(n, array(0.5, 0.9), 1000)").as("approx"))
+        .select(explode(arrays_zip(col("exact"), col("approx"))).as("z"))
+        .select((abs(col("z.exact") - col("z.approx")) / col("z.exact")).as("err"))
+        .agg(max(col("err")).as("max_err"))
+        .select(when(col("max_err") <= 0.05, lit(1L)).otherwise(lit(0L)).as("passed"))
+    }),
+
     // Gopher-style repetition filters: duplicate-token / top-token /
     // top-bigram fractions per document.
     "tx_repetition" -> ((s, dir) =>
@@ -229,6 +247,28 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))),
+
+    // Mixture rebalancing: downsample over-represented languages with a
+    // deterministic per-doc uniform draw (en to 50%, zh to 25%, rest kept)
+    // — the FineWeb/DoReMi-style corpus-mixing pass, map-only and exactly
+    // re-runnable. Output: per-lang kept counts + doc_id checksum.
+    "pipeline_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(0.5))
+        .when(col("lang") === "zh", lit(0.25)).otherwise(lit(1.0))
+      docs(s, dir)
+        .where(TextAnalysis.hashUniform(col("doc_id"), "mix") < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // Domain balancing: deterministic hash-ordered cap of 20 docs per
+    // source (the per-domain cap step that keeps one crawl domain from
+    // dominating a mixture). Verified via per-source kept counts + the
+    // kept-set doc_id checksum, which pins the EXACT kept rows.
+    "pipeline_cap_source" -> ((s, dir) =>
+      TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 20, "cap")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
 
     // Token-window chunking (32-token chunks, 8-token overlap): one row per
     // chunk with its token count and content hash.
@@ -531,6 +571,11 @@ object PipelineQueries {
         |           WHERE i <= greatest(len(text) - 7, 1))
         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
 
+    // The quantile gate asserts the literal expectation (see the ANN recall
+    // gates above): an approx_percentile regression past the 5% floor flips
+    // the row red.
+    "tx_len_quantiles_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
+
     // Mirrors TextAnalysis.repetition: token/bigram occurrence counts per
     // doc, ratios as single divisions of exact integer counts. toks[i] is
     // 1-based; i <= len-1 bounds the bigram index exactly as Spark's
@@ -585,6 +630,29 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS nt FROM documents)
         |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM d GROUP BY split""".stripMargin,
+
+    // Mirrors TextAnalysis.hashUniform: first 8 md5 hex chars as a 32-bit
+    // int over 2^32. DuckDB parses '0x'-prefixed hex in a BIGINT cast;
+    // Spark's conv(_,16,10) computes the identical value.
+    "pipeline_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d WHERE u < rate GROUP BY lang""".stripMargin,
+
+    // Mirrors TextAnalysis.capPerKey: row_number per source in (md5, id)
+    // order — md5 hex strings compare identically in any engine, and the
+    // id tie-break makes the rank total even under hash collisions.
+    "pipeline_cap_source" ->
+      """WITH r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 20 GROUP BY source""".stripMargin,
 
     // Symbolic mirror of the PNG round-trip: geometry 4+id%13 × 3+id%11,
     // pixel(idx) = (id*37 + idx*101) % 256 (Multimodal.pixel). The Spark

@@ -233,6 +233,45 @@ class LibrarySpec extends SparkSpec {
     assert(got.getLong(1) > 0L) // the timeframe actually selected rows
   }
 
+  test("catalog registers a day-partitioned dataset and timeframe queries prune it") {
+    import graft.query.QueryAst._
+    val dir = tmpDir("dtcat")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val day0 = 1704067200000000000L
+    val dayNs = 86400000000000L
+    val ev = frame(schema, (0L until 300L).map(i => Map[String, Any](
+      "uid" -> i % 10, "ts" -> (day0 + (i % 6) * dayNs + i * 1000000L),
+      "etype" -> Seq("view", "click")((i % 2).toInt))))
+    GroupedWriter.partitionByDay(ev, "ts", "uid", nParts = 2, dir)
+
+    // Registration sees the partition column (the sampled modes read with
+    // basePath for the same reason) and stats cover the full data. dt is
+    // date-typed — outside the reference's int/float/bool/string query
+    // type system by design (queries filter time via the ts timeframe and
+    // the engine derives dt pruning bounds from it), so it surfaces in
+    // dtypeNames + unsupported rather than as a filterable column.
+    val reg = Catalog.register(spark, "dtcat1", dir, "uid", "ts")
+    assert(reg.numRows == 300, reg.numRows.toString)
+    assert(reg.dtypeNames.get("dt").contains("date"), reg.dtypeNames.toString)
+    assert(reg.unsupportedColumns.contains("dt"), reg.unsupportedColumns.toString)
+
+    // Catalog.load → engine timeframe → dt partition pruning end-to-end.
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val q = GraftQuery(
+      Some(Timeframe(Some(day0 + dayNs), Some(day0 + 3 * dayNs))),
+      Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
+        Scalar.Str("view"))), Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      None, Nil, None)
+    val planned = engine.runValidated(Catalog.load(spark, "dtcat1"), q).summary
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(plan).isDefined, plan)
+    val flat = engine.run(ev, q).summary.collect()(0)
+    assert(planned.collect()(0) == flat)
+    Catalog.unregister("dtcat1")
+  }
+
   test("bucketed-by-group source eliminates the window shuffle (100 TB plan)") {
     import graft.query.QueryAst._
     val schema = StructType(Seq(

@@ -737,6 +737,54 @@ class OperatorsSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("repetition fractions agree with a direct computation on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextAnalysis.repetition(docs(rows: _*), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    rows.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val n = toks.size
+      val tokCounts = toks.groupBy(identity).map(_._2.size)
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expBg =
+        if (n >= 2) Some(bgs.groupBy(identity).map(_._2.size).max.toDouble / bgs.size)
+        else None
+      val exp = (n.toLong, (n - tokCounts.size).toDouble / n,
+        tokCounts.max.toDouble / n, expBg)
+      assert(got(id) == exp, s"doc $id '$text'")
+    }
+  }
+
+  test("contamination agrees with brute-force gram intersection on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("x", "y") // tiny vocab: real 3-gram collisions
+    val rows = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(2))).mkString(" "))
+    }
+    def grams(text: String): Set[String] =
+      text.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val evalGrams = rows.filter(_._1 < 10).flatMap(r => grams(r._2)).toSet
+    val expected = rows.filter(_._1 >= 10).flatMap { case (id, text) =>
+      val g = grams(text)
+      val hits = g.count(evalGrams.contains)
+      if (hits > 0) Some(id -> ((g.size.toLong, hits.toLong))) else None
+    }.toMap
+    val d = docs(rows: _*)
+    val got = TextAnalysis.contamination(
+      d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10),
+      "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture actually produced overlaps
+  }
+
   test("hash split: total, deterministic, and salt-sensitive") {
     val d = docs((0 until 64).map(i => (i.toLong, s"doc $i")): _*)
     val a = d.select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), "s1").as("sp"))
@@ -749,5 +797,39 @@ class OperatorsSpec extends SparkSpec {
     val c = d.select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), "s2").as("sp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a != c) // different salt re-rolls the split
+  }
+
+  test("hash uniform: in [0,1), deterministic, salt-sensitive, md5-exact") {
+    val d = docs((0 until 256).map(i => (i.toLong, "t")): _*)
+    def draw(salt: String) =
+      d.select(col("doc_id"), TextAnalysis.hashUniform(col("doc_id"), salt).as("u"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = draw("s1")
+    assert(a.values.forall(u => u >= 0.0 && u < 1.0))
+    assert(a == draw("s1"))
+    assert(a != draw("s2"))
+    // Spot-check one value against the definition (first 8 md5 hex chars
+    // over 2^32) computed JVM-side — pins the cross-engine contract the
+    // DuckDB oracle relies on.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1:7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a(7L) == java.lang.Long.parseLong(md.take(8), 16).toDouble / 4294967296.0)
+    // Uniformity sanity at n=256: the mean of 256 uniform draws is within
+    // 5 sigma (~0.09) of 0.5.
+    assert(math.abs(a.values.sum / 256.0 - 0.5) < 0.09)
+  }
+
+  test("cap per key: at most n rows per key, a deterministic input subset") {
+    val rows = (0 until 90).map(i => (i.toLong, s"k${i % 3}"))
+    val d = spark.createDataFrame(rows).toDF("id", "k")
+    val kept = TextAnalysis.capPerKey(d, "k", "id", 10, "c1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.groupBy(_._2).forall(_._2.length == 10), kept.mkString(","))
+    assert(kept.toSet.subsetOf(rows.toSet))
+    val again = TextAnalysis.capPerKey(d, "k", "id", 10, "c1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    // A cap above the group size keeps everything.
+    assert(TextAnalysis.capPerKey(d, "k", "id", 100, "c1").count() == 90)
   }
 }
