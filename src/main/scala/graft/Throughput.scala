@@ -40,7 +40,25 @@ object Throughput {
         .write.mode("overwrite").parquet(target)
     }
 
-    val df = spark.read.parquet(target)
+    // Optional second mode: the same corpus bucketed by group id — the
+    // engine-native analog of the data invariant the reference REQUIRES
+    // (each group lives in exactly one part, registration_job.py:252-272),
+    // which is what lets its empty query sum per-part nunique with no
+    // cross-worker exchange. On the bucketed table Catalyst knows the
+    // scan's hash partitioning, so the distinct-groups aggregation plans
+    // with NO 250M-row shuffle either: like-for-like with the reference's
+    // own layout assumption, while the plain-parquet mode above stays the
+    // honest no-assumptions comparison.
+    val bucketed = args.length > 1 && args(1) == "bucketed"
+    val df =
+      if (!bucketed) spark.read.parquet(target)
+      else {
+        val table = s"throughput_events_x$replicas"
+        if (!spark.catalog.tableExists(table))
+          sources.GroupedWriter.bucketBy(
+            spark.read.parquet(target), "user_id", cpus * 4, table)
+        spark.table(table)
+      }
     def run(): (Long, Long, Double) = {
       val t0 = System.nanoTime()
       val r = df.agg(count_distinct(col("user_id")).as("matching_groups"),
@@ -51,7 +69,8 @@ object Throughput {
     val (groups, rows, sec) = (1 to 3).map(_ => run()).minBy(_._3)
     val perCore = rows / sec / cpus
     println(f"""{"rows": $rows, "groups": $groups, "sec": $sec%.3f, """ +
-      f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f}""")
+      f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
+      f""""layout": "${if (bucketed) "bucketed" else "parquet"}"}""")
     spark.stop()
   }
 }

@@ -123,10 +123,16 @@ object FrQueries {
     // plan-pinned in LibrarySpec). The fixture is keyed by SF-dir name —
     // the side-effect-fixture rule q_csv_ingest established.
     "fr_timeframe_pruned" -> ((s, dir) => {
-      val fixture =
-        s"/tmp/graft_dtpart_fixture/${new java.io.File(dir).getName}/events"
-      graft.sources.GroupedWriter.partitionByDay(
-        ev(s, dir), "ts", "user_id", nParts = 4, fixture)
+      // Fixture keyed by SF-dir name AND the source file's size+mtime, so
+      // it is written once per distinct input (steady-state layout, like a
+      // real day-partitioned deployment) yet can never go stale if the
+      // driver regenerates testdata under the same path.
+      val src = new java.io.File(dir, "events.parquet")
+      val fixture = s"/tmp/graft_dtpart_fixture/${new java.io.File(dir).getName}" +
+        s"_${src.length}_${src.lastModified}/events"
+      if (!new java.io.File(fixture, "_SUCCESS").exists())
+        graft.sources.GroupedWriter.partitionByDay(
+          ev(s, dir), "ts", "user_id", nParts = 4, fixture)
       engine.runValidated(
         s.read.parquet(fixture)
           .withColumn("value", col("value").cast("decimal(20,4)")),
