@@ -283,6 +283,38 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Span-level exact dedup (the C4-style sub-document pass: drop every
+    * repeated N-token span corpus-wide, keeping its first occurrence):
+    * documents are cut into contiguous `n`-token spans
+    * ([[TextAnalysis.chunks]] with zero overlap), each distinct span text
+    * survives only at its globally-first (doc_id, span_idx) site, and
+    * documents are rebuilt from their surviving spans in order. Output one
+    * row per input document: (doc_id, n_spans, n_kept, clean_text) —
+    * clean_text is '' for a fully-duplicated document, which a downstream
+    * length filter then drops.
+    *
+    * Shape at scale: exactly two exchanges — a window partitioned by span
+    * hash picks first occurrences (rank over the 16-byte md5 key, no
+    * groupBy+join-back; the shuffle carries (doc, idx, span) once), then a
+    * groupBy(doc_id) rebuilds. collect_list skips the NULLs the keep-flag
+    * leaves, and sort_array on (idx, span) structs restores document
+    * order deterministically. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id"), col("chunk_idx"))
+    TextAnalysis.chunks(docs, idCol, textCol, n, 0)
+      .withColumn("__h", md5(col("chunk")))
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN __keep THEN " +
+          "struct(chunk_idx, chunk) END)), s -> s.chunk)"), " ")
+          .as("clean_text"))
+  }
+
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,
     * NOT a scale path (the only deliberate cross join in this package). */

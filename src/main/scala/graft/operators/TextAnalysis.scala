@@ -225,6 +225,97 @@ object TextAnalysis {
       .where(col("__rk") <= n).drop("__rk")
   }
 
+  /** Lexical-diversity signals per document: type-token ratio and the
+    * Gini-Simpson index (1 − Σc²/n² — the probability two tokens drawn
+    * without replacement differ). Both are standard corpus-quality
+    * signals (a diversity near 0 is boilerplate); both are single IEEE
+    * operations over exact integer counts, so any engine computes them
+    * bit-identically — the property the correctness oracle needs, and the
+    * reason this uses Simpson rather than Shannon entropy (log()
+    * implementations differ across engines in the last ulp).
+    *
+    * Shape at scale: explode + two groupBys keyed by doc id; a document's
+    * tokens live in one row, so all partial aggregation is map-side and
+    * the shuffle carries one row per (doc, distinct token). */
+  def diversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins. Documents are sharded by hash, ordered within each shard by a
+    * salted md5 (so the pack order IS the deterministic global shuffle a
+    * training run needs — one pass does both), and binned by
+    * floor(exclusive-prefix-token-sum / budget). A bin may exceed the
+    * budget by at most one document — the standard streaming-packing
+    * tradeoff, taken because exact first-fit packing is a sequential
+    * scan that cannot parallelize. Output: one row per (shard, bin) with
+    * its document and token counts.
+    *
+    * Shape at scale: ONE window exchange partitioned by shard — shards
+    * bound both the sort and the prefix-sum state, so 100 TB packs as
+    * `nShards` independent streams; no global sort exists in the plan. */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+           budget: Int, nShards: Int, salt: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val id = col(idCol).cast("string")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("__nt"),
+        (conv(substring(md5(concat(lit(s"$salt:"), id)), 1, 4), 16, 10)
+          .cast("long") % nShards).as("__shard"),
+        md5(concat(lit(s"$salt:"), id)).as("__h"))
+      .withColumn("__prefix", coalesce(
+        sum(col("__nt")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__shard").as("shard"),
+        expr(s"CAST(__prefix DIV $budget AS BIGINT)").as("bin"),
+        col("__nt"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+  }
+
+  /** Weighted corpus mixing: downsample sources so the kept corpus hits
+    * target proportions `weights` WITHOUT upsampling — the largest
+    * feasible total is T = min_s(count_s / w_s), giving per-source keep
+    * rate w_s·T/count_s (the binding source keeps everything). Rows are
+    * kept by [[hashUniform]] draw, so the mixture is exactly re-runnable
+    * and composable with [[hashSplit]]. Sources absent from `weights`
+    * are dropped (rate 0). The per-source counts are collected to the
+    * driver — one row per source, the same bounded shape as k-means
+    * centroids; everything else is a map-only filter. */
+  def mixWeighted(docs: DataFrame, keyCol: String, idCol: String,
+                  weights: Map[String, Double], salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val counts = docs.where(col(keyCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.keySet.subsetOf(counts.keySet),
+      s"sources missing from corpus: ${weights.keySet -- counts.keySet}")
+    // T and the rates are plain IEEE doubles computed with the same
+    // operation order the oracle SQL uses ((w * T) / count), so both
+    // engines compare hashUniform against bit-identical thresholds.
+    val t = weights.map { case (k, w) => counts(k).toDouble / w }.min
+    val rate = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((k, w), acc) =>
+        when(col(keyCol) === k, lit(w * t / counts(k).toDouble)).otherwise(acc)
+      }
+    docs.where(hashUniform(col(idCol), salt) < rate)
+  }
+
   /** Token-window chunking with overlap — the standard training-data prep
     * step that splits long documents into model-context-sized pieces.
     * Chunk i covers tokens [i·stride, i·stride + chunkSize) with stride =

@@ -270,6 +270,36 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
 
+    // Lexical diversity per document: type-token ratio + Gini-Simpson
+    // index — exact-integer-count arithmetic (see TextAnalysis.diversity
+    // for why Simpson rather than Shannon: log() differs across engines
+    // in the last ulp, single IEEE divisions don't).
+    "tx_diversity" -> ((s, dir) =>
+      TextAnalysis.diversity(docs(s, dir), "doc_id", "text")),
+
+    // Sequence packing: 128-token training bins over 8 hash shards; the
+    // salted-md5 pack order doubles as the deterministic corpus shuffle.
+    // Output: per-(shard, bin) document/token counts.
+    "pipeline_pack" -> ((s, dir) =>
+      TextAnalysis.pack(docs(s, dir), "doc_id", "text",
+        budget = 128, nShards = 8, salt = "pack")),
+
+    // Weighted corpus mixing: rebalance three sources to 50/30/20 target
+    // proportions without upsampling (largest feasible total; the binding
+    // source keeps everything). Per-source kept counts + doc_id checksum
+    // pin the exact kept set.
+    "pipeline_mix" -> ((s, dir) =>
+      TextAnalysis.mixWeighted(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "mixw")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+
+    // Span-level exact dedup (the C4-style sub-document pass): every
+    // repeated 16-token span survives only at its first corpus site;
+    // documents rebuilt from surviving spans ('' when fully duplicated).
+    "dd_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(docs(s, dir), "doc_id", "text", n = 16)),
+
     // Token-window chunking (32-token chunks, 8-token overlap): one row per
     // chunk with its token count and content hash.
     "tx_chunks" -> ((s, dir) =>
