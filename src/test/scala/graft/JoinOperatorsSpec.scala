@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Semantics + plan-shape coverage for the as-of and range join operators. */
+class JoinOperatorsSpec extends SparkSpec {
+
+  private val lSchema = StructType(Seq(
+    StructField("k", LongType), StructField("lt", LongType), StructField("lid", LongType)))
+  private val rSchema = StructType(Seq(
+    StructField("k", LongType), StructField("rt", LongType), StructField("rid", LongType)))
+
+  private def lf(rows: (Long, Long, Long)*) =
+    frame(lSchema, rows.map { case (k, t, i) => Map[String, Any]("k" -> k, "lt" -> t, "lid" -> i) })
+  private def rf(rows: (Long, Long, Long)*) =
+    frame(rSchema, rows.map { case (k, t, i) => Map[String, Any]("k" -> k, "rt" -> t, "rid" -> i) })
+
+  private def asofMap(left: org.apache.spark.sql.DataFrame) =
+    left.collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+
+  test("asof backward: latest prior-or-equal right; unmatched left is null") {
+    val left = lf((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+    val right = rf((1L, 10L, 200L), (1L, 20L, 201L), (2L, 50L, 202L))
+    val got = asofMap(AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), tieBreak = Seq("rid")))
+    // lid 100 at t=10: equal-time right 200 matches (non-strict).
+    // lid 101 at t=25: latest prior is 201 (t=20). lid 102 at t=5: nothing.
+    assert(got == Map(100L -> Some(200L), 101L -> Some(201L), 102L -> None))
+  }
+
+  test("asof strict: equal-time right is not eligible") {
+    val left = lf((1L, 10L, 100L), (1L, 11L, 101L))
+    val right = rf((1L, 10L, 200L))
+    val got = asofMap(AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), strict = true, tieBreak = Seq("rid")))
+    assert(got == Map(100L -> None, 101L -> Some(200L)))
+  }
+
+  test("asof tie-break: among rights at identical time the last by tieBreak wins") {
+    val left = lf((1L, 20L, 100L))
+    val right = rf((1L, 10L, 203L), (1L, 10L, 207L), (1L, 10L, 205L))
+    val got = asofMap(AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), tieBreak = Seq("rid")))
+    assert(got == Map(100L -> Some(207L)))
+  }
+
+  test("asof plan is one window pass — no join operator at all") {
+    val plan = AsOfJoin.backward(lf((1L, 10L, 100L)), rf((1L, 5L, 200L)),
+      Seq("k"), "lt", "rt", rightVals = Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of join must compile to a window pass, got:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("range join: half-open bounds, multi-bucket spans, overlaps, empty intervals") {
+    val points = frame(
+      StructType(Seq(StructField("k", LongType), StructField("p", LongType), StructField("pid", LongType))),
+      Seq(
+        Map[String, Any]("k" -> 1L, "p" -> 10L, "pid" -> 1L),  // == lo of [10,40): in
+        Map[String, Any]("k" -> 1L, "p" -> 40L, "pid" -> 2L),  // == hi of [10,40): out
+        Map[String, Any]("k" -> 1L, "p" -> 35L, "pid" -> 3L),  // in [10,40) and [30,50)
+        Map[String, Any]("k" -> 2L, "p" -> 35L, "pid" -> 4L),  // right value, wrong key
+        Map[String, Any]("k" -> 1L, "p" -> 60L, "pid" -> 5L))) // in no interval
+    val intervals = frame(
+      StructType(Seq(StructField("k", LongType), StructField("lo", LongType),
+        StructField("hi", LongType), StructField("iid", LongType))),
+      Seq(
+        Map[String, Any]("k" -> 1L, "lo" -> 10L, "hi" -> 40L, "iid" -> 10L), // spans buckets 1..3 at width 16
+        Map[String, Any]("k" -> 1L, "lo" -> 30L, "hi" -> 50L, "iid" -> 11L),
+        Map[String, Any]("k" -> 1L, "lo" -> 70L, "hi" -> 70L, "iid" -> 12L))) // empty
+    val joined = RangeJoin.join(points, intervals, Seq("k"), "p", "lo", "hi", bucketWidth = 16L)
+    val got = joined.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 10L), (3L, 11L), (2L, 11L)))
+    // Exactly once per qualifying pair even when an interval spans buckets.
+    assert(joined.count() == 4L)
+  }
+
+  test("range join plan is an equi-join — no cartesian / nested-loop") {
+    val points = frame(
+      StructType(Seq(StructField("k", LongType), StructField("p", LongType))),
+      Seq(Map[String, Any]("k" -> 1L, "p" -> 10L)))
+    val intervals = frame(
+      StructType(Seq(StructField("k", LongType), StructField("lo", LongType), StructField("hi", LongType))),
+      Seq(Map[String, Any]("k" -> 1L, "lo" -> 0L, "hi" -> 20L)))
+    val plan = RangeJoin.join(points, intervals, Seq("k"), "p", "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join, got:\n$plan")
+  }
+}

@@ -602,6 +602,36 @@ class OperatorsSpec extends SparkSpec {
     graft.util.Caches.drain()
   }
 
+  test("semantic dedup: exact precision within cells, canonical keep, equi-join plan") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(9)
+    def jitter(v: Seq[Float]) = v.map(x => x + rnd.nextFloat() * 0.005f)
+    val anchor = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val e = frame(schema, (0L until 24L).map { i =>
+      val v = if (i % 8 == 0) jitter(anchor) else Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+      Map[String, Any]("vec_id" -> i, "embedding" -> v)
+    })
+    val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
+      threshold = 0.95, dim = 16, nCells = 3, iters = 2, nProbes = 2)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"semantic-pair plan must stay an equi-join on the cell key:\n$plan")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: every emitted pair truly clears the threshold
+    val brute = Dedup.exactCosinePairs(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute))
+    // the three anchor clones (0, 8, 16) are found and collapse to min-id 0
+    assert(got.contains((0L, 8L)) || got.contains((0L, 16L)) || got.contains((8L, 16L)))
+    val kept = Dedup.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.95, dim = 16, nCells = 3, iters = 2, nProbes = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L))
+    assert(Set(8L, 16L).exists(id => !kept.contains(id)))
+    graft.util.Caches.drain()
+  }
+
   test("multi-probe LSH and 2-probe IVF reach target recall at sf0.01") {
     val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val qs = e.where(col("vec_id") < 5)
