@@ -34,6 +34,10 @@ object RelationalQueries {
   private[ops] def csvFixturePath(dir: String): String =
     s"/tmp/graft_csv_fixture/${new java.io.File(dir).getName}/orders"
 
+  /** ORC fixture for q_orc_roundtrip, SF-keyed like the CSV one. */
+  private[ops] def orcFixturePath(dir: String): String =
+    s"/tmp/graft_orc_fixture/${new java.io.File(dir).getName}/orders"
+
   /** sum(extendedprice*(1-discount)) with exact decimal arithmetic. */
   private val revenue =
     sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -171,6 +175,31 @@ object RelationalQueries {
         t(s, dir, "lineitem").withColumn("l_quantity", col("l_quantity").cast("decimal(20,4)")),
         "l_returnflag", "l_quantity")
         .select(col("l_returnflag"), col("sum").cast("double").as("sum"), col("count"))),
+
+    // Schema-on-read over the events' JSON props column: from_json with an
+    // explicit schema (never schema inference per row), then a plain
+    // aggregate on the extracted field — the "typed view over raw JSON"
+    // source pattern. DuckDB mirrors with json_extract.
+    "q_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k"))
+        .groupBy((col("k") % 10).as("kb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))),
+
+    // ORC round-trip: write orders as ORC, read it back, aggregate — pins
+    // the second columnar source format end-to-end. DuckDB has no ORC
+    // reader, so the oracle aggregates the ORIGINAL parquet: equal results
+    // prove the ORC write+read preserved the data.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val fixture = orcFixturePath(dir)
+      t(s, dir, "orders").write.mode("overwrite").orc(fixture)
+      s.read.orc(fixture)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+    }),
 
     // As-of join (operators.AsOfJoin): each error event picks up the most
     // recent prior-or-equal click by the same user — one window pass over a
@@ -324,6 +353,19 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum,
         |  count(*) AS count
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kb,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // No ORC reader in DuckDB — the oracle reads the ORIGINAL orders table;
+    // matching results certify the Spark-side ORC write+read round-trip.
+    "q_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // Window-SQL mirror of the as-of semantics: at equal time a click sorts
     // before an error (non-strict <=), `1 PRECEDING` excludes the row
