@@ -55,6 +55,24 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("asof agrees with a brute-force reference on random data (both modes)") {
+    // Small key space + coarse timestamps force heavy equal-time collisions —
+    // the regime where the side-ordering and tie-break rules actually bite.
+    for (seed <- 1 to 5; strict <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      val ls = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 1000L + i))
+      val rs = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 2000L + i))
+      val got = asofMap(AsOfJoin.backward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+      val expect = ls.map { case (k, lt, lid) =>
+        val elig = rs.filter { case (rk, rt, _) => rk == k && (if (strict) rt < lt else rt <= lt) }
+        lid -> (if (elig.isEmpty) None
+                else Some(elig.maxBy { case (_, rt, rid) => (rt, rid) }._3))
+      }.toMap
+      assert(got == expect, s"seed=$seed strict=$strict")
+    }
+  }
+
   test("range join: half-open bounds, multi-bucket spans, overlaps, empty intervals") {
     val points = frame(
       StructType(Seq(StructField("k", LongType), StructField("p", LongType), StructField("pid", LongType))),
