@@ -1,34 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Backward (point-in-time) as-of join — a whole-operator primitive Spark has
- * no built-in for. For every left row, attach the single most recent right
- * row with `rightTime <= leftTime` (`<` when strict), matching on equi-keys:
- * the classic "price as of trade time" / "last touchpoint before conversion"
- * lookup. The reference engine has no join surface at all
- * (docs/operating.md:322-325), but its sequence machinery
- * (frocket/engine/query_engine.py:217-249) is built on the same
- * "latest-prior-event per group" primitive this operator generalizes.
+ * As-of (point-in-time) joins — a whole-operator primitive Spark has no
+ * built-in for. For every left row, attach the single nearest right row in
+ * time, matching on equi-keys: the classic "price as of trade time" /
+ * "last touchpoint before conversion" lookup. The reference engine has no
+ * join surface at all (docs/operating.md:322-325), but its sequence
+ * machinery (frocket/engine/query_engine.py:217-249) is built on the same
+ * "latest-prior-event per group" primitive [[backward]] generalizes.
  *
- * Implementation: NOT a join. Both sides are union-tagged and swept by ONE
- * window pass per key — `last(payload, ignoreNulls=true) OVER (PARTITION BY
- * keys ORDER BY time, side[, tieBreak] ROWS UNBOUNDED PRECEDING TO 1
- * PRECEDING)`. Right rows carry their payload, left rows carry null, so the
- * window's last non-null IS the as-of match. Cost: one shuffle on the keys
- * plus one sort — no range explosion, no per-key collect, no O(L×R)
+ * Three directions, mirroring the pandas `merge_asof` surface:
+ *  - [[backward]]: latest right with `rightTime <= leftTime` (< if strict)
+ *  - [[forward]]:  earliest right with `rightTime >= leftTime` (> if strict)
+ *  - [[nearest]]:  whichever of the two is closer in time (ties → backward)
+ *
+ * Implementation: NOT a join. Both sides are union-tagged and swept by a
+ * window pass per direction — `last(payload, ignoreNulls)` over a `ROWS …
+ * PRECEDING` frame for backward, `first(...)` over a `… FOLLOWING` frame
+ * for forward (nearest runs both and picks the closer). Right rows carry
+ * their payload, left rows carry null, so the frame's nearest non-null IS
+ * the as-of match. Cost: ONE shuffle on the keys plus one in-partition
+ * sort per direction — no range explosion, no per-key collect, no O(L×R)
  * candidate pairs. At 100 TB both sides stream through a single
  * Exchange+Window; on a layout bucketed+sorted by the keys even the
  * exchange disappears (see sources.GroupedWriter).
  *
- * Tie semantics at equal timestamps: non-strict orders right rows before
- * left rows (an equal-time right IS eligible); strict orders them after
- * (it is not). Among right rows with identical (keys, time), the match is
- * the last by `tieBreak` — pass a unique right column for determinism.
- * Left rows with a null time match nothing (nulls sort first).
+ * Tie semantics at equal timestamps: in non-strict mode an equal-time right
+ * IS eligible, in strict mode it is not — controlled purely by whether
+ * rights sort before or after lefts at the same time. Among right rows with
+ * identical (keys, time), backward picks the last by `tieBreak` and forward
+ * the first — pass a unique right column for determinism. Left rows with a
+ * null time match nothing (nulls sort first).
  */
 object AsOfJoin {
 
@@ -36,7 +42,7 @@ object AsOfJoin {
   private val SIDE = "__graft_asof_side"
 
   /** @param rightVals right columns to attach, surfaced as `prefix+name`
-    * @param tieBreak  right columns ordering equal-time right rows (last wins)
+    * @param tieBreak  right columns ordering equal-time right rows
     */
   def backward(
       left: DataFrame,
@@ -47,20 +53,75 @@ object AsOfJoin {
       rightVals: Seq[String],
       strict: Boolean = false,
       tieBreak: Seq[String] = Nil,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
+      prefix, wantBackward = true, wantForward = false)
 
-    // Non-strict: rights sort before lefts at equal time (eligible).
-    // Strict: lefts first, so an equal-time right falls outside the frame.
-    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+  /** Earliest right row at-or-after (after, if strict) each left row. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      strict: Boolean = false,
+      tieBreak: Seq[String] = Nil,
+      prefix: String = "asof_"): DataFrame =
+    run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
+      prefix, wantBackward = false, wantForward = true)
+
+  /** Closest right row in either direction; equal distance resolves to the
+    * backward (prior) match, like pandas `merge_asof(direction='nearest')`.
+    * Strict mode excludes exact-equal timestamps from BOTH directions. */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      strict: Boolean = false,
+      tieBreak: Seq[String] = Nil,
+      prefix: String = "asof_"): DataFrame =
+    run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
+      prefix, wantBackward = true, wantForward = true)
+
+  private def run(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      strict: Boolean,
+      tieBreak: Seq[String],
+      prefix: String,
+      wantBackward: Boolean,
+      wantForward: Boolean): DataFrame = {
+
+    // Side-ordering encodes eligibility of equal-time rights per direction:
+    // backward non-strict needs rights BEFORE lefts at equal time (inside
+    // the PRECEDING frame), strict needs them after; forward is the exact
+    // mirror (non-strict needs them AFTER, inside the FOLLOWING frame).
+    // The two directions therefore sort OPPOSITE ways at equal time — each
+    // gets its own window ordering. Spark plans this as one Exchange on the
+    // keys feeding one in-partition sort per direction; a frame trick on a
+    // shared sort cannot express both (masking the wrong-side hit loses the
+    // next-best candidate, not just the ineligible one).
+    val (leftSide, rightSide) = (0, 1)
     val tbNames = tieBreak.indices.map(i => s"__graft_asof_tb_$i")
 
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
+    // The right time must ride along for nearest's distance compare (and is
+    // harmless otherwise); reuse the payload channel.
+    val valNames = (rightVals :+ rightTime).distinct
 
     var l = left
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(leftSide))
-    for (v <- rightVals)
+    for (v <- valNames)
       l = l.withColumn(prefix + v, lit(null).cast(rightSchema(v).dataType))
     for ((tb, n) <- tieBreak.zip(tbNames))
       l = l.withColumn(n, lit(null).cast(rightSchema(tb).dataType))
@@ -68,21 +129,50 @@ object AsOfJoin {
     var r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as(T), lit(rightSide).as(SIDE)) ++
-        rightVals.map(v => col(v).as(prefix + v)) ++
+        valNames.map(v => col(v).as(prefix + v)) ++
         tieBreak.zip(tbNames).map { case (tb, n) => col(tb).as(n) }: _*)
     for (c <- leftCols if !keys.contains(c))
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
 
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col(T), col(SIDE)) ++ tbNames.map(col)).map(_.asc): _*)
+    // rights before lefts at equal time ⇔ SIDE descending (right=1 first).
+    def order(rightsBeforeLefts: Boolean) =
+      col(T).asc +:
+        (if (rightsBeforeLefts) col(SIDE).desc else col(SIDE).asc) +:
+        tbNames.map(col(_).asc)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wb = part.orderBy(order(rightsBeforeLefts = !strict): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = part.orderBy(order(rightsBeforeLefts = strict): _*)
+      .rowsBetween(1, Window.unboundedFollowing)
 
-    var u = l.unionByName(r.select(l.columns.map(col): _*))
-    for (v <- rightVals)
-      u = u.withColumn(prefix + v, last(col(prefix + v), ignoreNulls = true).over(w))
+    val u = l.unionByName(r.select(l.columns.map(col): _*))
+    val bNames = valNames.map(v => s"__graft_asof_b_$v")
+    val fNames = valNames.map(v => s"__graft_asof_f_$v")
+    var w = u
+    if (wantBackward)
+      for ((v, n) <- valNames.zip(bNames))
+        w = w.withColumn(n, last(col(prefix + v), ignoreNulls = true).over(wb))
+    if (wantForward)
+      for ((v, n) <- valNames.zip(fNames))
+        w = w.withColumn(n, first(col(prefix + v), ignoreNulls = true).over(wf))
 
-    u.where(col(SIDE) === leftSide)
+    // Each direction's sort already admits exactly the eligible rights, so
+    // channel values need no masking; nearest only compares distances.
+    val bT = col(s"__graft_asof_b_$rightTime")
+    val fT = col(s"__graft_asof_f_$rightTime")
+    val chooseBackward: Column =
+      bT.isNotNull && (fT.isNull || (col(T) - bT) <= (fT - col(T)))
+
+    val out = valNames.zipWithIndex.foldLeft(w) { case (df, (v, i)) =>
+      val picked =
+        if (wantBackward && wantForward)
+          when(chooseBackward, col(bNames(i))).otherwise(col(fNames(i)))
+        else if (wantBackward) col(bNames(i))
+        else col(fNames(i))
+      df.withColumn(prefix + v, picked)
+    }
+
+    out.where(col(SIDE) === leftSide)
       .select(leftCols.map(col) ++ rightVals.map(v => col(prefix + v)): _*)
   }
 }

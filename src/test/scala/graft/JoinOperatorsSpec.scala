@@ -55,21 +55,41 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
-  test("asof agrees with a brute-force reference on random data (both modes)") {
+  test("asof agrees with a brute-force reference on random data (all directions/modes)") {
     // Small key space + coarse timestamps force heavy equal-time collisions —
     // the regime where the side-ordering and tie-break rules actually bite.
     for (seed <- 1 to 5; strict <- Seq(false, true)) {
       val rnd = new scala.util.Random(seed)
       val ls = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 1000L + i))
       val rs = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 2000L + i))
-      val got = asofMap(AsOfJoin.backward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
+      def back(k: Long, lt: Long): Option[(Long, Long)] = {
+        val e = rs.filter { case (rk, rt, _) => rk == k && (if (strict) rt < lt else rt <= lt) }
+        if (e.isEmpty) None else { val m = e.maxBy { case (_, rt, rid) => (rt, rid) }; Some((m._2, m._3)) }
+      }
+      def fwd(k: Long, lt: Long): Option[(Long, Long)] = {
+        val e = rs.filter { case (rk, rt, _) => rk == k && (if (strict) rt > lt else rt >= lt) }
+        if (e.isEmpty) None else { val m = e.minBy { case (_, rt, rid) => (rt, rid) }; Some((m._2, m._3)) }
+      }
+      val gotB = asofMap(AsOfJoin.backward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
         rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
-      val expect = ls.map { case (k, lt, lid) =>
-        val elig = rs.filter { case (rk, rt, _) => rk == k && (if (strict) rt < lt else rt <= lt) }
-        lid -> (if (elig.isEmpty) None
-                else Some(elig.maxBy { case (_, rt, rid) => (rt, rid) }._3))
+      assert(gotB == ls.map { case (k, lt, lid) => lid -> back(k, lt).map(_._2) }.toMap,
+        s"backward seed=$seed strict=$strict")
+      val gotF = asofMap(AsOfJoin.forward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+      assert(gotF == ls.map { case (k, lt, lid) => lid -> fwd(k, lt).map(_._2) }.toMap,
+        s"forward seed=$seed strict=$strict")
+      val gotN = asofMap(AsOfJoin.nearest(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+      val expN = ls.map { case (k, lt, lid) =>
+        lid -> ((back(k, lt), fwd(k, lt)) match {
+          case (Some((bt, bid)), Some((ft, fid))) =>
+            Some(if (lt - bt <= ft - lt) bid else fid) // ties → backward
+          case (Some((_, bid)), None) => Some(bid)
+          case (None, Some((_, fid))) => Some(fid)
+          case _ => None
+        })
       }.toMap
-      assert(got == expect, s"seed=$seed strict=$strict")
+      assert(gotN == expN, s"nearest seed=$seed strict=$strict")
     }
   }
 
