@@ -25,6 +25,12 @@ final case class ResizedMeta(
 /** One sampled frame of a clip: frame index + luma sum. */
 final case class FrameMeta(doc_id: Long, frame_no: Int, sum_luma: Long)
 
+/** Decoded audio metadata + features: format fields read from the WAV
+  * header by the codec, then all-integer PCM statistics (engine-exact). */
+final case class AudioMeta(
+    doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Long,
+    sum_abs: Long, max_abs: Int, zero_crossings: Long)
+
 /**
  * Multimodal-column plumbing: treat image/audio/video payloads as opaque
  * `binary` columns, decode/feature-extract per partition, return typed
@@ -150,6 +156,90 @@ object Multimodal {
           }
           ResizedMeta(id, w, h, outW, outH, sum,
             first(0), first(1), first(2), first(3))
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- audio
+  //
+  // Audio-shaped payloads: real RIFF/WAVE containers (16-bit little-endian
+  // PCM, mono, 8 kHz) decoded with the JDK's actual audio codec
+  // (javax.sound.sampled.AudioSystem — the audio analog of ImageIO): the
+  // decoder parses the RIFF chunks and reports format fields; the feature
+  // pass then computes integer PCM statistics, so the oracle can recompute
+  // them symbolically from the closed-form sample function.
+
+  /** Deterministic 16-bit PCM sample `i` of doc `id`'s synthetic wave. */
+  def audioSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7717) % 65536) - 32768).toInt
+
+  /** Samples per clip for doc `id`: 400..599. */
+  def audioLen(id: Long): Int = (400 + id % 200).toInt
+
+  /** Render the synthetic WAV payload for doc `id` — a complete RIFF file
+    * (RIFF/WAVE + fmt + data chunks), byte-identical to what any PCM
+    * encoder would emit. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(8000); bb.putInt(8000 * 2)      // rate, byte rate
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(audioSample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Attach the synthetic WAV payload as a binary column: (doc_id, audio). */
+  def encodeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "audio")
+  }
+
+  /** Decode a binary WAV payload column with the JDK audio codec, one
+    * decoder context per partition, emitting per-clip integer features:
+    * sample count, |PCM| sum and max, and strict sign-change crossings. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String,
+                          payloadCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"doc $id: expected 16-bit LE PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var sumAbs = 0L
+          var maxAbs = 0
+          var crossings = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            if (i > 0 && prev.toLong * v < 0) crossings += 1
+            prev = v
+            i += 1
+          }
+          AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+            sumAbs, maxAbs, crossings)
         }
       }
   }

@@ -368,7 +368,20 @@ object PipelineQueries {
         Multimodal.encodeClips(docs(s, dir), "doc_id", nFrames = 12),
         "doc_id", "clip", stride = 4).toDF()
         .select(col("doc_id"),
-          col("frame_no").cast("long").as("frame_no"), col("sum_luma")))
+          col("frame_no").cast("long").as("frame_no"), col("sum_luma"))),
+
+    // Audio leg of the multimodal plumbing: real RIFF/WAVE payloads decoded
+    // by the JDK audio codec per partition; integer PCM stats keep the
+    // oracle symbolic and exact.
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.encodeWavs(docs(s, dir), "doc_id"), "doc_id", "audio").toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_samples"), col("sum_abs"),
+          col("max_abs").cast("long").as("max_abs"),
+          col("zero_crossings")))
   )
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
@@ -747,6 +760,23 @@ object PipelineQueries {
 
     // Frames 0/4/8 of the 12-frame clip, luma(f, idx) =
     // (id*37 + f*7919 + idx*101) % 256 (Multimodal.clipLuma).
+    // Symbolic WAV mirror: the sample function is closed-form, so the
+    // oracle re-derives every PCM statistic without an audio codec.
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+        |s AS (SELECT d.doc_id, t.i,
+        |        ((d.doc_id * 31 + t.i * 7717) % 65536) - 32768 AS v
+        |      FROM d, generate_series(0, 599) t(i) WHERE t.i < d.n),
+        |w AS (SELECT doc_id, i, v,
+        |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |  count(*) AS n_samples, CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM w GROUP BY doc_id""".stripMargin,
+
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
         |           FROM documents),

@@ -226,6 +226,26 @@ object RelationalQueries {
           coalesce(max(col("tl") - col("click_tl")), lit(-1L)).as("max_gap_us"))
     }),
 
+    // Nearest-direction as-of (AsOfJoin.nearest): each error matches its
+    // closest click in EITHER direction (ties to the prior one); exporting
+    // the matched time (not its id) keeps equal-distance ties value-stable.
+    "q_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tl"))
+      val errors = e.where(col("event_type") === "error").drop("event_type")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("tl"), col("event_id"))
+      graft.operators.AsOfJoin
+        .nearest(errors, clicks, Seq("user_id"), "tl", "tl",
+          rightVals = Seq("tl"), tieBreak = Seq("event_id"), prefix = "click_")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_errors"),
+          count(col("click_tl")).as("n_matched"),
+          coalesce(max(abs(col("tl") - col("click_tl"))), lit(-1L)).as("max_gap_us"))
+    }),
+
     // Range join (operators.RangeJoin): clicks attributed to the 24h window
     // after each purchase by the same user — bucketed equi-join, never a
     // cartesian — then per-user attribution summary. µs timestamps both
@@ -381,6 +401,29 @@ object RelationalQueries {
         |      FROM e WHERE event_type IN ('click', 'error'))
         |SELECT user_id, count(*) AS n_errors, count(click_tl) AS n_matched,
         |       coalesce(max(tl - click_tl), -1) AS max_gap_us
+        |FROM w WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+
+    // Dual-window nearest mirror: the backward window orders clicks before
+    // errors at equal time (eligible at <=), the forward window orders them
+    // after (eligible at >=); the chosen gap is the smaller distance, ties
+    // to backward — same rule as AsOfJoin.nearest.
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tl FROM events),
+        |w AS (SELECT user_id, event_type, tl,
+        |        last_value(CASE WHEN event_type = 'click' THEN tl END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY tl, (event_type = 'error'), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS btl,
+        |        first_value(CASE WHEN event_type = 'click' THEN tl END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY tl, (event_type = 'click'), event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ftl
+        |      FROM e WHERE event_type IN ('click', 'error'))
+        |SELECT user_id, count(*) AS n_errors,
+        |  count(CASE WHEN btl IS NOT NULL OR ftl IS NOT NULL THEN 1 END) AS n_matched,
+        |  coalesce(max(CASE WHEN btl IS NULL AND ftl IS NULL THEN NULL
+        |    ELSE least(coalesce(tl - btl, 9223372036854775807),
+        |               coalesce(ftl - tl, 9223372036854775807)) END), -1) AS max_gap_us
         |FROM w WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
 
     "q_range_join" ->

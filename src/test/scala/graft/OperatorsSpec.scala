@@ -677,6 +677,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real WAV encode/decode round-trip recovers exact PCM stats") {
+    import graft.operators.Multimodal
+    // the payload is a genuine RIFF/WAVE container
+    val wav = Multimodal.syntheticWav(7L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+
+    val d = docs((7L, "unused"), (20L, "unused"))
+    val got = Multimodal.decodeAudioFeatures(
+      Multimodal.encodeWavs(d, "doc_id"), "doc_id", "audio")
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(7L, 20L)) {
+      val n = Multimodal.audioLen(id)
+      val samples = (0 until n).map(Multimodal.audioSample(id, _))
+      val m = got(id)
+      assert(m.sample_rate == 8000 && m.n_channels == 1 && m.n_samples == n)
+      assert(m.sum_abs == samples.map(v => math.abs(v).toLong).sum)
+      assert(m.max_abs == samples.map(math.abs).max)
+      assert(m.zero_crossings ==
+        samples.sliding(2).count(p => p.head.toLong * p.last < 0))
+    }
+  }
+
   test("multimodal: nearest-neighbor resize matches floor-sampled source") {
     import graft.operators.Multimodal
     val d = docs((3L, "unused"), (11L, "unused"))
