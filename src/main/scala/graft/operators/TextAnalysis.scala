@@ -337,4 +337,36 @@ object TextAnalysis {
         s"i -> array_join(slice(__toks, i * $stride + 1, $chunkSize), ' '))"))
         .as(Seq("chunk_idx", "chunk")))
   }
+
+  /** Count-min-sketch heavy-hitter accuracy gate: builds a token-frequency
+    * CMS with Spark's built-in `count_min_sketch` aggregate (mergeable
+    * counter arrays — the fixed-memory single-pass 100 TB path for
+    * frequency estimation over unbounded vocabularies, vs [[ngramTopK]]'s
+    * exact hash agg), then checks the sketch's two guarantees against the
+    * exact top-`topK` token counts: estimates never underestimate, and
+    * over-estimation stays within eps·N. The sketch (~depth×2/eps counters,
+    * ~100 KB here) and the k exact rows are the only driver-side data —
+    * final result shaping, same footing as k-means centroids. Fixed seed +
+    * order-independent counter merges make the gate deterministic. */
+  def cmsHeavyHitterGate(docs: DataFrame, textCol: String, eps: Double,
+                         confidence: Double, seed: Int, topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.util.Caches.retain(
+      docs.select(explode(split(col(textCol), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0))
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(tok, ${eps}d, ${confidence}d, $seed)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(topK).collect()
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    val ok = exact.forall { r =>
+      val est = sketch.estimateCount(r.getString(0))
+      est >= r.getLong(1) && est - r.getLong(1) <= bound
+    }
+    Seq(if (ok) 1L else 0L).toDF("passed")
+  }
 }

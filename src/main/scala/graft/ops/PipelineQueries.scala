@@ -242,6 +242,12 @@ object PipelineQueries {
         .select(when(col("max_err") <= 0.05, lit(1L)).otherwise(lit(0L)).as("passed"))
     }),
 
+    // CMS heavy-hitter gate: Spark's count_min_sketch aggregate vs the
+    // exact top-20 token counts — never-underestimate + eps·N bound.
+    "tx_cms_err" -> ((s, dir) =>
+      TextAnalysis.cmsHeavyHitterGate(docs(s, dir), "text",
+        eps = 0.001, confidence = 0.99, seed = 42, topK = 20)),
+
     // Gopher-style repetition filters: duplicate-token / top-token /
     // top-bigram fractions per document.
     "tx_repetition" -> ((s, dir) =>
@@ -551,6 +557,7 @@ object PipelineQueries {
     "ann_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "dd_semantic_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "tx_cms_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
 
     // Single-table variant of the dd_embed_near bucket mirror (seed 1000),
     // then exact integer per-position sums per bucket.
