@@ -113,6 +113,14 @@ object AsOfJoin {
     val tbNames = tieBreak.indices.map(i => s"__graft_asof_tb_$i")
 
     val leftCols = left.columns.toSeq
+    // A left column named like an output payload column would be silently
+    // overwritten by the null-payload channel and re-selected as the match
+    // — fail loudly instead.
+    val clash = leftCols.toSet
+      .intersect(((rightVals :+ rightTime).map(prefix + _) :+ T :+ SIDE).toSet)
+    require(clash.isEmpty,
+      s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
+        s"(pick a different prefix)")
     val rightSchema = right.schema
     // The right time must ride along for nearest's distance compare (and is
     // harmless otherwise); reuse the payload channel.

@@ -39,6 +39,13 @@ object RangeJoin {
       hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Shared non-key names would make the range predicate ambiguous after
+    // the equi-join — fail loudly instead of letting Spark pick a side.
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"points and intervals share non-key columns: ${shared.mkString(", ")} " +
+        "(rename one side)")
     val p = points.withColumn(B, floor(col(pointCol) / bucketWidth))
     // hi is exclusive so the last covered bucket holds hi-1; the hi<=lo
     // guard keeps sequence() ascending (it would otherwise count DOWN and

@@ -117,6 +117,18 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(joined.count() == 4L)
   }
 
+  test("both joins reject ambiguous column layouts loudly") {
+    val l = lf((1L, 10L, 100L)).withColumnRenamed("lid", "asof_rid")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, rf((1L, 5L, 200L)), Seq("k"), "lt", "rt", rightVals = Seq("rid"))
+    }
+    val pts = lf((1L, 10L, 100L)) // has "lt" on both sides, not a key
+    intercept[IllegalArgumentException] {
+      RangeJoin.join(pts, pts.withColumn("hi", col("lt") + 1L),
+        Seq("k"), "lt", "lt", "hi", 16L)
+    }
+  }
+
   test("range join plan is an equi-join — no cartesian / nested-loop") {
     val points = frame(
       StructType(Seq(StructField("k", LongType), StructField("p", LongType))),
