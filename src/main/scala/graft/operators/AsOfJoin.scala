@@ -134,7 +134,10 @@ object AsOfJoin {
     for ((tb, n) <- tieBreak.zip(tbNames))
       l = l.withColumn(n, lit(null).cast(rightSchema(tb).dataType))
 
-    var r = right.select(
+    // A null-time right can never be "nearest in time", and keeping it
+    // would let its non-null payload columns win a frame whose time pick
+    // came from a different row (last/first ignore nulls PER COLUMN).
+    var r = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as(T), lit(rightSide).as(SIDE)) ++
         valNames.map(v => col(v).as(prefix + v)) ++
@@ -177,7 +180,10 @@ object AsOfJoin {
           when(chooseBackward, col(bNames(i))).otherwise(col(fNames(i)))
         else if (wantBackward) col(bNames(i))
         else col(fNames(i))
-      df.withColumn(prefix + v, picked)
+      // A null-time left row sorts to the partition head, where the
+      // FOLLOWING frame would hand it the earliest right — mask it: no
+      // timestamp, no match, in any direction.
+      df.withColumn(prefix + v, when(col(T).isNotNull, picked))
     }
 
     out.where(col(SIDE) === leftSide)

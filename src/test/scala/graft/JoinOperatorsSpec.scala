@@ -117,6 +117,28 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(joined.count() == 4L)
   }
 
+  test("asof: null timestamps match nothing in any direction") {
+    val left = frame(lSchema, Seq(
+      Map[String, Any]("k" -> 1L, "lt" -> null, "lid" -> 100L),
+      Map[String, Any]("k" -> 1L, "lt" -> 15L, "lid" -> 101L)))
+    val right = frame(rSchema, Seq(
+      Map[String, Any]("k" -> 1L, "rt" -> null, "rid" -> 200L),
+      Map[String, Any]("k" -> 1L, "rt" -> 10L, "rid" -> 201L)))
+    // null-time left matches nothing anywhere; the real left (t=15) never
+    // sees the null-time right — only the valid right at t=10 can match,
+    // and only in the directions where 10 qualifies against 15.
+    val expected = Seq(
+      (AsOfJoin.backward _, Some(201L)),
+      (AsOfJoin.forward _, None),
+      (AsOfJoin.nearest _, Some(201L)))
+    for ((dir, exp101) <- expected) {
+      val got = asofMap(dir(left, right, Seq("k"), "lt", "rt",
+        Seq("rid"), false, Seq("rid"), "asof_"))
+      assert(got(100L).isEmpty, "null-time left must not match")
+      assert(got(101L) == exp101)
+    }
+  }
+
   test("both joins reject ambiguous column layouts loudly") {
     val l = lf((1L, 10L, 100L)).withColumnRenamed("lid", "asof_rid")
     intercept[IllegalArgumentException] {
