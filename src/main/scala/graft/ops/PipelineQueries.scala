@@ -705,6 +705,66 @@ object PipelineQueries {
         |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM d GROUP BY split""".stripMargin,
 
+    // Single-division IEEE arithmetic over exact integer counts — the
+    // reason diversity uses Gini-Simpson, not Shannon (log() ulps differ
+    // across engines; one division doesn't).
+    "tx_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |pc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |        CAST(sum(c*c) AS BIGINT) AS ss FROM pc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+        |  1.0 - CAST(ss AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+        |FROM d""".stripMargin,
+
+    // Mirrors TextAnalysis.pack: md5-prefix shard + salted-md5 pack order,
+    // exclusive prefix-token-sum binned by the 128-token budget.
+    "pipeline_pack" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |        md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+        |        ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard
+        |      FROM documents),
+        |p AS (SELECT shard, nt,
+        |        coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |      FROM d)
+        |SELECT shard, CAST(prefix // 128 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY shard, bin""".stripMargin,
+
+    // Mirrors TextAnalysis.mixWeighted: T = min(count/w), per-source rate
+    // w*T/count in the same operation order, hashUniform threshold test.
+    "pipeline_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+        |           WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |t AS (SELECT min(c / CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END) AS t FROM c),
+        |r AS (SELECT c.source,
+        |        (CASE c.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END) * t.t / c.c AS rate
+        |      FROM c, t),
+        |kept AS (SELECT d.source, d.doc_id FROM documents d JOIN r ON d.source = r.source
+        |         WHERE ('0x' || substr(md5('mixw:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |               / 4294967296.0 < r.rate)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source""".stripMargin,
+
+    // Mirrors Dedup.dedupSpans: 16-token zero-overlap chunks (bounded
+    // non-correlated series — max 7 chunks/doc at every SF), first corpus
+    // site per span text wins, docs rebuilt from survivors in order.
+    "dd_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nc AS (SELECT doc_id, tk, greatest(1, CAST(ceil(len(tk) / 16.0) AS BIGINT)) AS n FROM toks),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(list_slice(tk, i*16 + 1, i*16 + 16), ' ') AS chunk
+        |       FROM nc JOIN generate_series(0, 599) s(i) ON s.i < nc.n),
+        |rk AS (SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS r
+        |       FROM ch)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN r = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
+        |FROM rk GROUP BY doc_id""".stripMargin,
+
     // Mirrors TextAnalysis.hashUniform: first 8 md5 hex chars as a 32-bit
     // int over 2^32. DuckDB parses '0x'-prefixed hex in a BIGINT cast;
     // Spark's conv(_,16,10) computes the identical value.
