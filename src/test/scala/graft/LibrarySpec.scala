@@ -432,6 +432,39 @@ class LibrarySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment agrees with the batch as-of join") {
+    import graft.streaming.StreamingAsOf
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static reference: key 1 has prices at t=10 (two rows — tie, last by
+    // rid wins) and t=20; key 2 at t=50 (after its only event: no match)
+    val right = Seq((1L, 10L, 200L), (1L, 10L, 201L), (1L, 20L, 202L),
+      (2L, 50L, 203L)).toDF("k", "rt", "rid")
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("k", "lt", "lid")
+    val out = StreamingAsOf.backward(events, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), tieBreak = Seq("rid"))
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      q.processAllAvailable()
+      input.addData((1L, 15L, 103L))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select(col("lid"), col("asof_rid")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val batch = graft.operators.AsOfJoin.backward(
+        Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (1L, 15L, 103L))
+          .toDF("k", "lt", "lid"),
+        right, Seq("k"), "lt", "rt", rightVals = Seq("rid"), tieBreak = Seq("rid"))
+        .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got == batch)
+      assert(got == Map(100L -> Some(201L), 101L -> Some(202L),
+        102L -> None, 103L -> Some(201L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch sequence semantics on in-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
