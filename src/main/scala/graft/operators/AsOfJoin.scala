@@ -40,6 +40,7 @@ object AsOfJoin {
 
   private val T    = "__graft_asof_t"
   private val SIDE = "__graft_asof_side"
+  private val P    = "__graft_asof_p"
 
   /** @param rightVals right columns to attach, surfaced as `prefix+name`
     * @param tieBreak  right columns ordering equal-time right rows
@@ -113,34 +114,38 @@ object AsOfJoin {
     val tbNames = tieBreak.indices.map(i => s"__graft_asof_tb_$i")
 
     val leftCols = left.columns.toSeq
-    // A left column named like an output payload column would be silently
-    // overwritten by the null-payload channel and re-selected as the match
-    // — fail loudly instead.
+    // A left column named like an output payload column would collide with
+    // the matched columns in the final select — fail loudly instead.
     val clash = leftCols.toSet
-      .intersect(((rightVals :+ rightTime).map(prefix + _) :+ T :+ SIDE).toSet)
+      .intersect((rightVals.map(prefix + _) :+ T :+ SIDE :+ P).toSet)
     require(clash.isEmpty,
       s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
         s"(pick a different prefix)")
     val rightSchema = right.schema
-    // The right time must ride along for nearest's distance compare (and is
-    // harmless otherwise); reuse the payload channel.
+    // The right time rides along for nearest's distance compare (and is
+    // harmless otherwise).
     val valNames = (rightVals :+ rightTime).distinct
+    // The payload travels as ONE struct, null on left rows and never null
+    // on right rows — so last/first(ignoreNulls) match WHOLE right rows.
+    // Per-column channels would tear a match whose own payload value is
+    // null, backfilling it from an older/newer right row.
+    val pType = org.apache.spark.sql.types.StructType(
+      valNames.map(v => org.apache.spark.sql.types.StructField(
+        v, rightSchema(v).dataType)))
 
     var l = left
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(leftSide))
-    for (v <- valNames)
-      l = l.withColumn(prefix + v, lit(null).cast(rightSchema(v).dataType))
+      .withColumn(P, lit(null).cast(pType))
     for ((tb, n) <- tieBreak.zip(tbNames))
       l = l.withColumn(n, lit(null).cast(rightSchema(tb).dataType))
 
-    // A null-time right can never be "nearest in time", and keeping it
-    // would let its non-null payload columns win a frame whose time pick
-    // came from a different row (last/first ignore nulls PER COLUMN).
+    // A null-time right can never be "nearest in time" — drop it up front
+    // (its interior frame position would otherwise shadow real matches).
     var r = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++
-        Seq(col(rightTime).as(T), lit(rightSide).as(SIDE)) ++
-        valNames.map(v => col(v).as(prefix + v)) ++
+        Seq(col(rightTime).as(T), lit(rightSide).as(SIDE),
+          struct(valNames.map(v => col(v).as(v)): _*).as(P)) ++
         tieBreak.zip(tbNames).map { case (tb, n) => col(tb).as(n) }: _*)
     for (c <- leftCols if !keys.contains(c))
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -156,37 +161,31 @@ object AsOfJoin {
     val wf = part.orderBy(order(rightsBeforeLefts = strict): _*)
       .rowsBetween(1, Window.unboundedFollowing)
 
-    val u = l.unionByName(r.select(l.columns.map(col): _*))
-    val bNames = valNames.map(v => s"__graft_asof_b_$v")
-    val fNames = valNames.map(v => s"__graft_asof_f_$v")
-    var w = u
+    var w = l.unionByName(r.select(l.columns.map(col): _*))
     if (wantBackward)
-      for ((v, n) <- valNames.zip(bNames))
-        w = w.withColumn(n, last(col(prefix + v), ignoreNulls = true).over(wb))
+      w = w.withColumn("__graft_asof_b", last(col(P), ignoreNulls = true).over(wb))
     if (wantForward)
-      for ((v, n) <- valNames.zip(fNames))
-        w = w.withColumn(n, first(col(prefix + v), ignoreNulls = true).over(wf))
+      w = w.withColumn("__graft_asof_f", first(col(P), ignoreNulls = true).over(wf))
 
     // Each direction's sort already admits exactly the eligible rights, so
     // channel values need no masking; nearest only compares distances.
-    val bT = col(s"__graft_asof_b_$rightTime")
-    val fT = col(s"__graft_asof_f_$rightTime")
-    val chooseBackward: Column =
-      bT.isNotNull && (fT.isNull || (col(T) - bT) <= (fT - col(T)))
+    val b = col("__graft_asof_b")
+    val f = col("__graft_asof_f")
+    val chosen: Column =
+      if (wantBackward && wantForward)
+        when(b.isNotNull && (f.isNull ||
+          (col(T) - b.getField(rightTime)) <= (f.getField(rightTime) - col(T))), b)
+          .otherwise(f)
+      else if (wantBackward) b
+      else f
 
-    val out = valNames.zipWithIndex.foldLeft(w) { case (df, (v, i)) =>
-      val picked =
-        if (wantBackward && wantForward)
-          when(chooseBackward, col(bNames(i))).otherwise(col(fNames(i)))
-        else if (wantBackward) col(bNames(i))
-        else col(fNames(i))
-      // A null-time left row sorts to the partition head, where the
-      // FOLLOWING frame would hand it the earliest right — mask it: no
-      // timestamp, no match, in any direction.
-      df.withColumn(prefix + v, when(col(T).isNotNull, picked))
-    }
+    // A null-time left row sorts to the partition head, where the
+    // FOLLOWING frame would hand it the earliest right — mask it: no
+    // timestamp, no match, in any direction.
+    val out = w.withColumn(P, when(col(T).isNotNull, chosen))
 
     out.where(col(SIDE) === leftSide)
-      .select(leftCols.map(col) ++ rightVals.map(v => col(prefix + v)): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => col(P).getField(v).as(prefix + v)): _*)
   }
 }

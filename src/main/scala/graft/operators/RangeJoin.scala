@@ -46,15 +46,24 @@ object RangeJoin {
     require(shared.isEmpty,
       s"points and intervals share non-key columns: ${shared.mkString(", ")} " +
         "(rename one side)")
-    val p = points.withColumn(B, floor(col(pointCol) / bucketWidth))
+    // Exact integer floor-div: Spark's `/` is DOUBLE division, which loses
+    // integer precision above 2^53 — a raw ns-epoch (~1.7e18) within ~100ns
+    // of a bucket boundary would land in the wrong bucket and silently drop
+    // the pair. pmod brings the value to an exact multiple of the width
+    // (floor semantics for negatives too); the decimal division of that
+    // multiple is exact at any magnitude.
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / bucketWidth)
+        .cast("long")
+    val p = points.withColumn(B, bucketOf(col(pointCol)))
     // hi is exclusive so the last covered bucket holds hi-1; the hi<=lo
     // guard keeps sequence() ascending (it would otherwise count DOWN and
     // fabricate buckets for an empty interval).
     val i = intervals
       .where(col(hiCol) > col(loCol))
       .withColumn(B, explode(sequence(
-        floor(col(loCol) / bucketWidth),
-        floor((col(hiCol) - 1) / bucketWidth))))
+        bucketOf(col(loCol)),
+        bucketOf(col(hiCol) - 1))))
     p.join(i, (keys :+ B).toSeq)
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(B)

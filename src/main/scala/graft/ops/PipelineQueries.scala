@@ -38,7 +38,10 @@ object PipelineQueries {
       .withColumn("hit", lit(1))
     exact.select(col("query_id"), col("neighbor_id"))
       .join(a, Seq("query_id", "neighbor_id"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      // empty ground truth ⇒ recall is vacuously 1 (sum over zero rows is
+      // NULL, which would otherwise fail the gate as a false regression)
+      .agg(coalesce(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), lit(1.0))
+        .as("recall"))
       .select(when(col("recall") >= floor, lit(1L)).otherwise(lit(0L)).as("passed"))
   }
 
@@ -116,12 +119,13 @@ object PipelineQueries {
     // floor 0.85 flags a real regression without riding the noise edge.
     "dd_semantic_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val approx = Dedup.semanticPairs(e, "vec_id", "embedding", threshold = 0.4,
-        dim = 64, nCells = 8, iters = 2, nProbes = 3).withColumn("hit", lit(1))
-      Dedup.exactCosinePairs(e, "vec_id", "embedding", threshold = 0.4)
-        .join(approx, Seq("v1", "v2"), "left")
-        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
-        .select(when(col("recall") >= 0.85, lit(1L)).otherwise(lit(0L)).as("passed"))
+      def asPairs(df: DataFrame) =
+        df.select(col("v1").as("query_id"), col("v2").as("neighbor_id"))
+      recallGate(
+        asPairs(Dedup.semanticPairs(e, "vec_id", "embedding", threshold = 0.4,
+          dim = 64, nCells = 8, iters = 2, nProbes = 3)),
+        asPairs(Dedup.exactCosinePairs(e, "vec_id", "embedding", threshold = 0.4)),
+        floor = 0.85)
     }),
 
     "ann_topk" -> ((s, dir) => {
@@ -825,8 +829,6 @@ object PipelineQueries {
         |  CAST(max(CASE WHEN i = 3 THEN p END) AS BIGINT) AS r3
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
-    // Frames 0/4/8 of the 12-frame clip, luma(f, idx) =
-    // (id*37 + f*7919 + idx*101) % 256 (Multimodal.clipLuma).
     // Symbolic WAV mirror: the sample function is closed-form, so the
     // oracle re-derives every PCM statistic without an audio codec.
     "mm_audio" ->
@@ -844,6 +846,8 @@ object PipelineQueries {
         |    AS zero_crossings
         |FROM w GROUP BY doc_id""".stripMargin,
 
+    // Frames 0/4/8 of the 12-frame clip, luma(f, idx) =
+    // (id*37 + f*7919 + idx*101) % 256 (Multimodal.clipLuma).
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
         |           FROM documents),

@@ -38,6 +38,16 @@ object StreamingAsOf {
       rightVals: Seq[String],
       tieBreak: Seq[String] = Nil,
       prefix: String = "asof_"): DataFrame = {
+    // Same collision guard as the batch operator: an events column named
+    // like an output payload (or internal) column would produce duplicate
+    // output columns the first downstream select trips over.
+    val clash = events.columns.toSet.intersect(
+      (rightVals.map(prefix + _) ++
+        Seq("__graft_valid_from", "__graft_valid_to") ++
+        keys.map(k => s"__graft_rk_$k")).toSet)
+    require(clash.isEmpty,
+      s"events columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
+        "(pick a different prefix)")
     val ord = (col(rightTime) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val rKeys = keys.map(k => s"__graft_rk_$k")
@@ -47,8 +57,11 @@ object StreamingAsOf {
           Seq(col(rightTime).as("__graft_valid_from"),
             lead(col(rightTime), 1).over(w).as("__graft_valid_to")) ++
           rightVals.map(v => col(v).as(prefix + v)): _*)
+    // Null-safe key equality: the batch operator's Window.partitionBy
+    // groups null keys together and matches them; a plain === here would
+    // silently diverge (null === null is null, matching nothing).
     val cond = keys.zip(rKeys)
-      .map { case (k, rk) => events.col(k) === col(rk) }
+      .map { case (k, rk) => events.col(k) <=> col(rk) }
       .reduce(_ && _) &&
       events.col(leftTime) >= col("__graft_valid_from") &&
       (col("__graft_valid_to").isNull ||

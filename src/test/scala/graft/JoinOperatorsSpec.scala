@@ -117,6 +117,24 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(joined.count() == 4L)
   }
 
+  test("asof: a matched right row's null payload stays null (no tearing)") {
+    // right at t=20 wins, and its NULL rid must NOT be backfilled from the
+    // older right at t=10 (the payload travels as one struct per row).
+    val left = lf((1L, 25L, 100L))
+    val right = frame(rSchema, Seq(
+      Map[String, Any]("k" -> 1L, "rt" -> 10L, "rid" -> 200L),
+      Map[String, Any]("k" -> 1L, "rt" -> 20L, "rid" -> null)))
+    val gotB = asofMap(AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid")))
+    assert(gotB == Map(100L -> None))
+    // forward mirror: from t=15 the earliest later right (t=20) has the
+    // null payload — it must not be backfilled by a scan past it
+    val left2 = lf((1L, 15L, 101L))
+    val gotF = asofMap(AsOfJoin.forward(left2, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid")))
+    assert(gotF == Map(101L -> None))
+  }
+
   test("asof: null timestamps match nothing in any direction") {
     val left = frame(lSchema, Seq(
       Map[String, Any]("k" -> 1L, "lt" -> null, "lid" -> 100L),
