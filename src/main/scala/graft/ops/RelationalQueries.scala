@@ -226,6 +226,36 @@ object RelationalQueries {
           coalesce(max(col("tl") - col("click_tl")), lit(-1L)).as("max_gap_us"))
     }),
 
+    // Rolling window aggregate: per-user 5-event moving sum of value over
+    // event time (ROWS frame, (tl, event_id) ordering for tie-determinism).
+    // The decimal sum is exact in any accumulation order, so the sliding
+    // aggregation strategy (recompute vs incremental vs segment tree) can
+    // differ between engines without changing a bit; the final division
+    // happens once, in doubles, identically on both sides.
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tl").asc, col("event_id").asc)
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tl"),
+          col("value").cast("decimal(20,4)").as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).cast("double").as("roll_sum"),
+          (sum(col("v")).over(w).cast("double") / count(lit(1)).over(w)).as("roll_avg"))
+    }),
+
+    // Cohort retention: users grouped by first-activity day, distinct
+    // active users per (cohort day, day offset) — the classic product
+    // analytics matrix, all integer arithmetic.
+    "q_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Nearest-direction as-of (AsOfJoin.nearest): each error matches its
     // closest click in EITHER direction (ties to the prior one); exporting
     // the matched time (not its id) keeps equal-distance ties value-stable.
@@ -402,6 +432,23 @@ object RelationalQueries {
         |SELECT user_id, count(*) AS n_errors, count(click_tl) AS n_matched,
         |       coalesce(max(tl - click_tl), -1) AS max_gap_us
         |FROM w WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+
+    "q_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tl,
+        |             CAST(value AS DECIMAL(20,4)) AS v FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS roll_avg
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tl, event_id
+        |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // Dual-window nearest mirror: the backward window orders clicks before
     // errors at equal time (eligible at <=), the forward window orders them
