@@ -240,10 +240,18 @@ object Catalog {
     // SECOND scan+shuffle job on top of the stats pass (the per-gid
     // aggregation can't fuse into the global stats aggregate), which is
     // why it's opt-in: enabling it roughly doubles registration I/O.
-    if (validateGroupLocality && sampled.size > 1) {
+    if (validateGroupLocality && allParts.size > 1) {
+      // A single-part sample can never witness a cross-file split — an
+      // explicitly requested check must not pass vacuously, so widen the
+      // checked set to at least (first, last) parts when the stats sample
+      // was narrower.
+      val checkDf =
+        if (sampled.size > 1) df
+        else spark.read.option("basePath", basepath)
+          .parquet(Seq(allParts.head, allParts.last): _*)
       // input_file_name() is nondeterministic, so project it before the
       // aggregate (it may not appear inside an aggregate function).
-      val split = df
+      val split = checkDf
         .select(col(groupIdColumn), input_file_name().as("__file"))
         .groupBy(col(groupIdColumn))
         .agg(count_distinct(col("__file")).as("__files"))

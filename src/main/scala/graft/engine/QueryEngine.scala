@@ -14,8 +14,16 @@ import graft.query.QueryAst._
  * (frocket/engine/query_engine.py:72-75). Timestamps are deliberately opaque
  * numbers — epoch seconds/millis/micros all work, matching the reference's
  * scale-agnostic stance (frocket/common/validation/query_validator.py:268-299).
+ *
+ * `dayPartitionColumn`: set to the `GroupedWriter.partitionByDay` DATE
+ * partition column (conventionally "dt") to let timeframe queries prune
+ * whole day directories at planning time. It is an explicit declaration
+ * that the column IS the day of `timestampColumn` (nanos) — the engine must
+ * never infer that from a column's name: an unrelated DATE column that
+ * happens to be called "dt" would silently drop in-timeframe rows.
  */
-final case class DatasetSpec(groupIdColumn: String, timestampColumn: String)
+final case class DatasetSpec(groupIdColumn: String, timestampColumn: String,
+                             dayPartitionColumn: Option[String] = None)
 
 /**
  * The planned query: every output is a lazily-evaluated DataFrame, so Catalyst
@@ -71,18 +79,24 @@ final class QueryEngine(spec: DatasetSpec) {
         val lower = from.map(f => col(ts) >= lit(f))
         val upper = to.map(t => col(ts) < lit(t))
         // Day-partitioned layouts (GroupedWriter.partitionByDay) carry a
-        // `dt` DATE partition column; derive its bounds from the timeframe
-        // so whole day directories are pruned at planning time (the filter
-        // is a superset of the row filter above, which stays authoritative).
-        // The upper bound uses to-1ns: an exact-midnight `to` excludes its
-        // own day entirely.
-        val dtBounds =
-          if (df.schema.exists(f =>
-                f.name == "dt" && f.dataType == org.apache.spark.sql.types.DateType)) {
-            val dayOf = (nanos: Long) => to_date(timestamp_micros(lit(nanos / 1000L)))
-            from.map(f => col("dt") >= dayOf(f)) ++
-              to.map(t => col("dt") <= dayOf(t - 1L))
-          } else Nil
+        // DATE partition column; when the spec DECLARES it (never inferred
+        // from a name), derive its bounds from the timeframe so whole day
+        // directories are pruned at planning time (the filter is a superset
+        // of the row filter above, which stays authoritative). The upper
+        // bound uses to-1ns: an exact-midnight `to` excludes its own day
+        // entirely. date_from_unix_date on integer epoch days matches the
+        // writer's derivation with NO session-timezone dependence — a
+        // to_date() here would shift a day when reader and writer sessions
+        // disagree on timezone.
+        val dtBounds = spec.dayPartitionColumn match {
+          case Some(dtCol) if df.schema.exists(f =>
+              f.name == dtCol && f.dataType == org.apache.spark.sql.types.DateType) =>
+            val dayOf = (nanos: Long) =>
+              date_from_unix_date(lit(((nanos / 1000L) / 86400000000L).toInt))
+            from.map(f => col(dtCol) >= dayOf(f)) ++
+              to.map(t => col(dtCol) <= dayOf(t - 1L))
+          case _ => Nil
+        }
         (lower ++ upper ++ dtBounds).reduceOption(_ && _).map(df.filter).getOrElse(df)
       case None => df
     }

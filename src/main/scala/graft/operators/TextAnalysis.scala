@@ -149,26 +149,28 @@ object TextAnalysis {
     *
     * Shape at scale: the eval set is small by definition — its distinct-gram
     * table is explicitly broadcast, so the corpus side is a map-only
-    * explode + broadcast semi-join + one groupBy(doc_id) with map-side
-    * partials. No shuffle of corpus grams ever happens. */
+    * explode + broadcast join + one groupBy(doc_id) whose partial
+    * aggregation is map-side. The per-document gram dedup happens INSIDE
+    * each row (`array_distinct` over the gram array) — the corpus gram set
+    * itself is never shuffled; the only exchange carries one row per
+    * contaminated (doc, partial-count). */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    // Explode the window INDEX first, then hash with top-level (codegen'd)
-    // md5/slice/array_join — an md5 inside a `transform` lambda is
-    // interpreted per element and measured 3x slower end-to-end. slice's
-    // start is always >= 1 here because the generator only emits valid
-    // indices (the CASE keeps sequence() from descending through 0 on
-    // short docs under InferFiltersFromGenerate + pushdown, which evaluate
-    // the generator expression on rows the `where` would have dropped).
+    // Gram strings are built + deduped per row, then exploded, then hashed
+    // with TOP-LEVEL (codegen'd) md5 — an md5 inside the `transform`
+    // lambda is interpreted per element and measured 3x slower end-to-end.
+    // The CASE keeps sequence() from descending through 0 on short docs
+    // under InferFiltersFromGenerate + pushdown, which evaluate the
+    // expression on rows the `where` would have dropped.
     def grams(df: DataFrame) = df
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
       .where(size(col("__toks")) >= n)
-      .select(col("doc_id"), col("__toks"), explode(expr(
-        s"CASE WHEN size(__toks) >= $n THEN sequence(1, size(__toks) - ${n - 1}) " +
-        s"ELSE array() END")).as("__i"))
-      .select(col("doc_id"),
-        md5(expr(s"array_join(slice(__toks, __i, $n), ' ')")).as("gh"))
-      .distinct()
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(__toks) >= $n THEN array_distinct(transform(" +
+        s"sequence(1, size(__toks) - ${n - 1}), " +
+        s"i -> array_join(slice(__toks, i, $n), ' '))) " +
+        s"ELSE array() END")).as("__g"))
+      .select(col("doc_id"), md5(col("__g")).as("gh"))
     val ev = grams(evalSet).select(col("gh"), lit(1).as("__hit")).distinct()
     // One pass over the corpus grams: count(*) = distinct grams per doc,
     // counted hits from the broadcast left join — no second execution of
@@ -181,6 +183,14 @@ object TextAnalysis {
       .where(col("n_hits") > 0)
   }
 
+  /** md5("<salt>:<id>") — THE cross-engine determinism contract: every
+    * hash-derived decision (split, sample, cap, pack order/shard) and its
+    * DuckDB oracle mirror build exactly this string. Defined once so a
+    * drift in any copy (separator, missing cast) cannot silently break a
+    * single operator's engine parity. */
+  private def saltedMd5(idCol: Column, salt: String): Column =
+    md5(concat(lit(s"$salt:"), idCol.cast("string")))
+
   /** Deterministic hash-based train/val/test assignment: buckets on the
     * first hex char of md5("<salt>:<id>") — 12/16 train, 2/16 val, 2/16
     * test. A pure string comparison on the md5 hex digest ('0' < … < '9' <
@@ -188,7 +198,7 @@ object TextAnalysis {
     * property a split must have for a pipeline to be re-runnable. Map-only;
     * changing `salt` re-rolls the split without touching the data. */
   def hashSplit(idCol: Column, salt: String): Column = {
-    val h = substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 1)
+    val h = substring(saltedMd5(idCol, salt), 1, 1)
     when(h < "c", "train").when(h < "e", "val").otherwise("test")
   }
 
@@ -203,7 +213,7 @@ object TextAnalysis {
     * targetRate)` — no shuffle, no state, works identically on 5k or 5B
     * docs. */
   def hashUniform(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 8),
+    conv(substring(saltedMd5(idCol, salt), 1, 8),
       16, 10).cast("long").cast("double") / 4294967296.0
 
   /** Deterministic per-key cap: keep at most `n` rows per `keyCol`,
@@ -219,7 +229,7 @@ object TextAnalysis {
                 salt: String): DataFrame = {
     require(n > 0, "cap must be positive")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+      .orderBy(saltedMd5(col(idCol), salt),
         col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= n).drop("__rk")
@@ -266,16 +276,15 @@ object TextAnalysis {
            budget: Int, nShards: Int, salt: String): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nShards > 0, "nShards must be positive")
-    val id = col(idCol).cast("string")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard"))
       .orderBy(col("__h"), col("doc_id"))
     docs
       .select(col(idCol).as("doc_id"),
         tokenCount(col(textCol)).cast("long").as("__nt"),
-        (conv(substring(md5(concat(lit(s"$salt:"), id)), 1, 4), 16, 10)
+        (conv(substring(saltedMd5(col(idCol), salt), 1, 4), 16, 10)
           .cast("long") % nShards).as("__shard"),
-        md5(concat(lit(s"$salt:"), id)).as("__h"))
+        saltedMd5(col(idCol), salt).as("__h"))
       .withColumn("__prefix", coalesce(
         sum(col("__nt")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),

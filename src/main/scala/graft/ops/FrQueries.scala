@@ -23,6 +23,9 @@ object FrQueries {
 
   private val spec   = DatasetSpec("user_id", "ts")
   private val engine = new QueryEngine(spec)
+  /** For day-partitioned fixtures: declares dt as ts's day partition. */
+  private val prunedEngine =
+    new QueryEngine(spec.copy(dayPartitionColumn = Some("dt")))
 
   /** events with the measure column cast for exact distributed sums. */
   private def ev(s: SparkSession, dir: String): DataFrame =
@@ -118,8 +121,9 @@ object FrQueries {
       None, Nil, None)).summary),
 
     // Same timeframe query over a day-partitioned (dt=DATE) copy of events:
-    // the engine derives dt partition bounds from the timeframe, so whole
-    // day directories are pruned at planning time (the 100 TB layout path,
+    // the spec DECLARES dt as the day-partition column, so the engine
+    // derives dt partition bounds from the timeframe and whole day
+    // directories are pruned at planning time (the 100 TB layout path,
     // plan-pinned in LibrarySpec). The fixture is keyed by SF-dir name —
     // the side-effect-fixture rule q_csv_ingest established.
     "fr_timeframe_pruned" -> ((s, dir) => {
@@ -133,7 +137,7 @@ object FrQueries {
       if (!new java.io.File(fixture, "_SUCCESS").exists())
         graft.sources.GroupedWriter.partitionByDay(
           ev(s, dir), "ts", "user_id", nParts = 4, fixture)
-      engine.runValidated(
+      prunedEngine.runValidated(
         s.read.parquet(fixture)
           .withColumn("value", col("value").cast("decimal(20,4)")),
         GraftQuery(

@@ -31,14 +31,18 @@ object GroupedWriter {
     * derived from the epoch-nanos timestamp and writes one directory per
     * day. The 100 TB timeframe story: row-group stats pushdown (S2) still
     * skips within files, but a `dt=...` directory layout lets the planner
-    * skip whole days without listing their files — and
-    * [[graft.engine.QueryEngine]] derives `dt` partition bounds from any
-    * query timeframe automatically when the scanned frame carries this
-    * column. `nParts` bounds output files per day (each day's rows are
+    * skip whole days without listing their files — declare the column via
+    * `DatasetSpec(dayPartitionColumn = Some("dt"))` and
+    * [[graft.engine.QueryEngine]] derives its bounds from any query
+    * timeframe. The day is computed from integer epoch days
+    * (`date_from_unix_date`), NOT `to_date`, so the layout and the derived
+    * bounds are both independent of the writer/reader session timezones.
+    * `nParts` bounds output files per day (each day's rows are
     * hash-clustered by `groupIdCol` into at most `nParts` files). */
   def partitionByDay(df: DataFrame, tsNanosCol: String, groupIdCol: String,
                      nParts: Int, path: String): Unit =
-    df.withColumn("dt", to_date(timestamp_micros(expr(s"$tsNanosCol div 1000"))))
+    df.withColumn("dt", expr(
+        s"date_from_unix_date(CAST((($tsNanosCol div 1000) div 86400000000) AS INT))"))
       .repartition(nParts, col("dt"), col(groupIdCol))
       .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(path)
 

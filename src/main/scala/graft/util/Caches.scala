@@ -34,15 +34,19 @@ object Caches {
 
   /** Release the blocks behind a localCheckpoint-backed frame. A local
     * checkpoint IS its lineage — the blocks cannot be recomputed — so call
-    * this only once nothing will read the frame again. No-op for plans not
-    * rooted in a checkpoint/RDD. */
-  def freeCheckpoint(ds: Dataset[_]): Unit = {
-    ds.queryExecution.analyzed.collect {
+    * this only once nothing will read the frame again. Matches the plan
+    * ROOT only: a tree-wide sweep would also destroy caller-owned
+    * checkpoint blocks buried deeper in a derived plan's lineage, killing
+    * the caller's still-live frame. No-op for plans not rooted in a
+    * checkpoint/RDD. Blocking, for the same reason [[drain]] is: async
+    * block cleanup from one query otherwise lands inside the next one's
+    * measurement. */
+  def freeCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
     }
-    ()
-  }
 
   /** Unpersist every retained dataset and clear the registry. Blocking:
     * callers drain between measured queries (Bench) or between requests

@@ -213,7 +213,8 @@ class LibrarySpec extends SparkSpec {
     GroupedWriter.partitionByDay(ev, "ts", "uid", nParts = 2, dir)
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("dt=")) == 10)
 
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val engine = new QueryEngine(
+      DatasetSpec("uid", "ts", dayPartitionColumn = Some("dt")))
     // Days 2..4 (from inclusive, to exclusive at an exact midnight).
     val q = GraftQuery(
       Some(Timeframe(Some(day0 + 2 * dayNs), Some(day0 + 5 * dayNs))),
@@ -257,8 +258,11 @@ class LibrarySpec extends SparkSpec {
     assert(reg.dtypeNames.get("dt").contains("date"), reg.dtypeNames.toString)
     assert(reg.unsupportedColumns.contains("dt"), reg.unsupportedColumns.toString)
 
-    // Catalog.load → engine timeframe → dt partition pruning end-to-end.
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    // Catalog.load → engine timeframe → dt partition pruning end-to-end
+    // (the spec declares dt as the day-partition column; the engine never
+    // infers that from the name alone).
+    val engine = new QueryEngine(
+      DatasetSpec("uid", "ts", dayPartitionColumn = Some("dt")))
     val q = GraftQuery(
       Some(Timeframe(Some(day0 + dayNs), Some(day0 + 3 * dayNs))),
       Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
