@@ -234,6 +234,33 @@ class LibrarySpec extends SparkSpec {
     assert(got.getLong(1) > 0L) // the timeframe actually selected rows
   }
 
+  test("an unrelated DATE column named dt is NOT used for pruning unless declared") {
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("dt", DateType), StructField("etype", StringType)))
+    val day0 = 1704067200000000000L
+    // dt is a SIGNUP date, unrelated to ts (deliberately days away from
+    // the event time) — an undeclared spec must ignore it entirely or
+    // every in-timeframe row would be wrongly filtered out.
+    val ev = frame(schema, (0L until 100L).map(i => Map[String, Any](
+      "uid" -> i % 10, "ts" -> (day0 + i * 1000000000L),
+      "dt" -> java.sql.Date.valueOf("2020-06-15"), "etype" -> "view")))
+    val q = GraftQuery(
+      Some(Timeframe(Some(day0), Some(day0 + 100L * 1000000000L))),
+      Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
+        Scalar.Str("view"))), Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      None, Nil, None)
+    val undeclared = new QueryEngine(DatasetSpec("uid", "ts"))
+    val got = undeclared.run(ev, q).summary.collect()(0)
+    assert(got.getLong(0) == 10L && got.getLong(1) == 100L,
+      s"undeclared dt must not prune: $got")
+    // declaring it DOES derive bounds (and here wrongly filters everything
+    // — which is exactly why declaration must be explicit)
+    val declared = new QueryEngine(DatasetSpec("uid", "ts", Some("dt")))
+    assert(declared.run(ev, q).summary.collect()(0).getLong(1) == 0L)
+  }
+
   test("catalog registers a day-partitioned dataset and timeframe queries prune it") {
     import graft.query.QueryAst._
     val dir = tmpDir("dtcat")
