@@ -65,7 +65,12 @@ object Catalog {
       dtypeNames: Map[String, String] = Map.empty,
       statsExact: Boolean = true,
       sampledParts: Int = 0,
-      totalParts: Int = 0)
+      totalParts: Int = 0,
+      /** Declared GroupedWriter.partitionByDay DATE column (day of the
+        * epoch-NANOS timestamp column); validated against the data at
+        * registration, consumed by the server's QueryEngine for timeframe
+        * partition pruning. Never inferred from a column name. */
+      dayPartitionColumn: Option[String] = None)
 
   final case class RegistrationException(msg: String) extends RuntimeException(msg)
 
@@ -157,7 +162,8 @@ object Catalog {
                categoricalTopCount: Int = 20,
                categoricalTopMinPct: Double = 0.01,
                mode: ValidationMode = ValidationMode.Full,
-               validateGroupLocality: Boolean = false): RegisteredDataset = {
+               validateGroupLocality: Boolean = false,
+               dayPartitionColumn: Option[String] = None): RegisteredDataset = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Schema always comes from the full basepath (parquet footers — no data
     // scan); only the stats/validation pass below is restricted to the
@@ -300,6 +306,27 @@ object Catalog {
       } else n -> ColumnAttrs(categorical = false, catUniqueRatio = Some(ratio))
     }
 
+    // A declared day-partition column is a correctness claim ("this DATE
+    // column IS the day of the nanos timestamp") that the engine will turn
+    // into partition-pruning filters — verify it against the scanned data
+    // before accepting it, using the same GroupedWriter.dayOfTsNanos
+    // derivation the engine's bounds use.
+    dayPartitionColumn.foreach { dtCol =>
+      if (!schema.exists(f => f.name == dtCol &&
+          f.dataType == org.apache.spark.sql.types.DateType))
+        throw RegistrationException(
+          s"dayPartitionColumn '$dtCol' must be a DATE column of the dataset")
+      val mismatches = df
+        .where(col(dtCol).isNull || col(dtCol) =!=
+          graft.sources.GroupedWriter.dayOfTsNanos(col(timestampColumn)))
+        .limit(1).count()
+      if (mismatches > 0)
+        throw RegistrationException(
+          s"dayPartitionColumn '$dtCol' does not equal the day of " +
+          s"'$timestampColumn' (epoch nanos) on the scanned parts — " +
+          "declaring it would make timeframe pruning drop valid rows")
+    }
+
     val ds = RegisteredDataset(name, basepath, groupIdColumn, timestampColumn,
       columns, unsupported,
       stats.getAs[Double]("min_ts"), stats.getAs[Double]("max_ts"),
@@ -308,7 +335,8 @@ object Catalog {
       columnAttrs = (numericAttrs ++ stringAttrs).toMap,
       dtypeNames = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap,
       statsExact = mode == ValidationMode.Full,
-      sampledParts = sampled.size, totalParts = allParts.size)
+      sampledParts = sampled.size, totalParts = allParts.size,
+      dayPartitionColumn = dayPartitionColumn)
     datasets.put(name, ds)
     saveStore()
     ds
@@ -412,6 +440,7 @@ object Catalog {
       ("numGroups" -> d.numGroups) ~ ("numRows" -> d.numRows) ~
       ("registeredAt" -> d.registeredAt) ~ ("statsExact" -> d.statsExact) ~
       ("sampledParts" -> d.sampledParts) ~ ("totalParts" -> d.totalParts) ~
+      ("dayPartitionColumn" -> d.dayPartitionColumn) ~
       ("dtypeNames" -> d.dtypeNames) ~
       ("columnAttrs" -> d.columnAttrs.map { case (k, a) =>
         k -> (("numericMin" -> a.numericMin) ~ ("numericMax" -> a.numericMax) ~
@@ -462,6 +491,7 @@ object Catalog {
       dtypeNames = (j \ "dtypeNames").extract[Map[String, String]],
       statsExact = (j \ "statsExact").extractOpt[Boolean].getOrElse(true),
       sampledParts = (j \ "sampledParts").extractOpt[Int].getOrElse(0),
-      totalParts = (j \ "totalParts").extractOpt[Int].getOrElse(0))
+      totalParts = (j \ "totalParts").extractOpt[Int].getOrElse(0),
+      dayPartitionColumn = (j \ "dayPartitionColumn").extractOpt[String])
   }
 }

@@ -84,15 +84,15 @@ final class QueryEngine(spec: DatasetSpec) {
         // directories are pruned at planning time (the filter is a superset
         // of the row filter above, which stays authoritative). The upper
         // bound uses to-1ns: an exact-midnight `to` excludes its own day
-        // entirely. date_from_unix_date on integer epoch days matches the
-        // writer's derivation with NO session-timezone dependence — a
-        // to_date() here would shift a day when reader and writer sessions
-        // disagree on timezone.
+        // entirely. The day derivation is GroupedWriter.dayOfTsNanos — the
+        // SAME definition the writer used, so the bounds are a safe
+        // superset by construction (and timezone-free; Catalyst constant-
+        // folds it over the literal).
         val dtBounds = spec.dayPartitionColumn match {
           case Some(dtCol) if df.schema.exists(f =>
               f.name == dtCol && f.dataType == org.apache.spark.sql.types.DateType) =>
             val dayOf = (nanos: Long) =>
-              date_from_unix_date(lit(((nanos / 1000L) / 86400000000L).toInt))
+              graft.sources.GroupedWriter.dayOfTsNanos(lit(nanos))
             from.map(f => col(dtCol) >= dayOf(f)) ++
               to.map(t => col(dtCol) <= dayOf(t - 1L))
           case _ => Nil

@@ -114,10 +114,11 @@ object AsOfJoin {
     val tbNames = tieBreak.indices.map(i => s"__graft_asof_tb_$i")
 
     val leftCols = left.columns.toSeq
-    // A left column named like an output payload column would collide with
-    // the matched columns in the final select — fail loudly instead.
-    val clash = leftCols.toSet
-      .intersect((rightVals.map(prefix + _) :+ T :+ SIDE :+ P).toSet)
+    // A left column named like an output payload or ANY internal channel
+    // column would be silently overwritten/shadowed — fail loudly instead.
+    val clash = leftCols.toSet.intersect(
+      (rightVals.map(prefix + _) ++
+        Seq(T, SIDE, P, "__graft_asof_b", "__graft_asof_f") ++ tbNames).toSet)
     require(clash.isEmpty,
       s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
         s"(pick a different prefix)")

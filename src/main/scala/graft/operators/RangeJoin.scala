@@ -46,15 +46,15 @@ object RangeJoin {
     require(shared.isEmpty,
       s"points and intervals share non-key columns: ${shared.mkString(", ")} " +
         "(rename one side)")
-    // Exact integer floor-div: Spark's `/` is DOUBLE division, which loses
-    // integer precision above 2^53 — a raw ns-epoch (~1.7e18) within ~100ns
-    // of a bucket boundary would land in the wrong bucket and silently drop
-    // the pair. pmod brings the value to an exact multiple of the width
-    // (floor semantics for negatives too); the decimal division of that
-    // multiple is exact at any magnitude.
+    // The internal bucket column on EITHER side alone would be silently
+    // overwritten and dropped — same loud-failure policy.
+    require(!points.columns.contains(B) && !intervals.columns.contains(B),
+      s"column name $B is reserved by RangeJoin")
+    // Exact integer floor-div (util.Arith): double division would put a raw
+    // ns-epoch (~1.7e18, above 2^53) within ~100ns of a bucket boundary in
+    // the wrong bucket and silently drop the pair.
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / bucketWidth)
-        .cast("long")
+      graft.util.Arith.floorDiv(c, bucketWidth)
     val p = points.withColumn(B, bucketOf(col(pointCol)))
     // hi is exclusive so the last covered bucket holds hi-1; the hi<=lo
     // guard keeps sequence() ascending (it would otherwise count DOWN and

@@ -248,8 +248,11 @@ object RelationalQueries {
     // active users per (cohort day, day offset) — the classic product
     // analytics matrix, all integer arithmetic.
     "q_retention" -> ((s, dir) => {
+      // floorDiv, not `div`: DuckDB's `//` floors while Spark's `div`
+      // truncates — they disagree on negative (pre-1970) timestamps.
       val e = Tables.events(s, dir)
-        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .select(col("user_id"),
+          graft.util.Arith.floorDiv(expr("ts div 1000"), 86400000000L).as("day"))
       val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
       e.join(cohort, Seq("user_id"))
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))

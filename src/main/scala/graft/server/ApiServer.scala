@@ -136,9 +136,16 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       case JBool(b) => b
       case _        => false
     }
+    // Optional GroupedWriter.partitionByDay declaration: validated against
+    // the data at registration, then used for timeframe partition pruning
+    // on every query against this dataset.
+    val dayCol = body \ "dayPartitionColumn" match {
+      case JString(s) => Some(s)
+      case _          => None
+    }
     def doRegister(): String = {
       val ds = Catalog.register(spark, name, path, gid, ts, mode = mode,
-        validateGroupLocality = vgl)
+        validateGroupLocality = vgl, dayPartitionColumn = dayCol)
       val cats = ds.columnAttrs.collect { case (n, a) if a.categorical => n }.toSeq.sorted
       s"""{"dataset": ${q(ds.name)}, "rows": ${ds.numRows}, "groups": ${ds.numGroups},
          | "minTimestamp": ${ds.minTimestamp}, "maxTimestamp": ${ds.maxTimestamp},
@@ -251,7 +258,11 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     val parsed = QueryParser.parse(bodyText)
     SchemaValidator.validateTimeframeScale(parsed, ds.minTimestamp, ds.maxTimestamp)
     val df = Catalog.load(spark, name)
-    val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn))
+    // The registration-validated day-partition declaration flows into the
+    // engine here — timeframe queries over partitionByDay layouts prune
+    // whole day directories on the serving path too.
+    val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
+      dayPartitionColumn = ds.dayPartitionColumn))
 
     def execute(): String = {
       val (body, stats) = try JobStats.measure(spark) {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros, to_date}
+import org.apache.spark.sql.functions.{col, date_from_unix_date, expr}
 
 /**
  * Data-prep writers reproducing the reference's physical layout guarantees.
@@ -41,10 +41,22 @@ object GroupedWriter {
     * hash-clustered by `groupIdCol` into at most `nParts` files). */
   def partitionByDay(df: DataFrame, tsNanosCol: String, groupIdCol: String,
                      nParts: Int, path: String): Unit =
-    df.withColumn("dt", expr(
-        s"date_from_unix_date(CAST((($tsNanosCol div 1000) div 86400000000) AS INT))"))
+    df.withColumn("dt", dayOfTsNanos(col(tsNanosCol)))
       .repartition(nParts, col("dt"), col(groupIdCol))
       .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(path)
+
+  /** DATE of an epoch-nanos timestamp via integer epoch days — THE single
+    * writer/reader day-derivation contract: [[partitionByDay]] writes it,
+    * [[graft.engine.QueryEngine]] derives pruning bounds with it, and
+    * [[graft.catalog.Catalog]] validates `dayPartitionColumn` declarations
+    * against it. One definition, because the derived bounds are only a safe
+    * superset of the row filter if both sides agree bit-for-bit.
+    * Timezone-free by construction (no to_date/session zone), exact at any
+    * magnitude (util.Arith.floorDiv, not double division). */
+  def dayOfTsNanos(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_from_unix_date(
+      graft.util.Arith.floorDiv(
+        graft.util.Arith.floorDiv(tsNanos, 1000L), 86400000000L).cast("int"))
 
   /** Bucketed+sorted managed table; downstream per-group aggregations and
     * joins on `groupIdCol` skip the shuffle entirely. Extra `sortCols`

@@ -280,16 +280,24 @@ class LibrarySpec extends SparkSpec {
     // type system by design (queries filter time via the ts timeframe and
     // the engine derives dt pruning bounds from it), so it surfaces in
     // dtypeNames + unsupported rather than as a filterable column.
-    val reg = Catalog.register(spark, "dtcat1", dir, "uid", "ts")
+    val reg = Catalog.register(spark, "dtcat1", dir, "uid", "ts",
+      dayPartitionColumn = Some("dt"))
     assert(reg.numRows == 300, reg.numRows.toString)
     assert(reg.dtypeNames.get("dt").contains("date"), reg.dtypeNames.toString)
     assert(reg.unsupportedColumns.contains("dt"), reg.unsupportedColumns.toString)
+    assert(reg.dayPartitionColumn.contains("dt"))
+    // a mis-declared column is rejected at registration (uid is not a DATE;
+    // a DATE column unequal to day-of-ts would be rejected by the data check)
+    intercept[Catalog.RegistrationException] {
+      Catalog.register(spark, "dtcat_bad", dir, "uid", "ts",
+        dayPartitionColumn = Some("uid"))
+    }
 
-    // Catalog.load → engine timeframe → dt partition pruning end-to-end
-    // (the spec declares dt as the day-partition column; the engine never
-    // infers that from the name alone).
+    // Catalog.load → engine timeframe → dt partition pruning end-to-end,
+    // with the spec built from the REGISTRATION's validated declaration —
+    // the exact construction the ApiServer serving path uses.
     val engine = new QueryEngine(
-      DatasetSpec("uid", "ts", dayPartitionColumn = Some("dt")))
+      DatasetSpec("uid", "ts", dayPartitionColumn = reg.dayPartitionColumn))
     val q = GraftQuery(
       Some(Timeframe(Some(day0 + dayNs), Some(day0 + 3 * dayNs))),
       Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
