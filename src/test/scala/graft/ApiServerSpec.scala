@@ -249,6 +249,31 @@ class ApiServerSpec extends SparkSpec {
     post("/datasets/evs/unregister", "{}")
   }
 
+  test("day-partitioned registration declares dt and timeframe queries still answer") {
+    val dir = java.nio.file.Files.createTempDirectory("api_dtpart").toString
+    graft.sources.GroupedWriter.partitionByDay(
+      graft.ops.Tables.events(spark, "/root/testdata/sf0.001"),
+      "ts", "user_id", nParts = 2, dir)
+    val reg = post("/datasets/register",
+      s"""{"name": "evdt", "basepath": "$dir",
+         | "groupIdColumn": "user_id", "timestampColumn": "ts",
+         | "dayPartitionColumn": "dt"}""".stripMargin)
+    assert(reg.statusCode() == 200, reg.body())
+    val q = post("/datasets/evdt/query",
+      """{"timeframe": {"from": 1705000000000000000, "to": 1706000000000000000},
+        | "query": {"conditions": [
+        |   {"filter": ["event_type", "==", "purchase"]}]}}""".stripMargin)
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains("matchingGroups"), q.body())
+    // a mis-declared day column is a 400 at registration, not silent
+    val bad = post("/datasets/register",
+      s"""{"name": "evdt2", "basepath": "$dir",
+         | "groupIdColumn": "user_id", "timestampColumn": "ts",
+         | "dayPartitionColumn": "user_id"}""".stripMargin)
+    assert(bad.statusCode() == 400 && bad.body().contains("dayPartitionColumn"), bad.body())
+    post("/datasets/evdt/unregister", "{}")
+  }
+
   test("GET /metrics exposes Prometheus counters that move with queries") {
     post("/datasets/register",
       """{"name": "evm", "basepath": "/root/testdata/sf0.001/events.parquet",
