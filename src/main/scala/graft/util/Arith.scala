@@ -15,6 +15,8 @@ object Arith {
     * lossless. Matches DuckDB's `//` on BIGINTs bit-for-bit. */
   def floorDiv(c: Column, w: Long): Column = {
     require(w > 0, s"floorDiv width must be positive, got $w")
-    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / w).cast("long")
+    // Subtract in DECIMAL: near Long.MinValue the long-typed
+    // `c - pmod(c, w)` underflows (ANSI overflow error / wrapped value).
+    ((c.cast("decimal(38,0)") - pmod(c, lit(w))) / w).cast("long")
   }
 }
