@@ -47,12 +47,22 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(got == Map(100L -> Some(207L)))
   }
 
-  test("asof plan is one window pass — no join operator at all") {
+  test("asof plan is one window pass — no join operator, ONE shuffle") {
     val plan = AsOfJoin.backward(lf((1L, 10L, 100L)), rf((1L, 5L, 200L)),
       Seq("k"), "lt", "rt", rightVals = Seq("rid"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of join must compile to a window pass, got:\n$plan")
     assert(plan.contains("Window"))
+    // exactly one Exchange: the key shuffle feeding the window(s) — a
+    // second one would mean the union sides or directions shuffle separately
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"as-of join must shuffle exactly once, got:\n$plan")
+    // nearest adds the second direction but must still shuffle once
+    val planN = AsOfJoin.nearest(lf((1L, 10L, 100L)), rf((1L, 5L, 200L)),
+      Seq("k"), "lt", "rt", rightVals = Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(planN).size == 1,
+      s"nearest as-of must still shuffle exactly once, got:\n$planN")
   }
 
   test("asof agrees with a brute-force reference on random data (all directions/modes)") {
