@@ -211,6 +211,16 @@ object Catalog {
     val columns = classified.collect { case (n, Some(t)) => n -> t }.toMap
     val unsupported = classified.collect { case (n, None) => n }.toSeq
 
+    // Pure-metadata gate for the day-partition declaration — BEFORE any
+    // scan: a typo'd or non-DATE column must be a cheap rejection, not one
+    // that surfaces after the full stats pass.
+    dayPartitionColumn.foreach { dtCol =>
+      if (!schema.exists(f => f.name == dtCol &&
+          f.dataType == org.apache.spark.sql.types.DateType))
+        throw RegistrationException(
+          s"dayPartitionColumn '$dtCol' must be a DATE column of the dataset")
+    }
+
     // One distributed pass for stats + null validation + per-column
     // attributes: numeric min/max and, for string columns, the approximate
     // distinct count for the unique-values ratio (HyperLogLog++ partials
@@ -308,22 +318,22 @@ object Catalog {
 
     // A declared day-partition column is a correctness claim ("this DATE
     // column IS the day of the nanos timestamp") that the engine will turn
-    // into partition-pruning filters — verify it against the scanned data
-    // before accepting it, using the same GroupedWriter.dayOfTsNanos
-    // derivation the engine's bounds use.
+    // into partition-pruning filters — verify it against the FULL data
+    // (not just the sampled parts: a mis-declared unsampled day directory
+    // would be silently pruned away on every query). The scan reads only
+    // (dt, ts) — column-pruned, far cheaper than the stats pass — and the
+    // derivation is the same GroupedWriter.dayOfTsNanos the engine's
+    // bounds use. The free schema-type gate already ran before any scan.
     dayPartitionColumn.foreach { dtCol =>
-      if (!schema.exists(f => f.name == dtCol &&
-          f.dataType == org.apache.spark.sql.types.DateType))
-        throw RegistrationException(
-          s"dayPartitionColumn '$dtCol' must be a DATE column of the dataset")
-      val mismatches = df
+      val mismatches = spark.read.option("basePath", basepath).parquet(basepath)
+        .select(col(dtCol), col(timestampColumn))
         .where(col(dtCol).isNull || col(dtCol) =!=
           graft.sources.GroupedWriter.dayOfTsNanos(col(timestampColumn)))
         .limit(1).count()
       if (mismatches > 0)
         throw RegistrationException(
           s"dayPartitionColumn '$dtCol' does not equal the day of " +
-          s"'$timestampColumn' (epoch nanos) on the scanned parts — " +
+          s"'$timestampColumn' (epoch nanos) — " +
           "declaring it would make timeframe pruning drop valid rows")
     }
 

@@ -41,6 +41,8 @@ object AsOfJoin {
   private val T    = "__graft_asof_t"
   private val SIDE = "__graft_asof_side"
   private val P    = "__graft_asof_p"
+  private val B    = "__graft_asof_b"
+  private val F    = "__graft_asof_f"
 
   /** @param rightVals right columns to attach, surfaced as `prefix+name`
     * @param tieBreak  right columns ordering equal-time right rows
@@ -118,7 +120,7 @@ object AsOfJoin {
     // column would be silently overwritten/shadowed — fail loudly instead.
     val clash = leftCols.toSet.intersect(
       (rightVals.map(prefix + _) ++
-        Seq(T, SIDE, P, "__graft_asof_b", "__graft_asof_f") ++ tbNames).toSet)
+        Seq(T, SIDE, P, B, F) ++ tbNames).toSet)
     require(clash.isEmpty,
       s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
         s"(pick a different prefix)")
@@ -164,14 +166,14 @@ object AsOfJoin {
 
     var w = l.unionByName(r.select(l.columns.map(col): _*))
     if (wantBackward)
-      w = w.withColumn("__graft_asof_b", last(col(P), ignoreNulls = true).over(wb))
+      w = w.withColumn(B, last(col(P), ignoreNulls = true).over(wb))
     if (wantForward)
-      w = w.withColumn("__graft_asof_f", first(col(P), ignoreNulls = true).over(wf))
+      w = w.withColumn(F, first(col(P), ignoreNulls = true).over(wf))
 
     // Each direction's sort already admits exactly the eligible rights, so
     // channel values need no masking; nearest only compares distances.
-    val b = col("__graft_asof_b")
-    val f = col("__graft_asof_f")
+    val b = col(B)
+    val f = col(F)
     val chosen: Column =
       if (wantBackward && wantForward)
         when(b.isNotNull && (f.isNull ||

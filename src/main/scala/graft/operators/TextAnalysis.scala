@@ -153,7 +153,12 @@ object TextAnalysis {
     * aggregation is map-side. The per-document gram dedup happens INSIDE
     * each row (`array_distinct` over the gram array) — the corpus gram set
     * itself is never shuffled; the only exchange carries one row per
-    * contaminated (doc, partial-count). */
+    * contaminated (doc, partial-count).
+    *
+    * Precondition: one row per `idCol` value (the standard corpus-table
+    * shape). A corpus that chunks one document across several rows under
+    * the same id would count a gram once PER ROW; pre-aggregate the text
+    * (or accept row-level granularity) before calling. */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     // Gram strings are built + deduped per row, then exploded, then hashed

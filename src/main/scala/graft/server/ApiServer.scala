@@ -138,10 +138,14 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     }
     // Optional GroupedWriter.partitionByDay declaration: validated against
     // the data at registration, then used for timeframe partition pruning
-    // on every query against this dataset.
+    // on every query against this dataset. A malformed (non-string) value
+    // is a 400 — silently dropping it would leave the client believing the
+    // declaration is active.
     val dayCol = body \ "dayPartitionColumn" match {
       case JString(s) => Some(s)
-      case _          => None
+      case JNothing   => None
+      case other      => throw QueryValidationException("schema",
+        s"dayPartitionColumn must be a string, got $other")
     }
     def doRegister(): String = {
       val ds = Catalog.register(spark, name, path, gid, ts, mode = mode,

@@ -38,7 +38,14 @@ object GroupedWriter {
     * (`date_from_unix_date`), NOT `to_date`, so the layout and the derived
     * bounds are both independent of the writer/reader session timezones.
     * `nParts` bounds output files per day (each day's rows are
-    * hash-clustered by `groupIdCol` into at most `nParts` files). */
+    * hash-clustered by `groupIdCol` into at most `nParts` files).
+    *
+    * Declare `DatasetSpec.dayPartitionColumn` only for layouts whose dt
+    * was derived exactly this way — a layout written by another tool (or a
+    * session-timezone `to_date`) can disagree near midnights, and the
+    * derived bounds would silently prune valid rows. `Catalog.register`'s
+    * declaration path validates this against the data; direct library use
+    * is on the caller. */
   def partitionByDay(df: DataFrame, tsNanosCol: String, groupIdCol: String,
                      nParts: Int, path: String): Unit =
     df.withColumn("dt", dayOfTsNanos(col(tsNanosCol)))
