@@ -174,10 +174,22 @@ object AsOfJoin {
     // channel values need no masking; nearest only compares distances.
     val b = col(B)
     val f = col(F)
+    // Distances compare in DECIMAL for integral time columns: a raw long
+    // subtraction silently wraps in non-ANSI mode when the left time and a
+    // match sit near opposite Long extremes, flipping which side is
+    // "nearest" (the util.Arith exact-integer discipline). Non-integral time
+    // types (timestamps) subtract to intervals, which cannot wrap.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val widen: Column => Column = left.schema(leftTime).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        c => c.cast("decimal(38,0)")
+      case _ => identity
+    }
     val chosen: Column =
       if (wantBackward && wantForward)
         when(b.isNotNull && (f.isNull ||
-          (col(T) - b.getField(rightTime)) <= (f.getField(rightTime) - col(T))), b)
+          (widen(col(T)) - widen(b.getField(rightTime))) <=
+            (widen(f.getField(rightTime)) - widen(col(T)))), b)
           .otherwise(f)
       else if (wantBackward) b
       else f

@@ -29,6 +29,14 @@ object RangeJoin {
   /** Inner range join; output columns = points ++ intervals (minus the
     * shared keys). Empty intervals (`hi <= lo`) match nothing. Intervals
     * are half-open: `lo <= point < hi`.
+    *
+    * @param maxBucketsPerInterval guard on interval span vs `bucketWidth`:
+    *   an interval covering more buckets than this fails the job with a
+    *   RangeJoin-attributed error naming the width, instead of (a) an
+    *   opaque `sequence()` error past Spark's ~2^31 element limit or
+    *   (b) a legal-but-huge span silently exploding candidate volume by
+    *   millions of replicas. Raise it deliberately when spans really are
+    *   that wide relative to the chosen width.
     */
   def join(
       points: DataFrame,
@@ -37,8 +45,10 @@ object RangeJoin {
       pointCol: String,
       loCol: String,
       hiCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // Shared non-key names would make the range predicate ambiguous after
     // the equi-join — fail loudly instead of letting Spark pick a side.
     val shared = points.columns.toSet
@@ -59,11 +69,20 @@ object RangeJoin {
     // hi is exclusive so the last covered bucket holds hi-1; the hi<=lo
     // guard keeps sequence() ascending (it would otherwise count DOWN and
     // fabricate buckets for an empty interval).
+    // The span guard runs BEFORE sequence(): a too-wide interval fails
+    // with an error naming this operator and the width choice (lazy CASE
+    // branches keep raise_error unevaluated on passing rows).
+    val nBuckets = bucketOf(col(hiCol) - 1) - bucketOf(col(loCol)) + 1
     val i = intervals
       .where(col(hiCol) > col(loCol))
-      .withColumn(B, explode(sequence(
-        bucketOf(col(loCol)),
-        bucketOf(col(hiCol) - 1))))
+      .withColumn(B, explode(
+        when(nBuckets > maxBucketsPerInterval, raise_error(concat(
+          lit("RangeJoin: interval covers "), nBuckets.cast("string"),
+          lit(s" buckets of width $bucketWidth (limit $maxBucketsPerInterval)" +
+            " — widen bucketWidth or raise maxBucketsPerInterval"))))
+        .otherwise(sequence(
+          bucketOf(col(loCol)),
+          bucketOf(col(hiCol) - 1)))))
     p.join(i, (keys :+ B).toSeq)
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(B)

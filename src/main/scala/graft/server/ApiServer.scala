@@ -143,7 +143,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // declaration is active.
     val dayCol = body \ "dayPartitionColumn" match {
       case JString(s) => Some(s)
-      case JNothing   => None
+      // Explicit JSON null is a semantically absent declaration, same as an
+      // omitted field — clients serializing optional fields as null must
+      // not be 400'd for it.
+      case JNothing | JNull => None
       case other      => throw QueryValidationException("schema",
         s"dayPartitionColumn must be a string, got $other")
     }

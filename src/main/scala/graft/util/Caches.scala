@@ -18,10 +18,16 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val bin = ArrayBuffer.empty[Dataset[_]]
 
-  /** Persist `ds` (memory-and-disk) and remember it for a later [[drain]]. */
+  /** Persist `ds` (memory-and-disk) and remember it for a later [[drain]].
+    * Idempotent: an already-persisted frame (a query re-executed inside the
+    * same session — warmup + timed bench runs) is left at its current level
+    * rather than re-persisted, so CacheManager stops warning "asked to cache
+    * already cached data" and real double-caching bugs stay visible. */
   def retain[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    ds.persist(StorageLevel.MEMORY_AND_DISK)
-    bin += ds
+    if (ds.storageLevel == StorageLevel.NONE) {
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+      bin += ds
+    }
     ds
   }
 

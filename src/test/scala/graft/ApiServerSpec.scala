@@ -271,6 +271,14 @@ class ApiServerSpec extends SparkSpec {
          | "groupIdColumn": "user_id", "timestampColumn": "ts",
          | "dayPartitionColumn": "user_id"}""".stripMargin)
     assert(bad.statusCode() == 400 && bad.body().contains("dayPartitionColumn"), bad.body())
+    // explicit JSON null = absent declaration (clients serializing optional
+    // fields as null), not a 400
+    val nul = post("/datasets/register",
+      s"""{"name": "evdt3", "basepath": "$dir",
+         | "groupIdColumn": "user_id", "timestampColumn": "ts",
+         | "dayPartitionColumn": null}""".stripMargin)
+    assert(nul.statusCode() == 200, nul.body())
+    post("/datasets/evdt3/unregister", "{}")
     post("/datasets/evdt/unregister", "{}")
   }
 

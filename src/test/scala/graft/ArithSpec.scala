@@ -12,7 +12,7 @@ class ArithSpec extends SparkSpec {
   test("floorDiv matches Math.floorDiv at any magnitude, including > 2^53") {
     val rnd = new scala.util.Random(11)
     val widths = Seq(1000L, 86400000000L, 3600L * 1000000000L)
-    val values = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue + 1,
+    val values = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, Long.MinValue + 1,
       1704067207179575175L, -1704067207179575175L,
       (1L << 53) + 1, -(1L << 53) - 1) ++
       Seq.fill(50)(rnd.nextLong())

@@ -179,6 +179,45 @@ class JoinOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asof nearest: distance compare survives extreme-range epochs (no long wrap)") {
+    // Left at Long.MinValue+10, backward match at Long.MinValue+5 (distance
+    // 5), forward match at Long.MaxValue-5 (distance ~2^64): the raw long
+    // forward-distance subtraction would wrap negative and steal the match.
+    val lo = Long.MinValue + 10L
+    val left = lf((1L, lo, 100L))
+    val right = rf((1L, lo - 5L, 200L), (1L, Long.MaxValue - 5L, 201L))
+    val got = asofMap(AsOfJoin.nearest(left, right, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), tieBreak = Seq("rid")))
+    assert(got == Map(100L -> Some(200L)))
+    // Mirror: forward is the close one, backward is at the far extreme.
+    val hi = Long.MaxValue - 10L
+    val left2 = lf((1L, hi, 101L))
+    val right2 = rf((1L, hi + 5L, 301L), (1L, Long.MinValue + 5L, 300L))
+    val got2 = asofMap(AsOfJoin.nearest(left2, right2, Seq("k"), "lt", "rt",
+      rightVals = Seq("rid"), tieBreak = Seq("rid")))
+    assert(got2 == Map(101L -> Some(301L)))
+  }
+
+  test("range join: interval wider than maxBucketsPerInterval fails with an attributed error") {
+    val points = frame(
+      StructType(Seq(StructField("k", LongType), StructField("p", LongType))),
+      Seq(Map[String, Any]("k" -> 1L, "p" -> 10L)))
+    val intervals = frame(
+      StructType(Seq(StructField("k", LongType), StructField("lo", LongType), StructField("hi", LongType))),
+      Seq(Map[String, Any]("k" -> 1L, "lo" -> 0L, "hi" -> 1000L)))
+    val ex = intercept[Exception] {
+      RangeJoin.join(points, intervals, Seq("k"), "p", "lo", "hi",
+        bucketWidth = 16L, maxBucketsPerInterval = 8L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("RangeJoin") && m.contains("width 16")),
+      s"expected a RangeJoin-attributed error naming the width, got: ${messages(ex)}")
+    // A legal span at the same width still works with the default guard.
+    assert(RangeJoin.join(points, intervals, Seq("k"), "p", "lo", "hi",
+      bucketWidth = 16L).count() == 1L)
+  }
+
   test("range join plan is an equi-join — no cartesian / nested-loop") {
     val points = frame(
       StructType(Seq(StructField("k", LongType), StructField("p", LongType))),
