@@ -226,10 +226,8 @@ object TextAnalysis {
     * set is a uniform-without-replacement sample that any engine
     * reproduces bit-for-bit. One window exchange partitioned by key —
     * fine when keys are domains/sources (many keys, bounded per-key
-    * counts). For a 100 TB corpus with billion-row hot keys, compose the
-    * approximate variant instead: count per key, then
-    * `where(hashUniform(id, salt) < n / count)` — two map-side-partial
-    * aggregation passes, no per-key sort at all. */
+    * counts). For a 100 TB corpus with billion-row hot keys, use
+    * [[capPerKeyApprox]] instead — no per-key sort at all. */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
                 salt: String): DataFrame = {
     require(n > 0, "cap must be positive")
@@ -238,6 +236,30 @@ object TextAnalysis {
         col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Approximate per-key cap without a per-key sort — the variant a 100 TB
+    * corpus with billion-row hot keys needs: [[capPerKey]]'s window
+    * serializes each key's rows through ONE task's sort, so a single
+    * pathological key (bot user, default value) becomes the job's critical
+    * path. Here a row is kept iff `hashUniform(id) < n / count(key)` — one
+    * map-side-partial count per key + a broadcast-joined map-only filter;
+    * nothing is ever sorted and a hot key costs the same per row as a cold
+    * one. Keeps Binomial(count, n/count) rows per key: expected n, CV
+    * 1/sqrt(n) (keys with count <= n keep everything exactly). Same
+    * determinism contract as every hash decision: the kept SET is a pure
+    * function of (id, salt), bit-reproducible in any engine. */
+  def capPerKeyApprox(df: DataFrame, keyCol: String, idCol: String, n: Int,
+                      salt: String): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
+    // The per-key count table is one row per key — broadcast it explicitly
+    // so the corpus side never shuffles.
+    df.join(broadcast(counts), Seq(keyCol))
+      // Single double division, same operation order as the oracle mirror.
+      .where(hashUniform(col(idCol), salt) <
+        lit(n).cast("double") / col("__key_n"))
+      .drop("__key_n")
   }
 
   /** Lexical-diversity signals per document: type-token ratio and the

@@ -288,8 +288,10 @@ object FrQueries {
       |       JOIN s1 ON e.user_id = s1.user_id
       |       WHERE e.event_type = 'purchase' AND e.value > 100 AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin
 
-  /** Value-filtered chain over all events. */
-  private val SEQ_CTES = s"WITH e AS ($E),\n$SEQ_STEPS"
+  /** Value-filtered chain over all events. Shared with StreamingQueries:
+    * st_funnel's oracle is BY CONSTRUCTION the same step chain, so the
+    * streaming operator is gated against the identical batch semantics. */
+  private[ops] val SEQ_CTES = s"WITH e AS ($E),\n$SEQ_STEPS"
 
   /** Funnel result rows (step, step_groups, step_rows) over s0/s1/s2 + e. */
   private val FUNNEL_SELECT =

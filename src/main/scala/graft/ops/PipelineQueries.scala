@@ -224,6 +224,16 @@ object PipelineQueries {
           Seq("stream" -> "zh", "merge" -> "de", "window" -> "fr", "customer" -> "es"),
           default = "en").as("lang_pred"))),
 
+    // Trigram-profile language ID (the richer scorer next to the marker
+    // CASE): profiles are char trigrams chosen at mid document-frequency so
+    // the winner genuinely varies; highest overlap wins, ties to the
+    // lexicographically smallest profile key (langIdTrigrams's fold rule).
+    "tx_langid_tri" -> ((s, dir) =>
+      TextAnalysis.langIdTrigrams(docs(s, dir), "doc_id", "text", Map(
+        "de" -> Seq("e a", "y s", "g s"),
+        "en" -> Seq("h s", "e c", "e v"),
+        "fr" -> Seq("e b", "e f", "t s")))),
+
     "tx_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
@@ -302,6 +312,35 @@ object PipelineQueries {
       TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 20, "cap")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+
+    // The no-sort approximate cap (capPerKeyApprox) — the hot-key-safe
+    // 100 TB variant: keep iff hashUniform < n/count. Deterministic like
+    // every hash decision, so the kept set STILL hash-checks exactly
+    // against the DuckDB mirror; only the per-key count is approximate.
+    "pipeline_cap_approx" -> ((s, dir) =>
+      TextAnalysis.capPerKeyApprox(docs(s, dir), "source", "doc_id", 10, "capx")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+
+    // Approximation-quality gate for capPerKeyApprox: every key's kept
+    // count within 4*sqrt(n) of its target min(n, count) (Binomial sd is
+    // sqrt(n(1-rate)) < sqrt(n); 4 sigma over 20 keys). A key keeping
+    // ZERO rows vanishes from the kept side, so the stats side drives a
+    // left join — a silent total-drop of a key must fail the gate, not
+    // dodge it.
+    "pipeline_cap_approx_err" -> ((s, dir) => {
+      val n = 10
+      val kept = TextAnalysis.capPerKeyApprox(docs(s, dir), "source", "doc_id", n, "capx")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val all = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_all"))
+      val bound = 4L * math.ceil(math.sqrt(n)).toLong // 4*ceil(sqrt(10)) = 16
+      all.join(kept, Seq("source"), "left")
+        .select(abs(coalesce(col("n_kept"), lit(0L)) -
+          least(lit(n.toLong), col("n_all"))).as("dev"))
+        .agg(max(col("dev")).as("max_abs_dev"))
+        .select(col("max_abs_dev"),
+          (col("max_abs_dev") <= lit(bound)).cast("long").as("passed"))
+    }),
 
     // Lexical diversity per document: type-token ratio + Gini-Simpson
     // index — exact-integer-count arithmetic (see TextAnalysis.diversity
@@ -615,6 +654,20 @@ object PipelineQueries {
         |       ELSE 'en' END AS lang_pred
         |FROM documents""".stripMargin,
 
+    // Mirrors langIdTrigrams's left fold over key-sorted profiles: the
+    // accumulator is replaced only on STRICT score improvement, so ties keep
+    // the lexicographically smaller key — the nested CASE spells that out.
+    "tx_langid_tri" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(['e a','y s','g s'], t -> contains(text, t))) AS s_de,
+        |  len(list_filter(['h s','e c','e v'], t -> contains(text, t))) AS s_en,
+        |  len(list_filter(['e b','e f','t s'], t -> contains(text, t))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en > s_de THEN (CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END)
+        |       ELSE (CASE WHEN s_fr > s_de THEN 'fr' ELSE 'de' END) END AS lang_pred
+        |FROM s""".stripMargin,
+
     "pipeline_clean" ->
       """WITH f AS (SELECT doc_id, text FROM documents
         |           WHERE NOT contains(text, 'customer')
@@ -791,6 +844,31 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 20 GROUP BY source""".stripMargin,
+
+    // Mirrors capPerKeyApprox: hashUniform (pipeline_sample's md5 contract,
+    // salt 'capx') compared against the same single double division n/count.
+    "pipeline_cap_approx" ->
+      """WITH c AS (SELECT source, count(*) AS key_n FROM documents GROUP BY source)
+        |SELECT d.source, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN c USING (source)
+        |WHERE ('0x' || substr(md5('capx:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CAST(10 AS DOUBLE) / c.key_n
+        |GROUP BY d.source""".stripMargin,
+
+    "pipeline_cap_approx_err" ->
+      """WITH c AS (SELECT source, count(*) AS n_all FROM documents GROUP BY source),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |      FROM documents d JOIN c USING (source)
+        |      WHERE ('0x' || substr(md5('capx:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              / 4294967296.0
+        |            < CAST(10 AS DOUBLE) / c.n_all
+        |      GROUP BY d.source),
+        |j AS (SELECT c.source, coalesce(k.n_kept, 0) AS n_kept, c.n_all
+        |      FROM c LEFT JOIN k USING (source))
+        |SELECT max(abs(n_kept - least(10, n_all))) AS max_abs_dev,
+        |       CAST(max(abs(n_kept - least(10, n_all))) <= 16 AS BIGINT) AS passed
+        |FROM j""".stripMargin,
 
     // Symbolic mirror of the PNG round-trip: geometry 4+id%13 × 3+id%11,
     // pixel(idx) = (id*37 + idx*101) % 256 (Multimodal.pixel). The Spark

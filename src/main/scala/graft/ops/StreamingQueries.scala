@@ -104,6 +104,54 @@ object StreamingQueries {
           unix_micros(col("session_start")).as("session_start_us"),
           unix_micros(col("session_end")).as("session_end_us"),
           col("n_events"))
+    }),
+
+    // Streaming funnel (flatMapGroupsWithState, O(numSteps) state/group):
+    // the same value-filtered 3-step chain as the batch fr_funnel, folded
+    // incrementally. completedSteps only grows across updates, so the max
+    // per group IS the final state however availableNow batches the input;
+    // the oracle is fr_funnel's own step chain (step-group counts — the
+    // part streaming state carries; step_rows needs the static table).
+    "st_funnel" -> ((s, dir) => {
+      val v = col("value").cast("decimal(20,4)")
+      val prog = graft.streaming.StreamingFunnel.progress(
+        eventsStream(s, dir), "user_id", "ts", Seq(
+          col("event_type") === "view" && v > 100,
+          col("event_type") === "click" && v > 100,
+          col("event_type") === "purchase" && v > 100))
+      val fin = runToBatch(s, prog.toDF(), "st_funnel_sink", mode = "update")
+        .groupBy(col("groupId"))
+        .agg(max(col("completedSteps")).as("completed"))
+      fin.agg(
+          sum(when(col("completed") >= 1, 1L).otherwise(0L)).as("s0"),
+          sum(when(col("completed") >= 2, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("completed") >= 3, 1L).otherwise(0L)).as("s2"))
+        .select(expr("stack(3, 0, coalesce(s0, CAST(0 AS BIGINT)), " +
+          "1, coalesce(s1, CAST(0 AS BIGINT)), " +
+          "2, coalesce(s2, CAST(0 AS BIGINT))) AS (step, step_groups)"))
+    }),
+
+    // Stream-static as-of enrichment (StreamingAsOf.backward): streaming
+    // error events pick up the latest prior-or-equal static click — the
+    // interval reformulation keeps the join STATELESS (no watermark, no
+    // state store). Oracle = q_asof's window SQL verbatim: the streaming
+    // plan must agree with the batch AsOfJoin result row-for-row.
+    "st_asof" -> ((s, dir) => {
+      val errors = eventsStream(s, dir)
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tl"))
+      val clicks = Tables.events(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("rtl"),
+          col("event_id").as("click_eid"))
+      val enriched = graft.streaming.StreamingAsOf.backward(
+        errors, clicks, Seq("user_id"), "tl", "rtl",
+        rightVals = Seq("rtl"), tieBreak = Seq("click_eid"), prefix = "click_")
+      val summary = enriched.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          count(col("click_rtl")).as("n_matched"),
+          coalesce(max(col("tl") - col("click_rtl")), lit(-1L)).as("max_gap_us"))
+      runToBatch(s, summary, "st_asof_sink")
     }))
 
   /** DuckDB equivalents over the same parquet (batch semantics — complete
@@ -140,5 +188,17 @@ object StreamingQueries {
         |       max(us) + 1800000000 AS session_end_us,
         |       count(*) AS n_events
         |FROM g
-        |GROUP BY user_id, sid""".stripMargin)
+        |GROUP BY user_id, sid""".stripMargin,
+
+    // The batch funnel's own step chain (FrQueries.SEQ_CTES) — streaming
+    // state must land on the identical step-group counts.
+    "st_funnel" ->
+      s"""${FrQueries.SEQ_CTES}
+         |SELECT 0 AS step, (SELECT count(*) FROM s0) AS step_groups
+         |UNION ALL SELECT 1, (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 2, (SELECT count(*) FROM s2)""".stripMargin,
+
+    // q_asof's window SQL verbatim — the stream-static interval plan must
+    // agree with the batch union-window as-of row-for-row.
+    "st_asof" -> RelationalQueries.oracleSql("q_asof"))
 }
