@@ -294,26 +294,43 @@ object Catalog {
     }
     // String columns: categorical iff unique-ratio <= categoricalRatio
     // (registration_task_runner.py:176-203); top values as normalized
-    // shares, one small top-K job per categorical column (registration-time
-    // only — TakeOrderedAndProject after partial aggregation, no full sort).
+    // shares. ALL categorical columns share ONE top-K job: each row
+    // explodes to its (column, value) pairs, one hash aggregation counts
+    // them (map-side partials), and a per-column row_number window — tiny
+    // after the aggregation — takes the top K. Job count is independent of
+    // schema width, where a per-column loop would run hundreds of scans on
+    // a wide registration.
+    def uniqueRatio(n: String) =
+      if (nRows == 0) 1.0
+      else stats.getAs[Long](s"__acd_$n").toDouble / nRows
+    val catCols = stringCols.filter(uniqueRatio(_) <= categoricalRatio)
+    val topByCol: Map[String, Seq[(String, Double)]] =
+      if (categoricalTopCount == 0 || catCols.isEmpty) Map.empty
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__col")).orderBy(desc("__c"), asc("__val"))
+        df.select(explode(array(catCols.map(n =>
+            struct(lit(n).as("__col"), col(n).as("__val"))): _*)).as("kv"))
+          .select(col("kv.__col").as("__col"), col("kv.__val").as("__val"))
+          .where(col("__val").isNotNull)
+          .groupBy(col("__col"), col("__val")).agg(count(lit(1)).as("__c"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= categoricalTopCount)
+          .collect()
+          .toSeq
+          .groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+              .map(r => r.getString(1) -> r.getLong(2).toDouble / nRows)
+              .filter(_._2 >= categoricalTopMinPct)
+          }
+      }
     val stringAttrs = stringCols.map { n =>
-      val ratio =
-        if (nRows == 0) 1.0
-        else stats.getAs[Long](s"__acd_$n").toDouble / nRows
-      if (ratio <= categoricalRatio) {
-        val top =
-          if (categoricalTopCount == 0) Nil
-          else df.groupBy(col(n)).agg(count(lit(1)).as("__c"))
-            .where(col(n).isNotNull)
-            .orderBy(desc("__c"), asc(n))
-            .limit(categoricalTopCount)
-            .collect()
-            .map(r => r.getString(0) -> r.getLong(1).toDouble / nRows)
-            .filter(_._2 >= categoricalTopMinPct)
-            .toSeq
+      val ratio = uniqueRatio(n)
+      if (ratio <= categoricalRatio)
         n -> ColumnAttrs(categorical = true, catUniqueRatio = Some(ratio),
-          catTopValues = top)
-      } else n -> ColumnAttrs(categorical = false, catUniqueRatio = Some(ratio))
+          catTopValues = topByCol.getOrElse(n, Nil))
+      else n -> ColumnAttrs(categorical = false, catUniqueRatio = Some(ratio))
     }
 
     // A declared day-partition column is a correctness claim ("this DATE

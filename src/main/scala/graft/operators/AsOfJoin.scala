@@ -35,6 +35,26 @@ import org.apache.spark.sql.functions._
  * identical (keys, time), backward picks the last by `tieBreak` and forward
  * the first — pass a unique right column for determinism. Left rows with a
  * null time match nothing (nulls sort first).
+ *
+ * **Hot-key skew (`timeBucket`).** The plain plan partitions the window by
+ * the keys alone, so ONE pathological key (bot user, null-ish default)
+ * serializes all its rows through a single task's sort — the classic
+ * window-skew failure at 100 TB. With `timeBucket = Some(width)` the sweep
+ * runs in two passes instead: rows are windowed within (keys, floor(time /
+ * width)) — a hot key's load spreads across its time buckets — and each
+ * bucket's missing history is restored by a per-(key, bucket) carry table
+ * (latest right before the bucket / earliest right after it), built by a
+ * tiny aggregate + per-key window over one row per (key, bucket) and
+ * joined back. Strictness is untouched: equal-time rows share a bucket, so
+ * the in-bucket side-ordering still decides eligibility, and carried
+ * rights are always from strictly earlier/later times. Results are
+ * IDENTICAL to the plain mode (given a unique `tieBreak`); cost is one
+ * extra pass over the input (the carry aggregate) and a join against the
+ * carry table, whose size is bounded by distinct (key, bucket) — pick
+ * `width` so a hot key's per-bucket row count fits a task's sort, i.e.
+ * near (hot-key rows × width / time-span) ≈ a few million. A key whose
+ * rows all share ONE instant still serializes — time bucketing cannot
+ * split equal timestamps.
  */
 object AsOfJoin {
 
@@ -43,9 +63,17 @@ object AsOfJoin {
   private val P    = "__graft_asof_p"
   private val B    = "__graft_asof_b"
   private val F    = "__graft_asof_f"
+  private val BK   = "__graft_asof_bk"
+  private val CB   = "__graft_asof_cb"
+  private val CF   = "__graft_asof_cf"
+  private val LASTR  = "__graft_asof_lastr"
+  private val FIRSTR = "__graft_asof_firstr"
 
   /** @param rightVals right columns to attach, surfaced as `prefix+name`
     * @param tieBreak  right columns ordering equal-time right rows
+    * @param timeBucket hot-key skew mode: window within (keys, time bucket)
+    *   of this width plus a carry join, instead of by keys alone (see
+    *   class doc). Same results, skew-proof task sizing.
     */
   def backward(
       left: DataFrame,
@@ -56,9 +84,10 @@ object AsOfJoin {
       rightVals: Seq[String],
       strict: Boolean = false,
       tieBreak: Seq[String] = Nil,
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_",
+      timeBucket: Option[Long] = None): DataFrame =
     run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
-      prefix, wantBackward = true, wantForward = false)
+      prefix, wantBackward = true, wantForward = false, timeBucket)
 
   /** Earliest right row at-or-after (after, if strict) each left row. */
   def forward(
@@ -70,9 +99,10 @@ object AsOfJoin {
       rightVals: Seq[String],
       strict: Boolean = false,
       tieBreak: Seq[String] = Nil,
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_",
+      timeBucket: Option[Long] = None): DataFrame =
     run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
-      prefix, wantBackward = false, wantForward = true)
+      prefix, wantBackward = false, wantForward = true, timeBucket)
 
   /** Closest right row in either direction; equal distance resolves to the
     * backward (prior) match, like pandas `merge_asof(direction='nearest')`.
@@ -86,9 +116,10 @@ object AsOfJoin {
       rightVals: Seq[String],
       strict: Boolean = false,
       tieBreak: Seq[String] = Nil,
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_",
+      timeBucket: Option[Long] = None): DataFrame =
     run(left, right, keys, leftTime, rightTime, rightVals, strict, tieBreak,
-      prefix, wantBackward = true, wantForward = true)
+      prefix, wantBackward = true, wantForward = true, timeBucket)
 
   private def run(
       left: DataFrame,
@@ -101,7 +132,10 @@ object AsOfJoin {
       tieBreak: Seq[String],
       prefix: String,
       wantBackward: Boolean,
-      wantForward: Boolean): DataFrame = {
+      wantForward: Boolean,
+      timeBucket: Option[Long]): DataFrame = {
+    timeBucket.foreach(wd => require(wd > 0,
+      s"timeBucket width must be positive, got $wd"))
 
     // Side-ordering encodes eligibility of equal-time rights per direction:
     // backward non-strict needs rights BEFORE lefts at equal time (inside
@@ -120,7 +154,7 @@ object AsOfJoin {
     // column would be silently overwritten/shadowed — fail loudly instead.
     val clash = leftCols.toSet.intersect(
       (rightVals.map(prefix + _) ++
-        Seq(T, SIDE, P, B, F) ++ tbNames).toSet)
+        Seq(T, SIDE, P, B, F, BK, CB, CF, LASTR, FIRSTR) ++ tbNames).toSet)
     require(clash.isEmpty,
       s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
         s"(pick a different prefix)")
@@ -158,17 +192,68 @@ object AsOfJoin {
       col(T).asc +:
         (if (rightsBeforeLefts) col(SIDE).desc else col(SIDE).asc) +:
         tbNames.map(col(_).asc)
-    val part = Window.partitionBy(keys.map(col): _*)
+    // Skew mode adds the time bucket to the window partitioning — a hot
+    // key's rows spread over its buckets instead of one task's sort.
+    val partCols = if (timeBucket.isDefined) keys :+ BK else keys
+    val part = Window.partitionBy(partCols.map(col): _*)
     val wb = part.orderBy(order(rightsBeforeLefts = !strict): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wf = part.orderBy(order(rightsBeforeLefts = strict): _*)
       .rowsBetween(1, Window.unboundedFollowing)
 
     var w = l.unionByName(r.select(l.columns.map(col): _*))
+    // Carry columns restore each bucket's missing cross-bucket history:
+    // CB = the key's latest right in any EARLIER bucket, CF = earliest
+    // right in any LATER bucket. Built from one row per (key, bucket) —
+    // max_by/min_by aggregates over the union (left rows contribute a null
+    // ordering struct, so only rights count; buckets holding only lefts
+    // still get a row, which the carry window needs), then a per-key
+    // last/first(ignoreNulls) sweep ordered by bucket. Eligibility needs
+    // no strictness logic: a carried right is from a strictly different
+    // bucket, hence a strictly earlier/later time than every row in this
+    // bucket. The in-bucket channel wins ties via coalesce (it is closer
+    // by construction).
+    var carryB: Column = lit(null)
+    var carryF: Column = lit(null)
+    timeBucket.foreach { width =>
+      w = w.withColumn(BK, graft.util.Arith.floorDiv(col(T), width))
+      val ordS = struct(col(T) +: tbNames.map(col): _*)
+      val onRight = when(col(SIDE) === rightSide, ordS)
+      val aggs =
+        (if (wantBackward) Seq(max_by(col(P), onRight).as(LASTR)) else Nil) ++
+        (if (wantForward) Seq(min_by(col(P), onRight).as(FIRSTR)) else Nil)
+      val perBucket = w.groupBy((keys :+ BK).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val wk = Window.partitionBy(keys.map(col): _*).orderBy(col(BK).asc)
+      val ckeys = keys.indices.map(i => s"__graft_asof_ck_$i")
+      val ckb = "__graft_asof_ckb"
+      val carry = perBucket.select(
+        keys.zip(ckeys).map { case (k, ck) => col(k).as(ck) } ++
+          Seq(col(BK).as(ckb)) ++
+          (if (wantBackward)
+            Seq(last(col(LASTR), ignoreNulls = true)
+              .over(wk.rowsBetween(Window.unboundedPreceding, -1)).as(CB))
+          else Nil) ++
+          (if (wantForward)
+            Seq(first(col(FIRSTR), ignoreNulls = true)
+              .over(wk.rowsBetween(1, Window.unboundedFollowing)).as(CF))
+          else Nil): _*)
+      // Null-safe key equality: the window groups null keys together, so
+      // the carry join must match them too (plain === would silently
+      // starve null-key rows of their carry).
+      val joinCond = (keys.zip(ckeys).map { case (k, ck) => col(k) <=> col(ck) } :+
+        (col(BK) <=> col(ckb))).reduce(_ && _)
+      w = w.join(carry, joinCond, "left")
+        .drop((ckeys :+ ckb): _*)
+      carryB = col(CB)
+      carryF = col(CF)
+    }
+    def withCarry(channel: Column, carry: Column) =
+      if (timeBucket.isDefined) coalesce(channel, carry) else channel
     if (wantBackward)
-      w = w.withColumn(B, last(col(P), ignoreNulls = true).over(wb))
+      w = w.withColumn(B, withCarry(last(col(P), ignoreNulls = true).over(wb), carryB))
     if (wantForward)
-      w = w.withColumn(F, first(col(P), ignoreNulls = true).over(wf))
+      w = w.withColumn(F, withCarry(first(col(P), ignoreNulls = true).over(wf), carryF))
 
     // Each direction's sort already admits exactly the eligible rights, so
     // channel values need no masking; nearest only compares distances.

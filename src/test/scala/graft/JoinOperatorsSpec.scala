@@ -68,7 +68,12 @@ class JoinOperatorsSpec extends SparkSpec {
   test("asof agrees with a brute-force reference on random data (all directions/modes)") {
     // Small key space + coarse timestamps force heavy equal-time collisions —
     // the regime where the side-ordering and tie-break rules actually bite.
-    for (seed <- 1 to 5; strict <- Seq(false, true)) {
+    // timeBucket widths: None = plain path; 1 = every timestamp its own
+    // bucket (carry does ALL the work); 7 = buckets cut mid-range (both the
+    // in-bucket and carry paths contribute); 1000 = one bucket (carry never
+    // fires). All must agree exactly.
+    for (seed <- 1 to 5; strict <- Seq(false, true);
+         bucket <- Seq(None, Some(1L), Some(7L), Some(1000L))) {
       val rnd = new scala.util.Random(seed)
       val ls = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 1000L + i))
       val rs = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, 2000L + i))
@@ -80,16 +85,17 @@ class JoinOperatorsSpec extends SparkSpec {
         val e = rs.filter { case (rk, rt, _) => rk == k && (if (strict) rt > lt else rt >= lt) }
         if (e.isEmpty) None else { val m = e.minBy { case (_, rt, rid) => (rt, rid) }; Some((m._2, m._3)) }
       }
+      val tag = s"seed=$seed strict=$strict bucket=$bucket"
       val gotB = asofMap(AsOfJoin.backward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
-        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid"), timeBucket = bucket))
       assert(gotB == ls.map { case (k, lt, lid) => lid -> back(k, lt).map(_._2) }.toMap,
-        s"backward seed=$seed strict=$strict")
+        s"backward $tag")
       val gotF = asofMap(AsOfJoin.forward(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
-        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid"), timeBucket = bucket))
       assert(gotF == ls.map { case (k, lt, lid) => lid -> fwd(k, lt).map(_._2) }.toMap,
-        s"forward seed=$seed strict=$strict")
+        s"forward $tag")
       val gotN = asofMap(AsOfJoin.nearest(lf(ls: _*), rf(rs: _*), Seq("k"), "lt", "rt",
-        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid")))
+        rightVals = Seq("rid"), strict = strict, tieBreak = Seq("rid"), timeBucket = bucket))
       val expN = ls.map { case (k, lt, lid) =>
         lid -> ((back(k, lt), fwd(k, lt)) match {
           case (Some((bt, bid)), Some((ft, fid))) =>
@@ -99,7 +105,50 @@ class JoinOperatorsSpec extends SparkSpec {
           case _ => None
         })
       }.toMap
-      assert(gotN == expN, s"nearest seed=$seed strict=$strict")
+      assert(gotN == expN, s"nearest $tag")
+    }
+  }
+
+  test("asof timeBucket plan: carry attaches by broadcast, bucket reaches the window") {
+    val df = AsOfJoin.backward(lf((1L, 10L, 100L)), rf((1L, 5L, 200L)),
+      Seq("k"), "lt", "rt", rightVals = Seq("rid"), timeBucket = Some(16L))
+    df.collect() // let AQE finalize the join strategy from real sizes
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" — only
+    // the final section describes what actually ran.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // With a bounded carry table AQE must attach it by broadcast hash join
+    // — the big side then shuffles ONCE, on (keys, bucket), for the window.
+    // (A huge carry falls back to a (keys, bucket) sort-merge join: a
+    // second big shuffle, still never a per-key serialization.)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"carry join must broadcast at this size:\n$plan")
+    // the window partitioning really includes the time bucket (the skew
+    // split is in the plan, not just the API)
+    assert(plan.contains("windowspecdefinition(k#") &&
+        plan.contains("__graft_asof_bk"),
+      s"bucket column missing from the window partitioning:\n$plan")
+  }
+
+  test("asof timeBucket mode: null keys/times and torn payloads behave like the plain path") {
+    // null-key rows window together and must receive carry via the
+    // null-safe join; null-time lefts still match nothing; a carried
+    // payload travels as one struct (no tearing across buckets).
+    val left = frame(lSchema, Seq(
+      Map[String, Any]("k" -> null, "lt" -> 25L, "lid" -> 100L),
+      Map[String, Any]("k" -> null, "lt" -> null, "lid" -> 101L),
+      Map[String, Any]("k" -> 1L, "lt" -> 25L, "lid" -> 102L)))
+    val right = frame(rSchema, Seq(
+      Map[String, Any]("k" -> null, "rt" -> 3L, "rid" -> 200L),
+      Map[String, Any]("k" -> 1L, "rt" -> 4L, "rid" -> null))) // null payload
+    for (bucket <- Seq(None, Some(10L))) {
+      val got = asofMap(AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+        rightVals = Seq("rid"), tieBreak = Seq("rid"), timeBucket = bucket))
+      // lid 100: null key matches the null-key right (carry crosses buckets
+      // 0 -> 2 in bucketed mode). lid 101: null time, no match. lid 102:
+      // the matched right's own rid is null — must stay null, not torn.
+      assert(got == Map(100L -> Some(200L), 101L -> None, 102L -> None),
+        s"bucket=$bucket got $got")
     }
   }
 
@@ -161,7 +210,7 @@ class JoinOperatorsSpec extends SparkSpec {
       (AsOfJoin.nearest _, Some(201L)))
     for ((dir, exp101) <- expected) {
       val got = asofMap(dir(left, right, Seq("k"), "lt", "rt",
-        Seq("rid"), false, Seq("rid"), "asof_"))
+        Seq("rid"), false, Seq("rid"), "asof_", None))
       assert(got(100L).isEmpty, "null-time left must not match")
       assert(got(101L) == exp101)
     }

@@ -90,6 +90,54 @@ class LibrarySpec extends SparkSpec {
     assert(!ds.columnAttrs.contains("ts"))
   }
 
+  test("catalog: registration runs ONE top-K job regardless of categorical width") {
+    val dir = tmpDir("catwide")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("c1", StringType), StructField("c2", StringType),
+      StructField("c3", StringType), StructField("c4", StringType)))
+    frame(schema, (0 until 100).map { i =>
+      Map[String, Any]("uid" -> i.toLong, "ts" -> (1000L + i),
+        "c1" -> s"a${i % 2}", "c2" -> s"b${i % 3}",
+        "c3" -> s"c${i % 4}", "c4" -> s"d${i % 5}")
+    }).write.mode("overwrite").parquet(dir)
+    // Registration = the stats aggregate + ONE fused (column, value) top-K
+    // job for ALL categorical columns — 2 actions total; the per-column
+    // loop this replaces ran 1 + 4 here and 1 + N on an N-categorical
+    // schema (QueryExecutionListener fires once per action, so AQE stage
+    // jobs don't inflate the count).
+    val actions = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val ds = Catalog.register(spark, "catwide", dir, "uid", "ts")
+      // all four are categorical, with full per-column top values
+      for ((c, n) <- Seq("c1" -> 2, "c2" -> 3, "c3" -> 4, "c4" -> 5)) {
+        assert(ds.columnAttrs(c).categorical, c)
+        assert(ds.columnAttrs(c).catTopValues.size == n, c)
+      }
+      // shares are per-column (each column's shares sum to ~1)
+      assert(ds.columnAttrs("c2").catTopValues.map(_._2).sum > 0.99)
+      // top-K ordering within a column: count desc, value asc
+      assert(ds.columnAttrs("c2").catTopValues.head._1 == "b0")
+      var prev = -1; var settled = 0; var iters = 0
+      while (settled < 2 && iters < 50) {
+        val cur = actions.get()
+        if (cur == prev) settled += 1 else settled = 0
+        prev = cur; iters += 1; Thread.sleep(100)
+      }
+      assert(actions.get() == 2,
+        s"registration must cost 2 actions (stats + fused top-K), saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("catalog: sampled validation modes scan only the chosen part files") {
     val dir = tmpDir("catsample")
     // 4 part files with disjoint uid/ts ranges so sampled stats are
