@@ -188,6 +188,29 @@ object TextAnalysis {
       .where(col("n_hits") > 0)
   }
 
+  /** Pattern redaction — the PII-scrub pass every training-data pipeline
+    * runs before release (emails, phone numbers, ids → placeholder
+    * tokens). Patterns apply IN ORDER to the text (`regexp_replace`
+    * replaces all occurrences); per-pattern match counts are measured on
+    * the ORIGINAL text, so they are order-independent and a downstream
+    * filter can threshold on "how much PII did this doc contain" without
+    * caring how patterns interact. Keep patterns in the RE2-compatible
+    * subset (no backrefs/lookaround) so any engine — and the DuckDB
+    * oracle — compiles them identically. Pure codegen'd expressions,
+    * map-only: at 100 TB this preserves the input partitioning and
+    * touches only the text column. */
+  def redact(docs: DataFrame, idCol: String, textCol: String,
+             patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "at least one (pattern, replacement) required")
+    val cleaned = patterns.foldLeft(col(textCol)) {
+      case (c, (re, repl)) => regexp_replace(c, re, repl)
+    }
+    val counts = patterns.zipWithIndex.map { case ((re, _), i) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_redact_$i")
+    }
+    docs.select(col(idCol) +: cleaned.as("clean_text") +: counts: _*)
+  }
+
   /** md5("<salt>:<id>") — THE cross-engine determinism contract: every
     * hash-derived decision (split, sample, cap, pack order/shard) and its
     * DuckDB oracle mirror build exactly this string. Defined once so a

@@ -238,6 +238,18 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // PII-scrub redaction: email-ish tokens, long digit runs, and the
+    // corpus's 'customer' marker (the pattern that actually fires on this
+    // synthetic text) → placeholders, with per-pattern counts measured on
+    // the original text. The compared clean text travels as its md5.
+    "tx_redact" -> ((s, dir) =>
+      TextAnalysis.redact(docs(s, dir), "doc_id", "text", Seq(
+          "[a-z]+@[a-z]+" -> "<email>",
+          "[0-9]{3,}" -> "<num>",
+          "customer" -> "<pii>"))
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"),
+          col("n_redact_0"), col("n_redact_1"), col("n_redact_2"))),
+
     // Corpus length distribution via the t-digest-style GK sketch
     // (approx_percentile — the 100 TB path: mergeable, single pass, fixed
     // memory) gated against Spark's exact percentile in the same job, the
@@ -652,6 +664,21 @@ object PipelineQueries {
         |       WHEN contains(text, 'window') THEN 'fr'
         |       WHEN contains(text, 'customer') THEN 'es'
         |       ELSE 'en' END AS lang_pred
+        |FROM documents""".stripMargin,
+
+    // Mirrors redact: serial regexp_replace with the 'g' flag (DuckDB
+    // replaces only the FIRST match without it — the tx_quality gotcha);
+    // counts via regexp_extract_all on the ORIGINAL text, like Spark's
+    // regexp_count.
+    "tx_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z]+@[a-z]+', '<email>', 'g'),
+        |      '[0-9]{3,}', '<num>', 'g'),
+        |      'customer', '<pii>', 'g')) AS clean_hash,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+@[a-z]+')) AS BIGINT) AS n_redact_0,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_redact_1,
+        |  CAST(len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_redact_2
         |FROM documents""".stripMargin,
 
     // Mirrors langIdTrigrams's left fold over key-sorted profiles: the
