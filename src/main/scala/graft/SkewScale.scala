@@ -86,6 +86,19 @@ object SkewScale {
         println(f"SKEWSCALE cap dist=$label mode=$mode rows=$n " +
           f"kept=$kept wall=$sec%.1f")
       }
+      // --- per-key top-1000: plain window vs salted two-phase ---
+      val ord = Seq(desc("t"), asc("doc_id"))
+      val plainW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(ord: _*)
+      for ((mode, ranked) <- Seq(
+          "plain" -> docs.withColumn("__rk", row_number().over(plainW))
+            .where(col("__rk") <= 1000).drop("__rk"),
+          "salted" -> operators.Skew.topNPerKey(
+            docs, "k", "doc_id", ord, n = 1000, salts = 64))) {
+        val (kept, sec) = timed(ranked.count())
+        println(f"SKEWSCALE topn dist=$label mode=$mode rows=$n " +
+          f"kept=$kept wall=$sec%.1f")
+      }
       // --- sessionize (30-min gap): measured bound, no mitigation ---
       val (sessions, sec) = timed {
         operators.Sessionize

@@ -111,6 +111,18 @@ object RelationalQueries {
         .where(col("rn") <= 2)
         .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))),
 
+    // The hot-key-safe two-phase form of the same query (Skew.topNPerKey:
+    // local top-n within (key, salt), re-rank the <= n*salts survivors) —
+    // provably identical output to the plain window given the total
+    // (o_totalprice, o_orderkey) ordering, so it shares q_window_topn's
+    // oracle SQL verbatim.
+    "q_window_topn_salted" -> ((s, dir) =>
+      graft.operators.Skew.topNPerKey(
+          t(s, dir, "orders"), "o_custkey", "o_orderkey",
+          Seq(desc("o_totalprice"), asc("o_orderkey")), n = 2, salts = 8,
+          keepRank = Some("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))),
+
     "q_topk_parts" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
@@ -355,6 +367,15 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    // Identical semantics by construction — the salted two-phase plan must
+    // reproduce the plain window bit-for-bit.
+    "q_window_topn_salted" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey

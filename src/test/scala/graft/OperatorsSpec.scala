@@ -368,6 +368,32 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.columns.toSet == Set("k", "v", "d"))
   }
 
+  test("salted two-phase topNPerKey equals the plain window exactly") {
+    import graft.operators.Skew
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("id", LongType)))
+    // hot key with 90% of rows, heavy value ties (v % 7) so the id
+    // tie-break is load-bearing; salts from degenerate 1 to > group sizes
+    val rows = (0 until 900).map(i =>
+      Map[String, Any]("k" -> "hot", "v" -> (i % 7).toLong, "id" -> i.toLong)) ++
+      (0 until 100).map(i =>
+        Map[String, Any]("k" -> s"k${i % 20}", "v" -> (i % 7).toLong, "id" -> (1000 + i).toLong))
+    val df = frame(schema, rows)
+    val ordering = Seq(desc("v"), asc("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(ordering: _*)
+    for (n <- Seq(1, 3, 10); salts <- Seq(1, 8, 64)) {
+      val plain = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= n)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSet
+      val salted = Skew.topNPerKey(df, "k", "id", ordering, n, salts,
+          keepRank = Some("rn"))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSet
+      assert(salted == plain, s"n=$n salts=$salts")
+    }
+  }
+
   test("vec_qdot matches the interpreted quantized HOF computation") {
     VectorFunctions.register(spark)
     val schema = StructType(Seq(
