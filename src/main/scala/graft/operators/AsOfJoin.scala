@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
  * the as-of match. Cost: ONE shuffle on the keys plus one in-partition
  * sort per direction — no range explosion, no per-key collect, no O(L×R)
  * candidate pairs. At 100 TB both sides stream through a single
- * Exchange+Window; on a layout bucketed+sorted by the keys even the
- * exchange disappears (see sources.GroupedWriter).
+ * Exchange+Window. (A bucketed-by-key layout does NOT remove that
+ * exchange here, unlike the single-table engine windows — Union discards
+ * the scans' bucketing in its output partitioning, measured 1 exchange
+ * either way; the win a GroupedWriter layout buys this operator is
+ * balanced, locality-friendly input splits, not a shuffle-free plan.)
  *
  * Tie semantics at equal timestamps: in non-strict mode an equal-time right
  * IS eligible, in strict mode it is not — controlled purely by whether
