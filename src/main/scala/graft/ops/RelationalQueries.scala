@@ -238,6 +238,28 @@ object RelationalQueries {
           coalesce(max(col("tl") - col("click_tl")), lit(-1L)).as("max_gap_us"))
     }),
 
+    // The same as-of query through the timeBucket skew mode (6h buckets +
+    // carry join — AsOfJoin class doc): must reproduce q_asof's result
+    // row-for-row, so it shares its oracle SQL verbatim. Pins the skew
+    // path cross-engine on real data, not just unit brute force.
+    "q_asof_bucketed" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tl"))
+      val errors = e.where(col("event_type") === "error").drop("event_type")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("tl"), col("event_id"))
+      graft.operators.AsOfJoin
+        .backward(errors, clicks, Seq("user_id"), "tl", "tl",
+          rightVals = Seq("tl"), strict = false, tieBreak = Seq("event_id"),
+          prefix = "click_", timeBucket = Some(21600000000L))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_errors"),
+          count(col("click_tl")).as("n_matched"),
+          coalesce(max(col("tl") - col("click_tl")), lit(-1L)).as("max_gap_us"))
+    }),
+
     // Rolling window aggregate: per-user 5-event moving sum of value over
     // event time (ROWS frame, (tl, event_id) ordering for tie-determinism).
     // The decimal sum is exact in any accumulation order, so the sliding
@@ -446,6 +468,20 @@ object RelationalQueries {
     // itself, tie-broken by event_id — identical ordering to AsOfJoin's
     // (time, side, tieBreak) sort.
     "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tl FROM events),
+        |w AS (SELECT user_id, event_type, tl,
+        |        last_value(CASE WHEN event_type = 'click' THEN tl END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY tl, (event_type = 'error'), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tl
+        |      FROM e WHERE event_type IN ('click', 'error'))
+        |SELECT user_id, count(*) AS n_errors, count(click_tl) AS n_matched,
+        |       coalesce(max(tl - click_tl), -1) AS max_gap_us
+        |FROM w WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+
+    // Same semantics by construction — the timeBucket skew plan must
+    // reproduce the plain as-of bit-for-bit.
+    "q_asof_bucketed" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tl FROM events),
         |w AS (SELECT user_id, event_type, tl,
         |        last_value(CASE WHEN event_type = 'click' THEN tl END IGNORE NULLS)
