@@ -188,6 +188,16 @@ object TextAnalysis {
       .where(col("n_hits") > 0)
   }
 
+  /** Text normalization — the canonicalization pass that precedes every
+    * dedup/tokenize stage (two docs differing only in case/spacing should
+    * hash identically): ASCII-lowercase, collapse whitespace runs to one
+    * space, trim. Deliberately locale-free — `lower` on ASCII and the
+    * `\s+` class behave identically in any engine, where full Unicode
+    * case-folding/NFKC would not (and DuckDB has no NFKC). Map-only
+    * codegen'd expressions. */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "\\s+", " "))
+
   /** Pattern redaction — the PII-scrub pass every training-data pipeline
     * runs before release (emails, phone numbers, ids → placeholder
     * tokens). Patterns apply IN ORDER to the text (`regexp_replace`

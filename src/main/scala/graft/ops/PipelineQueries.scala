@@ -238,6 +238,17 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint("text", 8).as("fp"))),
 
+    // Canonicalization: normalize a deterministically case/spacing-mangled
+    // copy of each doc (leading blanks + UPPER + tab-spaced duplicate) —
+    // both engines must lowercase, collapse whitespace, and trim to the
+    // identical string, compared by md5 + length.
+    "tx_normalize" -> ((s, dir) => {
+      val mangled = concat(lit("  "), upper(col("text")), lit(" \t"), col("text"))
+      docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.normalize(mangled)).as("norm_hash"),
+        length(TextAnalysis.normalize(mangled)).cast("long").as("n_chars"))
+    }),
+
     // PII-scrub redaction: email-ish tokens, long digit runs, and the
     // corpus's 'customer' marker (the pattern that actually fires on this
     // synthetic text) → placeholders, with per-pattern counts measured on
@@ -665,6 +676,17 @@ object PipelineQueries {
         |       WHEN contains(text, 'customer') THEN 'es'
         |       ELSE 'en' END AS lang_pred
         |FROM documents""".stripMargin,
+
+    // Mirrors normalize over the same mangled input: lower → collapse \s+
+    // ('g' flag!) → trim, in the identical order.
+    "tx_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    '  ' || upper(text) || ' ' || chr(9) || text AS mangled
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(mangled), '\s+', ' ', 'g'))) AS norm_hash,
+        |  CAST(len(trim(regexp_replace(lower(mangled), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM m""".stripMargin,
 
     // Mirrors redact: serial regexp_replace with the 'g' flag (DuckDB
     // replaces only the FIRST match without it — the tx_quality gotcha);
