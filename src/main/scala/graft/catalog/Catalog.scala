@@ -296,10 +296,13 @@ object Catalog {
     // (registration_task_runner.py:176-203); top values as normalized
     // shares. ALL categorical columns share ONE top-K job: each row
     // explodes to its (column, value) pairs, one hash aggregation counts
-    // them (map-side partials), and a per-column row_number window — tiny
-    // after the aggregation — takes the top K. Job count is independent of
-    // schema width, where a per-column loop would run hundreds of scans on
-    // a wide registration.
+    // them (map-side partials), and the salted two-phase top-N
+    // (Skew.topNPerKey keyed by column name) takes the top K. A plain
+    // per-column window would sort a column's ENTIRE distinct-value set —
+    // up to categoricalRatio*nRows rows for a near-threshold column — in
+    // one task; the salted form caps every task's sort at K*salts rows.
+    // Job count stays independent of schema width, where a per-column
+    // loop would run hundreds of scans on a wide registration.
     def uniqueRatio(n: String) =
       if (nRows == 0) 1.0
       else stats.getAs[Long](s"__acd_$n").toDouble / nRows
@@ -307,15 +310,13 @@ object Catalog {
     val topByCol: Map[String, Seq[(String, Double)]] =
       if (categoricalTopCount == 0 || catCols.isEmpty) Map.empty
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__col")).orderBy(desc("__c"), asc("__val"))
-        df.select(explode(array(catCols.map(n =>
+        val counts = df.select(explode(array(catCols.map(n =>
             struct(lit(n).as("__col"), col(n).as("__val"))): _*)).as("kv"))
           .select(col("kv.__col").as("__col"), col("kv.__val").as("__val"))
           .where(col("__val").isNotNull)
           .groupBy(col("__col"), col("__val")).agg(count(lit(1)).as("__c"))
-          .withColumn("__rk", row_number().over(w))
-          .where(col("__rk") <= categoricalTopCount)
+        graft.operators.Skew.topNPerKey(counts, "__col", "__val",
+            Seq(desc("__c"), asc("__val")), categoricalTopCount)
           .collect()
           .toSeq
           .groupBy(_.getString(0))

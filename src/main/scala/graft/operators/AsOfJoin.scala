@@ -155,9 +155,16 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     // A left column named like an output payload or ANY internal channel
     // column would be silently overwritten/shadowed — fail loudly instead.
+    // timeBucket mode adds the carry-join key names (a function of
+    // keys.length only), which would otherwise corrupt the carry join.
+    val carryNames =
+      if (timeBucket.isDefined)
+        keys.indices.map(i => s"__graft_asof_ck_$i") :+ "__graft_asof_ckb"
+      else Nil
     val clash = leftCols.toSet.intersect(
       (rightVals.map(prefix + _) ++
-        Seq(T, SIDE, P, B, F, BK, CB, CF, LASTR, FIRSTR) ++ tbNames).toSet)
+        Seq(T, SIDE, P, B, F, BK, CB, CF, LASTR, FIRSTR) ++
+        tbNames ++ carryNames).toSet)
     require(clash.isEmpty,
       s"left columns collide with as-of output/internal names: ${clash.mkString(", ")} " +
         s"(pick a different prefix)")

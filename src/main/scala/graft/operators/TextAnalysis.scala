@@ -281,18 +281,28 @@ object TextAnalysis {
     * one. Keeps Binomial(count, n/count) rows per key: expected n, CV
     * 1/sqrt(n) (keys with count <= n keep everything exactly). Same
     * determinism contract as every hash decision: the kept SET is a pure
-    * function of (id, salt), bit-reproducible in any engine. */
+    * function of (id, salt), bit-reproducible in any engine.
+    *
+    * Null keys are capped like any other key — the count groups them
+    * together and the join matches them null-safely — because the hot
+    * "null-ish default" key is exactly the pathology this variant exists
+    * for. The per-key count table (one row per key) carries no broadcast
+    * hint: AQE broadcasts it while it fits (keeping the corpus side
+    * map-only) and degrades to a shuffle join at extreme key cardinality
+    * instead of failing the driver on the build side. */
   def capPerKeyApprox(df: DataFrame, keyCol: String, idCol: String, n: Int,
                       salt: String): DataFrame = {
     require(n > 0, "cap must be positive")
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
-    // The per-key count table is one row per key — broadcast it explicitly
-    // so the corpus side never shuffles.
-    df.join(broadcast(counts), Seq(keyCol))
+    val clash = df.columns.toSet.intersect(Set("__key_k", "__key_n"))
+    require(clash.isEmpty,
+      s"columns collide with capPerKeyApprox internal names: ${clash.mkString(", ")}")
+    val counts = df.groupBy(col(keyCol).as("__key_k"))
+      .agg(count(lit(1)).as("__key_n"))
+    df.join(counts, col(keyCol) <=> col("__key_k"))
       // Single double division, same operation order as the oracle mirror.
       .where(hashUniform(col(idCol), salt) <
         lit(n).cast("double") / col("__key_n"))
-      .drop("__key_n")
+      .drop("__key_k", "__key_n")
   }
 
   /** Lexical-diversity signals per document: type-token ratio and the

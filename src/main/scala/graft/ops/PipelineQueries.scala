@@ -896,28 +896,31 @@ object PipelineQueries {
 
     // Mirrors capPerKeyApprox: hashUniform (pipeline_sample's md5 contract,
     // salt 'capx') compared against the same single double division n/count.
+    // The per-key count is a window (not a USING join) so null keys count
+    // and match null-safely, mirroring the operator's <=> join.
     "pipeline_cap_approx" ->
-      """WITH c AS (SELECT source, count(*) AS key_n FROM documents GROUP BY source)
-        |SELECT d.source, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
-        |FROM documents d JOIN c USING (source)
-        |WHERE ('0x' || substr(md5('capx:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      """WITH d AS (SELECT source, doc_id,
+        |             count(*) OVER (PARTITION BY source) AS key_n
+        |           FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d
+        |WHERE ('0x' || substr(md5('capx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        / 4294967296.0
-        |      < CAST(10 AS DOUBLE) / c.key_n
-        |GROUP BY d.source""".stripMargin,
+        |      < CAST(10 AS DOUBLE) / key_n
+        |GROUP BY source""".stripMargin,
 
     "pipeline_cap_approx_err" ->
-      """WITH c AS (SELECT source, count(*) AS n_all FROM documents GROUP BY source),
-        |k AS (SELECT d.source, count(*) AS n_kept
-        |      FROM documents d JOIN c USING (source)
-        |      WHERE ('0x' || substr(md5('capx:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |              / 4294967296.0
-        |            < CAST(10 AS DOUBLE) / c.n_all
-        |      GROUP BY d.source),
-        |j AS (SELECT c.source, coalesce(k.n_kept, 0) AS n_kept, c.n_all
-        |      FROM c LEFT JOIN k USING (source))
+      """WITH d AS (SELECT source, doc_id,
+        |             count(*) OVER (PARTITION BY source) AS n_all
+        |           FROM documents),
+        |k AS (SELECT source, max(n_all) AS n_all, count(*) FILTER (
+        |        WHERE ('0x' || substr(md5('capx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                / 4294967296.0
+        |              < CAST(10 AS DOUBLE) / n_all) AS n_kept
+        |      FROM d GROUP BY source)
         |SELECT max(abs(n_kept - least(10, n_all))) AS max_abs_dev,
         |       CAST(max(abs(n_kept - least(10, n_all))) <= 16 AS BIGINT) AS passed
-        |FROM j""".stripMargin,
+        |FROM k""".stripMargin,
 
     // Symbolic mirror of the PNG round-trip: geometry 4+id%13 × 3+id%11,
     // pixel(idx) = (id*37 + idx*101) % 256 (Multimodal.pixel). The Spark

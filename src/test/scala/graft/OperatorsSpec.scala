@@ -911,4 +911,18 @@ class OperatorsSpec extends SparkSpec {
     // A cap above the group size keeps everything.
     assert(TextAnalysis.capPerKey(d, "k", "id", 100, "c1").count() == 90)
   }
+
+  test("capPerKeyApprox: null keys are counted and capped, not dropped") {
+    // The operator exists FOR hot null-ish default keys — a null-unsafe
+    // join would silently drop exactly that group. With n >= every
+    // group's size the keep-rate is >= 1, so the result is exact: all 30
+    // rows survive, including the 10 null-key rows, matching capPerKey.
+    val rows = (0 until 30).map(i =>
+      (i.toLong, if (i % 3 == 0) null else s"k${i % 3}"))
+    val d = spark.createDataFrame(rows).toDF("id", "k")
+    val kept = TextAnalysis.capPerKeyApprox(d, "k", "id", 50, "cx")
+    assert(kept.count() == 30)
+    assert(kept.where(col("k").isNull).count() == 10)
+    assert(kept.columns.toSeq == Seq("id", "k"))
+  }
 }
