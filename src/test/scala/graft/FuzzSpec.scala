@@ -1,0 +1,561 @@
+package graft
+
+import scala.collection.mutable
+import scala.sys.process.{Process, ProcessLogger}
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.engine.{DatasetSpec, QueryEngine}
+import graft.query.QueryParser
+
+/**
+ * Randomized differential fuzzer for the fr query language: generates seeded
+ * random query ASTs AS JSON (exercising QueryParser's shorthand expansion,
+ * the includeZero truth table and RelationParser), plans them through
+ * QueryEngine over the real sf0.001 events table, and checks every result
+ * table against a DuckDB oracle GENERATED from the same random model
+ * (executed by tools/fuzz_oracle.py in one batch).
+ *
+ * The battery (Verify + check_correctness.py) enumerates each operator
+ * singly; this covers the INTERACTIONS — filters × count/sum targets ×
+ * includeZero × multi-condition relations (precedence, names, parens) ×
+ * sequences (negated steps, maxDuration) × aggregations × funnel ×
+ * timeframe — the reference itself only hand-enumerates
+ * (tests/test_query_engine.py:426-497).
+ *
+ * Null-semantics coverage: the raw events table has no nulls, so two derived
+ * columns (`etype_n`, `value_n`) inject NULLs deterministically from
+ * event_id on BOTH sides, making the pandas null contract (`!=`/`not
+ * contains` true on null, everything else false) observable.
+ *
+ * Determinism contracts this relies on (see memory/BENCH.md conventions):
+ * decimal(20,4) measure on both sides (exact distributed sums), epoch-nanos
+ * longs compared as int64, per-value aggs restricted to ≤6-distinct columns
+ * with top=10 so LIMIT never cuts and tie-break order cannot matter (rows
+ * are sorted canonically before comparing).
+ */
+object QueryFuzzer {
+
+  // ------------------------------------------------------------- primitives
+
+  def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c    => c.toString
+    } + "\""
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private def sqlCmp(op: String) = op match {
+    case "==" => "="
+    case "!=" => "<>"
+    case o    => o
+  }
+
+  /** One row filter: JSON fragment (shorthand or verbose, random) + the
+    * DuckDB predicate mirroring QueryEngine.compileFilter's null semantics. */
+  final case class GFilter(json: String, sql: String)
+
+  private def filterJson(rnd: Random, c: String, op: String, jsonValue: String) =
+    if (rnd.nextBoolean()) s"""[${jsonStr(c)}, ${jsonStr(op)}, $jsonValue]"""
+    else s"""{"column": ${jsonStr(c)}, "op": ${jsonStr(op)}, "value": $jsonValue}"""
+
+  private def strFilter(rnd: Random, c: String, op: String, v: String): GFilter = {
+    val sql = op match {
+      case "=="           => s"COALESCE($c = ${sqlStr(v)}, FALSE)"
+      case "!="           => s"COALESCE($c <> ${sqlStr(v)}, TRUE)"
+      case "contains"     => s"COALESCE(contains($c, ${sqlStr(v)}), FALSE)"
+      case "not contains" => s"(NOT COALESCE(contains($c, ${sqlStr(v)}), FALSE))"
+      case "regex"        => s"COALESCE(regexp_matches($c, ${sqlStr(v)}), FALSE)"
+    }
+    GFilter(filterJson(rnd, c, op, jsonStr(v)), sql)
+  }
+
+  private def numFilter(rnd: Random, c: String, op: String, v: String): GFilter = {
+    val default = if (op == "!=") "TRUE" else "FALSE"
+    GFilter(filterJson(rnd, c, op, v), s"COALESCE($c ${sqlCmp(op)} $v, $default)")
+  }
+
+  private val EventTypes    = Seq("view", "click", "purchase", "error", "signup", "absent")
+  private val ContainsPool  = Seq("ick", "pur", "err", "v", "zzz", "up")
+  private val RegexPool     = Seq("^p", "c.ick", "(view|click)", "r{2}", "up$", "^z.*")
+  private val PropsContains = Seq("\"k\": 8", "7}", "k\": 1")
+  private val PropsRegex    = Seq("k\": [0-9]{2}", "8[0-9]}", ": [0-9]+")
+  private val NumVals       = Seq("0.03", "10", "50", "100", "150", "250.5", "327.53")
+  private val IdVals        = Seq("0", "100", "500", "12345")
+  private val CmpOps        = Seq("==", "!=", ">", ">=", "<", "<=")
+  private val CountVals     = Seq(0L, 1L, 2L, 3L, 5L, 10L, 15L, 30L)
+  private val SumVals       = Seq("50", "200.25", "500", "1500.5", "5000")
+  private val Durations     = Seq(3600000000000L, 86400000000000L,
+                                  604800000000000L, 2000000000000000L)
+  private val TfBounds      = Seq(1704500000000000000L, 1705000000000000000L,
+                                  1705500000000000000L, 1706000000000000000L,
+                                  1706500000000000000L)
+  private val CondNames     = Seq("alpha", "beta", "gamma", "delta")
+
+  private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+  private def genFilter(rnd: Random): GFilter = rnd.nextInt(10) match {
+    case p if p < 4 =>
+      val c = if (rnd.nextInt(4) == 0) "etype_n" else "event_type"
+      rnd.nextInt(6) match {
+        case 0 => strFilter(rnd, c, "!=", pick(rnd, EventTypes))
+        case 1 => strFilter(rnd, c, "contains", pick(rnd, ContainsPool))
+        case 2 => strFilter(rnd, c, "not contains", pick(rnd, ContainsPool))
+        case 3 => strFilter(rnd, c, "regex", pick(rnd, RegexPool))
+        case _ => strFilter(rnd, c, "==", pick(rnd, EventTypes))
+      }
+    case p if p < 8 =>
+      val c = if (rnd.nextInt(4) == 0) "value_n" else "value"
+      numFilter(rnd, c, pick(rnd, CmpOps), pick(rnd, NumVals))
+    case 8 =>
+      numFilter(rnd, "event_id", pick(rnd, CmpOps), pick(rnd, IdVals))
+    case _ =>
+      if (rnd.nextBoolean()) strFilter(rnd, "props", "contains", pick(rnd, PropsContains))
+      else strFilter(rnd, "props", "regex", pick(rnd, PropsRegex))
+  }
+
+  private def genStep(rnd: Random): (String, String, Boolean) = {
+    val filters = Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd))
+    val rowFound = rnd.nextInt(5) != 0
+    val fs =
+      if (filters.size == 1 && rnd.nextBoolean())
+        s""""filter": ${filters.head.json}"""
+      else s""""filters": [${filters.map(_.json).mkString(", ")}]"""
+    val rf = if (rowFound) "" else """, "rowFound": false"""
+    (s"{$fs$rf}", filters.map(_.sql).mkString(" AND "), rowFound)
+  }
+
+  /**
+   * Chained-anchor CTEs for a sequence/funnel over source CTE `src`,
+   * mirroring QueryEngine.sequenceCols step by step: anchor j = min ts of
+   * rows matching step j strictly after the previous anchor; negated steps
+   * (`rowFound:false`) require NO such row and do not advance the anchor.
+   * Returns (ctes, lastCteName, cumulative passed expr per step — the final
+   * entry is the sequence-condition pass, intermediates are the funnel's
+   * per-step flags including the per-step maxDuration term).
+   */
+  private def seqSql(tag: String, src: String, steps: Seq[(String, String, Boolean)],
+                     maxDuration: Option[Long]): (Seq[String], String, Seq[String]) = {
+    val ctes = mutable.Buffer[String]()
+    var prev: Option[String] = None
+    var carried = Seq.empty[String]
+    var anchor: Option[String] = None
+    var firstAnchor: Option[String] = None
+    val parts = mutable.Buffer[String]()
+    val stepPassed = mutable.Buffer[String]()
+    steps.zipWithIndex.foreach { case ((_, pred, rowFound), j) =>
+      val cteName = s"${tag}_$j"
+      val cond = anchor match {
+        case Some(a) => s"($pred) AND tl > p.$a"
+        case None    => s"($pred)"
+      }
+      val aggCol =
+        if (rowFound) s"min(CASE WHEN $cond THEN tl END) AS a$j"
+        else s"max(CASE WHEN $cond THEN 1 END) AS x$j"
+      val carry = carried.map(c => s"max(p.$c) AS $c")
+      val from = prev match {
+        case Some(pc) => s"$src JOIN $pc p USING (user_id)"
+        case None     => src
+      }
+      ctes += s"$cteName AS (SELECT ${(Seq("user_id") ++ carry :+ aggCol).mkString(", ")} " +
+        s"FROM $from GROUP BY user_id)"
+      if (rowFound) {
+        parts += s"a$j IS NOT NULL"
+        anchor = Some(s"a$j")
+        if (firstAnchor.isEmpty) firstAnchor = Some(s"a$j")
+        carried :+= s"a$j"
+      } else {
+        parts += s"x$j IS NULL"
+        carried :+= s"x$j"
+      }
+      val durTerm = for {
+        d <- maxDuration; la <- anchor; fa <- firstAnchor; if la != fa
+      } yield s"$la - $fa <= $d"
+      stepPassed += (parts.toSeq ++ durTerm).map(p => s"($p)").mkString(" AND ")
+      prev = Some(cteName)
+    }
+    (ctes.toSeq, prev.get, stepPassed.toSeq)
+  }
+
+  /** One condition: JSON fragment + the CTEs defining c<i>(user_id, p). */
+  private def genCondition(rnd: Random, i: Int, name: Option[String])
+      : (String, Seq[String]) = {
+    val nm = name.map(n => s""""name": ${jsonStr(n)}, """).getOrElse("")
+    if (rnd.nextInt(10) < 3) {
+      // sequence condition
+      val steps = Seq.fill(2 + rnd.nextInt(3))(genStep(rnd))
+      val md = if (rnd.nextInt(20) < 7) Some(pick(rnd, Durations)) else None
+      val mdJson = md.map(d => s""", "maxDuration": $d""").getOrElse("")
+      val json = s"""{$nm"sequence": [${steps.map(_._1).mkString(", ")}]$mdJson}"""
+      val (ctes, last, passed) = seqSql(s"c${i}s", "e", steps, md)
+      (json, ctes :+ s"c$i AS (SELECT user_id, ${passed.last} AS p FROM $last)")
+    } else {
+      // filters + target condition
+      val filters = Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd))
+      val pred = filters.map(_.sql).mkString(" AND ")
+      val mc = s"sum(CASE WHEN $pred THEN 1 ELSE 0 END)"
+      val fjson =
+        if (filters.size == 1 && rnd.nextBoolean())
+          s""""filter": ${filters.head.json}"""
+        else s""""filters": [${filters.map(_.json).mkString(", ")}]"""
+      val (tjson, pass) =
+        if (rnd.nextInt(7) == 0) {
+          // omit target → default count >= 1, includeZero false
+          ("", s"(($mc >= 1) AND $mc > 0)")
+        } else if (rnd.nextInt(10) < 7) {
+          // count target, includeZero per the parser's truth table
+          val op = pick(rnd, CmpOps)
+          val v = pick(rnd, CountVals)
+          val legalTrue = (op == "==" && v == 0) || (op == ">=" && v == 0) ||
+            (op == "!=" && v != 0) || (op == "<" && v > 0) || op == "<="
+          val legalFalse = !(op == "==" && v == 0)
+          val iz: Option[Boolean] = rnd.nextInt(3) match {
+            case 0 if legalTrue  => Some(true)
+            case 1 if legalFalse => Some(false)
+            case _               => None
+          }
+          val resolved = iz.getOrElse(op == "==" && v == 0)
+          val tj =
+            if (rnd.nextBoolean()) s"""["count", ${jsonStr(op)}, $v]"""
+            else s"""{"type": "count", "op": ${jsonStr(op)}, "value": $v}"""
+          val izj = iz.map(b => s""", "includeZero": $b""").getOrElse("")
+          val base = s"($mc ${sqlCmp(op)} $v)"
+          (s""", "target": $tj$izj""",
+            if (resolved) base else s"($base AND $mc > 0)")
+        } else {
+          // sum target (includeZero not applicable)
+          val c = if (rnd.nextInt(3) == 0) "value_n" else "value"
+          val op = pick(rnd, CmpOps)
+          val v = pick(rnd, SumVals)
+          val tj =
+            if (rnd.nextBoolean()) s"""["sum", ${jsonStr(c)}, ${jsonStr(op)}, $v]"""
+            else s"""{"type": "sum", "column": ${jsonStr(c)}, "op": ${jsonStr(op)}, "value": $v}"""
+          (s""", "target": $tj""",
+            s"(($mc > 0) AND (COALESCE(sum(CASE WHEN $pred THEN $c END), 0) ${sqlCmp(op)} $v))")
+        }
+      val json = s"{$nm$fjson$tjson}"
+      (json, Seq(s"c$i AS (SELECT user_id, $pass AS p FROM e GROUP BY user_id)"))
+    }
+  }
+
+  // ---------------------------------------------------------------- relation
+
+  private sealed trait Rel
+  private final case class RRef(i: Int) extends Rel
+  private final case class RAnd(l: Rel, r: Rel) extends Rel
+  private final case class ROr(l: Rel, r: Rel) extends Rel
+
+  private def genTree(rnd: Random, n: Int, leaves: Int): Rel =
+    if (leaves == 1) RRef(rnd.nextInt(n))
+    else {
+      val l = 1 + rnd.nextInt(leaves - 1)
+      val left = genTree(rnd, n, l)
+      val right = genTree(rnd, n, leaves - l)
+      if (rnd.nextBoolean()) RAnd(left, right) else ROr(left, right)
+    }
+
+  private def treeJson(t: Rel, ref: Int => String): String = t match {
+    case RRef(i)    => ref(i)
+    case RAnd(l, r) => s"(${treeJson(l, ref)} and ${treeJson(r, ref)})"
+    case ROr(l, r)  => s"(${treeJson(l, ref)} or ${treeJson(r, ref)})"
+  }
+
+  private def treeSql(t: Rel): String = t match {
+    case RRef(i)    => s"c$i.p"
+    case RAnd(l, r) => s"(${treeSql(l)} AND ${treeSql(r)})"
+    case ROr(l, r)  => s"(${treeSql(l)} OR ${treeSql(r)})"
+  }
+
+  // ------------------------------------------------------------ aggregations
+
+  /** One aggregation request: JSON fragment + oracle SQL per expanded
+    * aggregation (3 for the default-triple expansion). Per-value aggs are
+    * restricted to ≤6-distinct columns so top=10 never cuts and ordering
+    * ties cannot matter (results compare as sorted sets). */
+  private def genAgg(rnd: Random): (String, Seq[String]) = {
+    def pv = if (rnd.nextBoolean()) "event_type" else "etype_n"
+    rnd.nextInt(6) match {
+      case 0 =>
+        val c = pv
+        (s"""{"column": ${jsonStr(c)}}""", Seq(
+          s"SELECT count(me.$c) AS value FROM me",
+          s"SELECT me.$c AS value, count(*) AS count FROM me GROUP BY me.$c",
+          s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups FROM me GROUP BY me.$c"))
+      case 1 =>
+        val c = pick(rnd, Seq("value_n", "event_type", "etype_n", "props", "value"))
+        (s"""{"column": ${jsonStr(c)}, "type": "count"}""",
+          Seq(s"SELECT count(me.$c) AS value FROM me"))
+      case 2 =>
+        val c = pv
+        (s"""{"column": ${jsonStr(c)}, "type": "countPerValue"}""",
+          Seq(s"SELECT me.$c AS value, count(*) AS count FROM me GROUP BY me.$c"))
+      case 3 =>
+        val c = pv
+        (s"""{"column": ${jsonStr(c)}, "type": "groupsPerValue"}""",
+          Seq(s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups FROM me GROUP BY me.$c"))
+      case 4 =>
+        val c = pv
+        val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
+        (s"""{"column": ${jsonStr(c)}, "type": "sumPerValue", "otherColumn": ${jsonStr(o)}}""",
+          Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) AS sum FROM me GROUP BY me.$c"))
+      case _ =>
+        val c = pv
+        val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
+        (s"""{"column": ${jsonStr(c)}, "type": "meanPerValue", "otherColumn": ${jsonStr(o)}}""",
+          Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) / count(me.$o) AS mean " +
+            s"FROM me GROUP BY me.$c"))
+    }
+  }
+
+  // ----------------------------------------------------------- whole queries
+
+  final case class GQuery(json: String, summarySql: String,
+                          aggSqls: Seq[String], funnelSql: Option[String])
+
+  def genQuery(rnd: Random, parquetPath: String): GQuery = {
+    // Timeframe (p≈0.4): one- or two-sided nanos bounds inside the data range.
+    val timeframe: Option[(String, String)] = if (rnd.nextInt(5) < 2) {
+      val a = pick(rnd, TfBounds)
+      val b = pick(rnd, TfBounds)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      rnd.nextInt(4) match {
+        case 0 => Some((s"""{"from": $lo}""", s"epoch_ns(ts) >= $lo"))
+        case 1 => Some((s"""{"to": $hi}""", s"epoch_ns(ts) < $hi"))
+        case _ if lo < hi =>
+          Some((s"""{"from": $lo, "to": $hi}""",
+            s"epoch_ns(ts) >= $lo AND epoch_ns(ts) < $hi"))
+        case _ => Some((s"""{"from": $lo}""", s"epoch_ns(ts) >= $lo"))
+      }
+    } else None
+
+    // Base CTE: the Spark-side frame mirrored (decimal measure, epoch-nanos
+    // tl, deterministic injected-null columns), timeframe applied first like
+    // QueryEngine's `framed`.
+    val where = timeframe.map { case (_, w) => s" WHERE $w" }.getOrElse("")
+    val eCte =
+      s"""e AS (SELECT user_id, event_type, event_id, props, epoch_ns(ts) AS tl,
+         |  CAST(value AS DECIMAL(20,4)) AS value,
+         |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype_n,
+         |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(value AS DECIMAL(20,4)) END AS value_n
+         |  FROM read_parquet(${sqlStr(parquetPath)})$where)""".stripMargin
+
+    val nCond = rnd.nextInt(5) // 0..4
+    val named = nCond > 0 && rnd.nextInt(3) == 0
+    val names = if (named) CondNames.take(nCond).map(Some(_)) else Seq.fill(nCond)(None)
+    val conds = (0 until nCond).map(i => genCondition(rnd, i, names(i).map(n => n: String)))
+
+    def ref(i: Int): String =
+      if (named && rnd.nextBoolean()) {
+        val n = CondNames(i)
+        "$" + (if (rnd.nextInt(4) == 0) n.toUpperCase else n)
+      } else s"$$$i"
+
+    val relation: Option[(String, String)] =
+      if (nCond <= 1) None
+      else rnd.nextInt(5) match {
+        case 0 => None // default AND over all
+        case 1 =>
+          Some(("or", (0 until nCond).map(i => s"c$i.p").mkString(" OR ")))
+        case 2 if nCond >= 3 =>
+          // un-parenthesized precedence checks: and binds tighter than or
+          if (rnd.nextBoolean())
+            Some((s"${ref(0)} and ${ref(1)} or ${ref(2)}", "((c0.p AND c1.p) OR c2.p)"))
+          else
+            Some((s"${ref(0)} or ${ref(1)} and ${ref(2)}", "(c0.p OR (c1.p AND c2.p))"))
+        case _ =>
+          val t = genTree(rnd, nCond, 2 + rnd.nextInt(3))
+          Some((treeJson(t, ref), treeSql(t)))
+      }
+
+    val aggCount = rnd.nextInt(5) match { case 0 | 1 => 0; case 2 | 3 => 1; case _ => 2 }
+    val aggs = Seq.fill(aggCount)(genAgg(rnd))
+
+    val funnel: Option[(String, Seq[(String, String, Boolean)], Option[Long])] =
+      if (rnd.nextInt(10) < 3) {
+        val steps = Seq.fill(2 + rnd.nextInt(2))(genStep(rnd))
+        val md = if (rnd.nextInt(5) < 2) Some(pick(rnd, Durations)) else None
+        val mdJson = md.map(d => s""", "maxDuration": $d""").getOrElse("")
+        Some((s"""{"sequence": [${steps.map(_._1).mkString(", ")}]$mdJson}""", steps, md))
+      } else None
+
+    // ---- assemble JSON
+    val queryParts = mutable.Buffer[String]()
+    if (conds.nonEmpty) queryParts += s""""conditions": [${conds.map(_._1).mkString(", ")}]"""
+    relation.foreach { case (rj, _) => queryParts += s""""relation": ${jsonStr(rj)}""" }
+    if (aggs.nonEmpty) queryParts += s""""aggregations": [${aggs.map(_._1).mkString(", ")}]"""
+    val topParts = mutable.Buffer[String]()
+    if (queryParts.nonEmpty) topParts += s""""query": {${queryParts.mkString(", ")}}"""
+    funnel.foreach { case (fj, _, _) => topParts += s""""funnel": $fj""" }
+    timeframe.foreach { case (tj, _) => topParts += s""""timeframe": $tj""" }
+    val json = s"{${topParts.mkString(", ")}}"
+
+    // ---- assemble SQL
+    val condCtes = conds.flatMap(_._2)
+    val mCte =
+      if (nCond == 0) None
+      else {
+        val joins = (1 until nCond).map(i => s" JOIN c$i USING (user_id)").mkString
+        val relExpr = relation.map(_._2)
+          .getOrElse((0 until nCond).map(i => s"c$i.p").mkString(" AND "))
+        Some(s"m AS (SELECT c0.user_id FROM c0$joins WHERE $relExpr)")
+      }
+    val meCte =
+      if (nCond == 0) "me AS (SELECT * FROM e)"
+      else "me AS (SELECT e.* FROM e JOIN m USING (user_id))"
+    val prefix =
+      s"WITH ${(Seq(eCte) ++ condCtes ++ mCte.toSeq :+ meCte).mkString(",\n")}\n"
+
+    val summarySql = prefix +
+      "SELECT count(DISTINCT user_id) AS matching_groups, count(*) AS matching_group_rows FROM me"
+    val aggSqls = aggs.flatMap(_._2).map(prefix + _)
+    val funnelSql = funnel.map { case (_, steps, md) =>
+      val (ctes, last, passed) = seqSql("f", "me", steps, md)
+      val flCols = passed.zipWithIndex.map { case (p, j) => s"$p AS p$j" }
+      val fl = s"fl AS (SELECT ${(Seq("user_id") ++ flCols).mkString(", ")} FROM $last)"
+      val stepSelects = passed.indices.map { j =>
+        s"SELECT $j AS step, count(DISTINCT CASE WHEN fl.p$j THEN me.user_id END) AS step_groups, " +
+          s"sum(CASE WHEN fl.p$j THEN 1 ELSE 0 END) AS step_rows FROM me JOIN fl USING (user_id)"
+      }
+      prefix.stripSuffix("\n") + ",\n" + (ctes :+ fl).mkString(",\n") + "\n" +
+        stepSelects.mkString("\nUNION ALL\n")
+    }
+    GQuery(json, summarySql, aggSqls, funnelSql)
+  }
+
+  // --------------------------------------------------------- canonicalization
+
+  private val IntRe = "[-+]?[0-9]+".r
+  private val NumRe = "[-+]?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?".r
+
+  /** Canonical cell form shared by both engines' stringified outputs:
+    * integers via BigInt; short decimals (exact DECIMAL results) via
+    * BigDecimal stripTrailingZeros; anything longer via a Double round-trip
+    * (both engines emit round-trip-exact shortest forms, so equal doubles
+    * canonicalize identically even when the source strings differ). */
+  def canon(s: String): String =
+    if (s == null) " NULL"
+    else if (IntRe.matches(s)) BigInt(s).toString
+    else if (NumRe.matches(s)) {
+      val bd = new java.math.BigDecimal(s)
+      if (bd.scale <= 6 && bd.precision <= 18) bd.stripTrailingZeros.toPlainString
+      else java.lang.Double.toString(s.toDouble)
+    } else s
+
+  def canonRows(rows: Seq[Seq[String]]): Seq[Seq[String]] =
+    rows.map(_.map(canon)).sortBy(_.mkString(""))
+}
+
+class FuzzSpec extends SparkSpec {
+  import QueryFuzzer._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val N = 200
+  private val Seed = 20260813L
+
+  private lazy val duckdbOk =
+    Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
+
+  private def sparkCell(v: Any): String = v match {
+    case null                        => null
+    case d: java.math.BigDecimal     => d.toPlainString
+    case x                           => x.toString
+  }
+
+  test(s"$N seeded random queries match generated DuckDB oracles") {
+    assume(duckdbOk, "python3 + duckdb unavailable — differential fuzz skipped")
+    assume(new java.io.File(s"$sfDir/events.parquet").exists(), s"$sfDir missing")
+
+    val rnd = new Random(Seed)
+    val queries = (0 until N).map(i => i -> genQuery(rnd, s"$sfDir/events.parquet"))
+
+    // ---- DuckDB side: one batched subprocess over all statements
+    val sqlMap: Map[String, String] = queries.flatMap { case (i, q) =>
+      Seq(s"q${i}_summary" -> q.summarySql) ++
+        q.aggSqls.zipWithIndex.map { case (s, k) => s"q${i}_agg$k" -> s } ++
+        q.funnelSql.map(s"q${i}_funnel" -> _)
+    }.toMap
+    val qFile = java.io.File.createTempFile("fuzz_queries", ".json")
+    val rFile = java.io.File.createTempFile("fuzz_results", ".json")
+    val fw = new java.io.FileWriter(qFile)
+    try fw.write(org.json4s.jackson.Serialization.write(sqlMap)(DefaultFormats))
+    finally fw.close()
+    val script = new java.io.File("tools/fuzz_oracle.py").getAbsolutePath
+    val rc = Process(Seq("python3", script, qFile.getAbsolutePath, rFile.getAbsolutePath)).!
+    assert(rc == 0, s"fuzz_oracle.py exited $rc")
+    val duck: Map[String, Either[String, Seq[Seq[String]]]] =
+      JsonMethods.parse(rFile).asInstanceOf[JObject].obj.map {
+        case (k, JArray(rows)) =>
+          k -> Right(rows.map {
+            case JArray(cells) => cells.map {
+              case JNull      => null
+              case JString(s) => s
+              case other      => JsonMethods.compact(other)
+            }
+            case other => fail(s"bad row in $k: $other")
+          })
+        case (k, obj: JObject) =>
+          k -> Left(JsonMethods.compact(obj))
+        case (k, other) => k -> Left(s"unexpected: $other")
+      }.toMap
+
+    // ---- Spark side + comparison
+    val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
+    val df = graft.ops.Tables.events(spark, sfDir)
+      .withColumn("value", col("value").cast("decimal(20,4)"))
+      .withColumn("etype_n",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+      .withColumn("value_n",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("decimal(20,4)"))
+          .otherwise(col("value")))
+      .cache()
+    val failures = mutable.Buffer[String]()
+
+    def check(qid: String, sparkDf: DataFrame, sql: String, json: String): Unit = {
+      val got = canonRows(sparkDf.collect().toIndexedSeq.map(_.toSeq.map(sparkCell)))
+      duck.get(qid) match {
+        case Some(Right(rows)) =>
+          val want = canonRows(rows)
+          if (got != want)
+            failures += s"""MISMATCH $qid
+               |query: $json
+               |sql: $sql
+               |spark (${got.size} rows): ${got.take(8).mkString(" | ")}
+               |duckdb (${want.size} rows): ${want.take(8).mkString(" | ")}""".stripMargin
+        case Some(Left(err)) =>
+          failures += s"ORACLE ERROR $qid: $err\nquery: $json\nsql: $sql"
+        case None =>
+          failures += s"MISSING oracle result for $qid"
+      }
+    }
+
+    try {
+      queries.foreach { case (i, q) =>
+        try {
+          val planned = engine.runValidated(df, QueryParser.parse(q.json))
+          check(s"q${i}_summary", planned.summary, q.summarySql, q.json)
+          assert(planned.aggregations.size == q.aggSqls.size,
+            s"q$i: ${planned.aggregations.size} planned aggs vs ${q.aggSqls.size} oracles\n${q.json}")
+          planned.aggregations.zipWithIndex.foreach { case ((_, adf), k) =>
+            check(s"q${i}_agg$k", adf, q.aggSqls(k), q.json)
+          }
+          q.funnelSql.foreach(fsql => check(s"q${i}_funnel", planned.funnel.get, fsql, q.json))
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => throw e
+          case e: Exception =>
+            failures += s"q$i PLAN/EXEC FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\nquery: ${q.json}"
+        }
+        if (failures.size >= 5)
+          fail(s"stopping after ${failures.size} failures (seed=$Seed):\n\n${failures.mkString("\n\n")}")
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} of $N fuzzed queries diverged (seed=$Seed):\n\n${failures.mkString("\n\n")}")
+    } finally df.unpersist()
+  }
+}
