@@ -109,9 +109,12 @@ object StreamingQueries {
     // Streaming funnel (flatMapGroupsWithState, O(numSteps) state/group):
     // the same value-filtered 3-step chain as the batch fr_funnel, folded
     // incrementally. completedSteps only grows across updates, so the max
-    // per group IS the final state however availableNow batches the input;
-    // the oracle is fr_funnel's own step chain (step-group counts — the
-    // part streaming state carries; step_rows needs the static table).
+    // per group IS the final state however availableNow batches the input.
+    // step_rows is the batch funnel's group-constant flag summed over ALL
+    // rows of completing groups — state carries only the flag, so the
+    // final state joins back to static per-group row counts (a broadcast
+    // join at scale: one row per group that reached step 1). The oracle is
+    // fr_funnel's verbatim — full (step, step_groups, step_rows) parity.
     "st_funnel" -> ((s, dir) => {
       val v = col("value").cast("decimal(20,4)")
       val prog = graft.streaming.StreamingFunnel.progress(
@@ -122,13 +125,21 @@ object StreamingQueries {
       val fin = runToBatch(s, prog.toDF(), "st_funnel_sink", mode = "update")
         .groupBy(col("groupId"))
         .agg(max(col("completedSteps")).as("completed"))
-      fin.agg(
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"))
+      fin.join(perUser, col("groupId") === col("user_id"))
+        .agg(
           sum(when(col("completed") >= 1, 1L).otherwise(0L)).as("s0"),
           sum(when(col("completed") >= 2, 1L).otherwise(0L)).as("s1"),
-          sum(when(col("completed") >= 3, 1L).otherwise(0L)).as("s2"))
-        .select(expr("stack(3, 0, coalesce(s0, CAST(0 AS BIGINT)), " +
-          "1, coalesce(s1, CAST(0 AS BIGINT)), " +
-          "2, coalesce(s2, CAST(0 AS BIGINT))) AS (step, step_groups)"))
+          sum(when(col("completed") >= 3, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("completed") >= 1, col("n_rows")).otherwise(0L)).as("r0"),
+          sum(when(col("completed") >= 2, col("n_rows")).otherwise(0L)).as("r1"),
+          sum(when(col("completed") >= 3, col("n_rows")).otherwise(0L)).as("r2"))
+        .select(expr("stack(3, " +
+          "0, coalesce(s0, CAST(0 AS BIGINT)), coalesce(r0, CAST(0 AS BIGINT)), " +
+          "1, coalesce(s1, CAST(0 AS BIGINT)), coalesce(r1, CAST(0 AS BIGINT)), " +
+          "2, coalesce(s2, CAST(0 AS BIGINT)), coalesce(r2, CAST(0 AS BIGINT))) " +
+          "AS (step, step_groups, step_rows)"))
     }),
 
     // Stream-static as-of enrichment (StreamingAsOf.backward): streaming
@@ -190,13 +201,10 @@ object StreamingQueries {
         |FROM g
         |GROUP BY user_id, sid""".stripMargin,
 
-    // The batch funnel's own step chain (FrQueries.SEQ_CTES) — streaming
-    // state must land on the identical step-group counts.
-    "st_funnel" ->
-      s"""${FrQueries.SEQ_CTES}
-         |SELECT 0 AS step, (SELECT count(*) FROM s0) AS step_groups
-         |UNION ALL SELECT 1, (SELECT count(*) FROM s1)
-         |UNION ALL SELECT 2, (SELECT count(*) FROM s2)""".stripMargin,
+    // fr_funnel's oracle verbatim — streaming state + the static row-count
+    // join must land on the batch funnel's full (step, step_groups,
+    // step_rows) output.
+    "st_funnel" -> FrQueries.oracleSql("fr_funnel"),
 
     // q_asof's window SQL verbatim — the stream-static interval plan must
     // agree with the batch union-window as-of row-for-row.
