@@ -66,8 +66,20 @@ object SkewScale {
       val label = if (skewed) "skewed" else "uniform"
       val left = stream(1, skewed, "lid", "lt")
       val right = stream(2, skewed, "rid", "rt")
-      // --- as-of backward: plain window vs timeBucket skew mode ---
-      for ((mode, bucket) <- Seq("plain" -> None, "bucketed" -> Some(hour))) {
+      // --- as-of backward: plain window vs timeBucket skew mode. On the
+      // skewed corpus, also sweep the width DOWN to find the carry-join
+      // crossover: at width span/100 a uniform key's ~200 rows spread over
+      // ~100 buckets (carry table ≈ rows/2 — one row per populated
+      // (key,bucket)); at span/1000 nearly every row is alone in its bucket
+      // (carry table ≈ row count, the carry join degenerates to a second
+      // full-size shuffle join). Recorded in BENCH.md §SkewScale; the
+      // measured guidance lives in AsOfJoin's width-selection scaladoc. ---
+      val widths = Seq("plain" -> None, "bucketed" -> Some(hour)) ++
+        (if (skewed) Seq(
+          "bucketed_w864s" -> Some(span / 100),
+          "bucketed_w86s"  -> Some(span / 1000))
+         else Nil)
+      for ((mode, bucket) <- widths) {
         val (matched, sec) = timed {
           operators.AsOfJoin
             .backward(left, right, Seq("k"), "lt", "rt", rightVals = Seq("rt"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -49,7 +49,15 @@ object Throughput {
     // with NO 250M-row shuffle either: like-for-like with the reference's
     // own layout assumption, while the plain-parquet mode above stays the
     // honest no-assumptions comparison.
-    val bucketed = args.length > 1 && args(1) == "bucketed"
+    // Modes: "" / "bucketed" = the empty query (BASELINE.md comparison);
+    // "funnel" / "funnel-bucketed" = the 3-step value-filtered funnel
+    // (fr_funnel's exact shape) at the same scale — the engine's namesake
+    // plan, wall-clock-verifying that the bucketed layout's
+    // pre-window-exchange-free plan holds at 250M rows, not just in the
+    // sf0.001 plan tests.
+    val mode = if (args.length > 1) args(1) else "plain"
+    val bucketed = mode.endsWith("bucketed")
+    val funnelMode = mode.startsWith("funnel")
     val df =
       if (!bucketed) spark.read.parquet(target)
       else {
@@ -59,18 +67,54 @@ object Throughput {
             spark.read.parquet(target), "user_id", cpus * 4, table)
         spark.table(table)
       }
-    def run(): (Long, Long, Double) = {
-      val t0 = System.nanoTime()
-      val r = df.agg(count_distinct(col("user_id")).as("matching_groups"),
-        count(lit(1)).as("matching_group_rows")).collect()(0)
-      (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+    val layout = if (bucketed) "bucketed" else "parquet"
+
+    if (!funnelMode) {
+      def run(): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = df.agg(count_distinct(col("user_id")).as("matching_groups"),
+          count(lit(1)).as("matching_group_rows")).collect()(0)
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      run() // warm
+      val (groups, rows, sec) = (1 to 3).map(_ => run()).minBy(_._3)
+      val perCore = rows / sec / cpus
+      println(f"""{"rows": $rows, "groups": $groups, "sec": $sec%.3f, """ +
+        f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
+        f""""layout": "$layout"}""")
+    } else {
+      import query.QueryAst._
+      val steps = Seq("view", "click", "purchase").map(t =>
+        SequenceStep(Seq(
+          RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
+          RowFilter("value", FilterOp.Gt, Scalar.Num(100)))))
+      val q = GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(steps, None, Nil, Nil)))
+      val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+      val rows = df.count()
+      def run(): (Seq[Row], Double) = {
+        val t0 = System.nanoTime()
+        val out = eng.run(df, q).funnel.get.collect().toSeq
+        (out, (System.nanoTime() - t0) / 1e9)
+      }
+      run() // warm
+      val (out, sec) = (1 to 2).map(_ => run()).minBy(_._2)
+      // Exchange count from the FINAL adaptive plan (the Initial Plan
+      // section would double-count) — the bucketed layout must show one
+      // fewer exchange (no pre-window shuffle of the 250M rows).
+      val fdf = eng.run(df, q).funnel.get
+      fdf.collect()
+      val finalPlan = fdf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "(?m)Exchange".r.findAllIn(finalPlan).size
+      val perCore = rows / sec / cpus
+      val stepsStr = out.sortBy(_.getInt(0))
+        .map(r => s"[${r.getInt(0)}, ${r.getLong(1)}, ${r.getLong(2)}]")
+        .mkString("[", ", ", "]")
+      println(f"""{"plan": "funnel3", "rows": $rows, "sec": $sec%.3f, """ +
+        f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
+        f""""exchanges": $exchanges, "steps": $stepsStr, "layout": "$layout"}""")
     }
-    run() // warm
-    val (groups, rows, sec) = (1 to 3).map(_ => run()).minBy(_._3)
-    val perCore = rows / sec / cpus
-    println(f"""{"rows": $rows, "groups": $groups, "sec": $sec%.3f, """ +
-      f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
-      f""""layout": "${if (bucketed) "bucketed" else "parquet"}"}""")
     spark.stop()
   }
 }

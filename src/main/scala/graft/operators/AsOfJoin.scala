@@ -58,6 +58,16 @@ import org.apache.spark.sql.functions._
  * near (hot-key rows × width / time-span) ≈ a few million. A key whose
  * rows all share ONE instant still serializes — time bucketing cannot
  * split equal timestamps.
+ *
+ * Width selection is forgiving on the small side (measured, BENCH.md
+ * §SkewScale, 10M rows / one key holding half): the ideal-width run took
+ * 13.1 s vs the plain window's 34.1 s; a width 10× finer (carry table ≈
+ * half the row count) cost 13.5 s; 100× finer — nearly every row alone in
+ * its bucket, carry table ≈ the full row count, its join falling back from
+ * broadcast to a shuffle join — still 15.7 s. Err toward too-fine rather
+ * than too-coarse: the carry join degrades gracefully (AQE picks the join
+ * strategy), while an oversized bucket recreates the single-task sort the
+ * mode exists to avoid.
  */
 object AsOfJoin {
 

@@ -23,9 +23,9 @@ import graft.query.QueryParser
  * The battery (Verify + check_correctness.py) enumerates each operator
  * singly; this covers the INTERACTIONS — filters × count/sum targets ×
  * includeZero × multi-condition relations (precedence, names, parens) ×
- * sequences (negated steps, maxDuration) × aggregations × funnel ×
- * timeframe — the reference itself only hand-enumerates
- * (tests/test_query_engine.py:426-497).
+ * sequences (negated steps, maxDuration) × aggregations × funnel (incl.
+ * step/end aggregations) × timeframe — the reference itself only
+ * hand-enumerates (tests/test_query_engine.py:426-497).
  *
  * Null-semantics coverage: the raw events table has no nulls, so two derived
  * columns (`etype_n`, `value_n`) inject NULLs deterministically from
@@ -274,49 +274,56 @@ object QueryFuzzer {
 
   // ------------------------------------------------------------ aggregations
 
-  /** One aggregation request: JSON fragment + oracle SQL per expanded
-    * aggregation (3 for the default-triple expansion). Per-value aggs are
-    * restricted to ≤6-distinct columns so top=10 never cuts and ordering
-    * ties cannot matter (results compare as sorted sets). */
-  private def genAgg(rnd: Random): (String, Seq[String]) = {
+  /** One aggregation request: JSON fragment + oracle SQL builder per
+    * expanded aggregation (3 for the default-triple expansion), over a
+    * caller-supplied FROM/WHERE so the same generator serves plain
+    * aggregations (`FROM me`) and funnel step/end aggregations (`FROM me
+    * JOIN fl ... WHERE fl.p<j>`). Per-value aggs are restricted to
+    * ≤6-distinct columns so top=10 never cuts and ordering ties cannot
+    * matter (results compare as sorted sets). */
+  private def genAgg(rnd: Random, allowDefaultTriple: Boolean = true)
+      : (String, (String, String) => Seq[String]) = {
     def pv = if (rnd.nextBoolean()) "event_type" else "etype_n"
     rnd.nextInt(6) match {
-      case 0 =>
+      case 0 if allowDefaultTriple =>
         val c = pv
-        (s"""{"column": ${jsonStr(c)}}""", Seq(
-          s"SELECT count(me.$c) AS value FROM me",
-          s"SELECT me.$c AS value, count(*) AS count FROM me GROUP BY me.$c",
-          s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups FROM me GROUP BY me.$c"))
-      case 1 =>
+        (s"""{"column": ${jsonStr(c)}}""", (f, w) => Seq(
+          s"SELECT count(me.$c) AS value FROM $f$w",
+          s"SELECT me.$c AS value, count(*) AS count FROM $f$w GROUP BY me.$c",
+          s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups FROM $f$w GROUP BY me.$c"))
+      case 0 | 1 =>
         val c = pick(rnd, Seq("value_n", "event_type", "etype_n", "props", "value"))
         (s"""{"column": ${jsonStr(c)}, "type": "count"}""",
-          Seq(s"SELECT count(me.$c) AS value FROM me"))
+          (f, w) => Seq(s"SELECT count(me.$c) AS value FROM $f$w"))
       case 2 =>
         val c = pv
         (s"""{"column": ${jsonStr(c)}, "type": "countPerValue"}""",
-          Seq(s"SELECT me.$c AS value, count(*) AS count FROM me GROUP BY me.$c"))
+          (f, w) => Seq(s"SELECT me.$c AS value, count(*) AS count FROM $f$w GROUP BY me.$c"))
       case 3 =>
         val c = pv
         (s"""{"column": ${jsonStr(c)}, "type": "groupsPerValue"}""",
-          Seq(s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups FROM me GROUP BY me.$c"))
+          (f, w) => Seq(s"SELECT me.$c AS value, count(DISTINCT me.user_id) AS groups " +
+            s"FROM $f$w GROUP BY me.$c"))
       case 4 =>
         val c = pv
         val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
         (s"""{"column": ${jsonStr(c)}, "type": "sumPerValue", "otherColumn": ${jsonStr(o)}}""",
-          Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) AS sum FROM me GROUP BY me.$c"))
+          (f, w) => Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) AS sum " +
+            s"FROM $f$w GROUP BY me.$c"))
       case _ =>
         val c = pv
         val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
         (s"""{"column": ${jsonStr(c)}, "type": "meanPerValue", "otherColumn": ${jsonStr(o)}}""",
-          Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) / count(me.$o) AS mean " +
-            s"FROM me GROUP BY me.$c"))
+          (f, w) => Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) / count(me.$o) AS mean " +
+            s"FROM $f$w GROUP BY me.$c"))
     }
   }
 
   // ----------------------------------------------------------- whole queries
 
   final case class GQuery(json: String, summarySql: String,
-                          aggSqls: Seq[String], funnelSql: Option[String])
+                          aggSqls: Seq[String], funnelSql: Option[String],
+                          funnelAggSqls: Seq[String])
 
   def genQuery(rnd: Random, parquetPath: String): GQuery = {
     // Timeframe (p≈0.4): one- or two-sided nanos bounds inside the data range.
@@ -376,12 +383,27 @@ object QueryFuzzer {
     val aggCount = rnd.nextInt(5) match { case 0 | 1 => 0; case 2 | 3 => 1; case _ => 2 }
     val aggs = Seq.fill(aggCount)(genAgg(rnd))
 
-    val funnel: Option[(String, Seq[(String, String, Boolean)], Option[Long])] =
+    type AggGen = (String, (String, String) => Seq[String])
+    val funnel: Option[(String, Seq[(String, String, Boolean)], Option[Long],
+                        Seq[AggGen], Seq[AggGen])] =
       if (rnd.nextInt(10) < 3) {
         val steps = Seq.fill(2 + rnd.nextInt(2))(genStep(rnd))
         val md = if (rnd.nextInt(5) < 2) Some(pick(rnd, Durations)) else None
+        // step/end aggregations (F2/F3) over the per-step survivors; typed
+        // only (no default-triple) to keep the expansion 1:1 with the SQL.
+        val stepAggs =
+          if (rnd.nextInt(3) == 0) Seq(genAgg(rnd, allowDefaultTriple = false)) else Nil
+        val endAggs =
+          if (rnd.nextInt(3) == 0) Seq(genAgg(rnd, allowDefaultTriple = false)) else Nil
         val mdJson = md.map(d => s""", "maxDuration": $d""").getOrElse("")
-        Some((s"""{"sequence": [${steps.map(_._1).mkString(", ")}]$mdJson}""", steps, md))
+        val saJson =
+          if (stepAggs.isEmpty) ""
+          else s""", "stepAggregations": [${stepAggs.map(_._1).mkString(", ")}]"""
+        val eaJson =
+          if (endAggs.isEmpty) ""
+          else s""", "endAggregations": [${endAggs.map(_._1).mkString(", ")}]"""
+        Some((s"""{"sequence": [${steps.map(_._1).mkString(", ")}]$mdJson$saJson$eaJson}""",
+          steps, md, stepAggs, endAggs))
       } else None
 
     // ---- assemble JSON
@@ -391,7 +413,7 @@ object QueryFuzzer {
     if (aggs.nonEmpty) queryParts += s""""aggregations": [${aggs.map(_._1).mkString(", ")}]"""
     val topParts = mutable.Buffer[String]()
     if (queryParts.nonEmpty) topParts += s""""query": {${queryParts.mkString(", ")}}"""
-    funnel.foreach { case (fj, _, _) => topParts += s""""funnel": $fj""" }
+    funnel.foreach { case (fj, _, _, _, _) => topParts += s""""funnel": $fj""" }
     timeframe.foreach { case (tj, _) => topParts += s""""timeframe": $tj""" }
     val json = s"{${topParts.mkString(", ")}}"
 
@@ -413,19 +435,29 @@ object QueryFuzzer {
 
     val summarySql = prefix +
       "SELECT count(DISTINCT user_id) AS matching_groups, count(*) AS matching_group_rows FROM me"
-    val aggSqls = aggs.flatMap(_._2).map(prefix + _)
-    val funnelSql = funnel.map { case (_, steps, md) =>
+    val aggSqls = aggs.flatMap(_._2("me", "")).map(prefix + _)
+    var funnelAggSqls = Seq.empty[String]
+    val funnelSql = funnel.map { case (_, steps, md, stepAggs, endAggs) =>
       val (ctes, last, passed) = seqSql("f", "me", steps, md)
       val flCols = passed.zipWithIndex.map { case (p, j) => s"$p AS p$j" }
       val fl = s"fl AS (SELECT ${(Seq("user_id") ++ flCols).mkString(", ")} FROM $last)"
+      val funnelPrefix =
+        prefix.stripSuffix("\n") + ",\n" + (ctes :+ fl).mkString(",\n") + "\n"
       val stepSelects = passed.indices.map { j =>
         s"SELECT $j AS step, count(DISTINCT CASE WHEN fl.p$j THEN me.user_id END) AS step_groups, " +
           s"sum(CASE WHEN fl.p$j THEN 1 ELSE 0 END) AS step_rows FROM me JOIN fl USING (user_id)"
       }
-      prefix.stripSuffix("\n") + ",\n" + (ctes :+ fl).mkString(",\n") + "\n" +
-        stepSelects.mkString("\nUNION ALL\n")
+      // Engine order: step aggs j-outer/agg-inner over step-j survivors,
+      // then end aggs over the last step's survivors.
+      val joined = "me JOIN fl USING (user_id)"
+      funnelAggSqls =
+        (for { j <- passed.indices; (_, fn) <- stepAggs; sql <- fn(joined, s" WHERE fl.p$j") }
+          yield funnelPrefix + sql) ++
+        (for { (_, fn) <- endAggs; sql <- fn(joined, s" WHERE fl.p${passed.size - 1}") }
+          yield funnelPrefix + sql)
+      funnelPrefix.stripSuffix("\n") + "\n" + stepSelects.mkString("\nUNION ALL\n")
     }
-    GQuery(json, summarySql, aggSqls, funnelSql)
+    GQuery(json, summarySql, aggSqls, funnelSql, funnelAggSqls)
   }
 
   // --------------------------------------------------------- canonicalization
@@ -478,7 +510,8 @@ class FuzzSpec extends SparkSpec {
     val sqlMap: Map[String, String] = queries.flatMap { case (i, q) =>
       Seq(s"q${i}_summary" -> q.summarySql) ++
         q.aggSqls.zipWithIndex.map { case (s, k) => s"q${i}_agg$k" -> s } ++
-        q.funnelSql.map(s"q${i}_funnel" -> _)
+        q.funnelSql.map(s"q${i}_funnel" -> _) ++
+        q.funnelAggSqls.zipWithIndex.map { case (s, k) => s"q${i}_fagg$k" -> s }
     }.toMap
     val qFile = java.io.File.createTempFile("fuzz_queries", ".json")
     val rFile = java.io.File.createTempFile("fuzz_results", ".json")
@@ -546,6 +579,12 @@ class FuzzSpec extends SparkSpec {
             check(s"q${i}_agg$k", adf, q.aggSqls(k), q.json)
           }
           q.funnelSql.foreach(fsql => check(s"q${i}_funnel", planned.funnel.get, fsql, q.json))
+          assert(planned.funnelAggregations.size == q.funnelAggSqls.size,
+            s"q$i: ${planned.funnelAggregations.size} planned funnel aggs vs " +
+              s"${q.funnelAggSqls.size} oracles\n${q.json}")
+          planned.funnelAggregations.zipWithIndex.foreach { case ((_, adf), k) =>
+            check(s"q${i}_fagg$k", adf, q.funnelAggSqls(k), q.json)
+          }
         } catch {
           case e: org.scalatest.exceptions.TestFailedException => throw e
           case e: Exception =>
