@@ -486,9 +486,12 @@ object QueryFuzzer {
 class FuzzSpec extends SparkSpec {
   import QueryFuzzer._
 
-  private val sfDir = "/root/testdata/sf0.001"
-  private val N = 200
-  private val Seed = 20260813L
+  // Defaults are what CI runs; GRAFT_FUZZ_SEED / GRAFT_FUZZ_N / GRAFT_FUZZ_SF
+  // allow exploratory sweeps (different seeds, bigger corpora, other SFs)
+  // without touching the committed reproducible run.
+  private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
+  private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(200)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
 
   private lazy val duckdbOk =
     Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
