@@ -81,6 +81,12 @@ object QueryFuzzer {
     GFilter(filterJson(rnd, c, op, v), s"COALESCE($c ${sqlCmp(op)} $v, $default)")
   }
 
+  private def boolFilter(rnd: Random, c: String, op: String, v: Boolean): GFilter = {
+    val default = if (op == "!=") "TRUE" else "FALSE"
+    GFilter(filterJson(rnd, c, op, v.toString),
+      s"COALESCE($c ${sqlCmp(op)} $v, $default)")
+  }
+
   private val EventTypes    = Seq("view", "click", "purchase", "error", "signup", "absent")
   private val ContainsPool  = Seq("ick", "pur", "err", "v", "zzz", "up")
   private val RegexPool     = Seq("^p", "c.ick", "(view|click)", "r{2}", "up$", "^z.*")
@@ -91,6 +97,7 @@ object QueryFuzzer {
   private val CmpOps        = Seq("==", "!=", ">", ">=", "<", "<=")
   private val CountVals     = Seq(0L, 1L, 2L, 3L, 5L, 10L, 15L, 30L)
   private val SumVals       = Seq("50", "200.25", "500", "1500.5", "5000")
+  private val IdSumVals     = Seq("1000", "5000", "20000", "100000")
   private val Durations     = Seq(3600000000000L, 86400000000000L,
                                   604800000000000L, 2000000000000000L)
   private val TfBounds      = Seq(1704500000000000000L, 1705000000000000000L,
@@ -100,7 +107,7 @@ object QueryFuzzer {
 
   private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
 
-  private def genFilter(rnd: Random): GFilter = rnd.nextInt(10) match {
+  private def genFilter(rnd: Random): GFilter = rnd.nextInt(11) match {
     case p if p < 4 =>
       val c = if (rnd.nextInt(4) == 0) "etype_n" else "event_type"
       rnd.nextInt(6) match {
@@ -115,9 +122,15 @@ object QueryFuzzer {
       numFilter(rnd, c, pick(rnd, CmpOps), pick(rnd, NumVals))
     case 8 =>
       numFilter(rnd, "event_id", pick(rnd, CmpOps), pick(rnd, IdVals))
-    case _ =>
+    case 9 =>
       if (rnd.nextBoolean()) strFilter(rnd, "props", "contains", pick(rnd, PropsContains))
       else strFilter(rnd, "props", "regex", pick(rnd, PropsRegex))
+    case _ =>
+      // boolean column (incl. nullable): only ==/!= are valid (validator
+      // boolOps); the null-injected variant exercises the pandas null
+      // contract on booleans too.
+      val c = if (rnd.nextBoolean()) "is_big_n" else "is_big"
+      boolFilter(rnd, c, if (rnd.nextBoolean()) "==" else "!=", rnd.nextBoolean())
   }
 
   private def genStep(rnd: Random): (String, String, Boolean) = {
@@ -229,10 +242,15 @@ object QueryFuzzer {
           (s""", "target": $tj$izj""",
             if (resolved) base else s"($base AND $mc > 0)")
         } else {
-          // sum target (includeZero not applicable)
-          val c = if (rnd.nextInt(3) == 0) "value_n" else "value"
+          // sum target (includeZero not applicable); event_id exercises
+          // integer sums (exact int64 both sides) alongside the decimals.
+          val (c, pool) = rnd.nextInt(6) match {
+            case 0     => ("value_n", SumVals)
+            case 1     => ("event_id", IdSumVals)
+            case _     => ("value", SumVals)
+          }
           val op = pick(rnd, CmpOps)
-          val v = pick(rnd, SumVals)
+          val v = pick(rnd, pool)
           val tj =
             if (rnd.nextBoolean()) s"""["sum", ${jsonStr(c)}, ${jsonStr(op)}, $v]"""
             else s"""{"type": "sum", "column": ${jsonStr(c)}, "op": ${jsonStr(op)}, "value": $v}"""
@@ -283,7 +301,11 @@ object QueryFuzzer {
     * matter (results compare as sorted sets). */
   private def genAgg(rnd: Random, allowDefaultTriple: Boolean = true)
       : (String, (String, String) => Seq[String]) = {
-    def pv = if (rnd.nextBoolean()) "event_type" else "etype_n"
+    def pv = rnd.nextInt(5) match {
+      case 0 => "etype_n"
+      case 1 => "is_big_n" // 3 distinct values incl. the null group
+      case _ => "event_type"
+    }
     rnd.nextInt(6) match {
       case 0 if allowDefaultTriple =>
         val c = pv
@@ -306,13 +328,21 @@ object QueryFuzzer {
             s"FROM $f$w GROUP BY me.$c"))
       case 4 =>
         val c = pv
-        val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
+        val o = rnd.nextInt(4) match {
+          case 0 => "value_n"
+          case 1 => "event_id" // integer measure: exact int64 sum both sides
+          case _ => "value"
+        }
         (s"""{"column": ${jsonStr(c)}, "type": "sumPerValue", "otherColumn": ${jsonStr(o)}}""",
           (f, w) => Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) AS sum " +
             s"FROM $f$w GROUP BY me.$c"))
       case _ =>
         val c = pv
-        val o = if (rnd.nextInt(3) == 0) "value_n" else "value"
+        val o = rnd.nextInt(4) match {
+          case 0 => "value_n"
+          case 1 => "event_id" // integer measure: exact int64 sum both sides
+          case _ => "value"
+        }
         (s"""{"column": ${jsonStr(c)}, "type": "meanPerValue", "otherColumn": ${jsonStr(o)}}""",
           (f, w) => Seq(s"SELECT me.$c AS value, CAST(sum(me.$o) AS DOUBLE) / count(me.$o) AS mean " +
             s"FROM $f$w GROUP BY me.$c"))
@@ -349,7 +379,10 @@ object QueryFuzzer {
       s"""e AS (SELECT user_id, event_type, event_id, props, epoch_ns(ts) AS tl,
          |  CAST(value AS DECIMAL(20,4)) AS value,
          |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype_n,
-         |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(value AS DECIMAL(20,4)) END AS value_n
+         |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(value AS DECIMAL(20,4)) END AS value_n,
+         |  CAST(value AS DECIMAL(20,4)) > 150 AS is_big,
+         |  CASE WHEN event_id % 3 = 0 THEN NULL
+         |       ELSE CAST(value AS DECIMAL(20,4)) > 150 END AS is_big_n
          |  FROM read_parquet(${sqlStr(parquetPath)})$where)""".stripMargin
 
     val nCond = rnd.nextInt(5) // 0..4
@@ -472,6 +505,8 @@ object QueryFuzzer {
     * canonicalize identically even when the source strings differ). */
   def canon(s: String): String =
     if (s == null) " NULL"
+    else if (s == "True" || s == "true") "true"   // python str(bool) vs Scala
+    else if (s == "False" || s == "false") "false"
     else if (IntRe.matches(s)) BigInt(s).toString
     else if (NumRe.matches(s)) {
       val bd = new java.math.BigDecimal(s)
@@ -550,6 +585,10 @@ class FuzzSpec extends SparkSpec {
       .withColumn("value_n",
         when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("decimal(20,4)"))
           .otherwise(col("value")))
+      .withColumn("is_big", col("value") > 150)
+      .withColumn("is_big_n",
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("boolean"))
+          .otherwise(col("value") > 150))
       .cache()
     val failures = mutable.Buffer[String]()
 
