@@ -493,6 +493,56 @@ object QueryFuzzer {
     GQuery(json, summarySql, aggSqls, funnelSql, funnelAggSqls)
   }
 
+  // ----------------------------------------------------------- negative fuzz
+
+  /** One INVALID query (JSON, reason): a valid fragment plus one mutation
+    * that violates a documented parse/validation rule. The negative test
+    * asserts parse+validate rejects every one with QueryValidationException —
+    * the reference's invalid-query tests, randomized. */
+  def genInvalid(rnd: Random): (String, String) = {
+    def f = genFilter(rnd).json
+    rnd.nextInt(20) match {
+      case 0 => (s"""{"query": {"conditions": [{"filter": $f, "target": ["sum", "value", ">", 10], "includeZero": true}]}}""",
+        "includeZero not applicable to sum targets")
+      case 1 => (s"""{"query": {"conditions": [{"filter": $f, "target": ["count", ">", ${pick(rnd, CountVals)}], "includeZero": true}]}}""",
+        "includeZero=true with a zero-precluding count target")
+      case 2 => (s"""{"query": {"conditions": [{"filter": $f, "target": ["count", "==", 0], "includeZero": false}]}}""",
+        "count==0 requires includeZero")
+      case 3 => (s"""{"query": {"conditions": [{"filter": ["value", "${pick(rnd, Seq("contains", "not contains", "regex"))}", "x"]}]}}""",
+        "string operator on a numeric column")
+      case 4 => (s"""{"query": {"conditions": [{"filter": ["event_type", "${pick(rnd, Seq(">", ">=", "<", "<="))}", "view"]}]}}""",
+        "ordered comparison on a string column")
+      case 5 => (s"""{"query": {"conditions": [{"filter": ["event_type", "==", ${pick(rnd, IdVals)}]}]}}""",
+        "numeric value against a string column")
+      case 6 => (s"""{"query": {"conditions": [{"filter": ["no_such_col_${rnd.nextInt(100)}", "==", 1]}]}}""",
+        "unknown column")
+      case 7 => (s"""{"query": {"conditions": [{"filter": $f}], "relation": "$$0 and $$${1 + rnd.nextInt(8)}"}}""",
+        "relation references a nonexistent condition")
+      case 8 => (s"""{"query": {"conditions": [{"filter": $f}], "relation": "($$0 and"}}""",
+        "relation syntax error")
+      case 9 => (s"""{"query": {"conditions": [{"name": "dup", "filter": $f}, {"name": "DUP", "filter": $f}]}}""",
+        "duplicate condition names (case-insensitive)")
+      case 10 => (s"""{"nope_${rnd.nextInt(10)}": 1}""", "unknown top-level key")
+      case 11 => (s"""{"query": {"aggregations": [{"column": "event_type", "type": "medianPerValue"}]}}""",
+        "unknown aggregation type")
+      case 12 => (s"""{"query": {"aggregations": [{"column": "event_type", "type": "countPerValue", "otherColumn": "value"}]}}""",
+        "otherColumn on a type that does not take one")
+      case 13 => (s"""{"query": {"aggregations": [{"column": "event_type", "type": "${pick(rnd, Seq("sumPerValue", "meanPerValue"))}"}]}}""",
+        "missing otherColumn")
+      case 14 => (s"""{"query": {"conditions": [{"filter": $f, "target": ["count", ">", -${1 + rnd.nextInt(5)}]}]}}""",
+        "negative count target")
+      case 15 => ("""{"funnel": {"sequence": []}}""", "empty funnel sequence")
+      case 16 => ("""{"timeframe": {"from": 1706000000000000000, "to": 1705000000000000000}, "query": {}}""",
+        "timeframe to < from")
+      case 17 => (s"""{"query": {"conditions": [{"filter": {"column": "value", "op": ">", "value": 1, "extra": 2}}]}}""",
+        "extra key in a verbose filter")
+      case 18 => (s"""{"query": {"conditions": [{"filter": $f, "filters": [$f]}]}}""",
+        "both filter and filters")
+      case _ => (s"""{"query": {"aggregations": [{"type": "count"}]}}""",
+        "aggregation without a column")
+    }
+  }
+
   // --------------------------------------------------------- canonicalization
 
   private val IntRe = "[-+]?[0-9]+".r
@@ -537,6 +587,23 @@ class FuzzSpec extends SparkSpec {
     case x                           => x.toString
   }
 
+  /** The fuzz frame: real events plus the derived decimal measure and
+    * deterministic injected-null / boolean columns (mirrored in the
+    * oracle's `e` CTE). */
+  private def fuzzFrame: DataFrame =
+    graft.ops.Tables.events(spark, sfDir)
+      .withColumn("value", col("value").cast("decimal(20,4)"))
+      .withColumn("etype_n",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+      .withColumn("value_n",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("decimal(20,4)"))
+          .otherwise(col("value")))
+      .withColumn("is_big", col("value") > 150)
+      .withColumn("is_big_n",
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("boolean"))
+          .otherwise(col("value") > 150))
+
   test(s"$N seeded random queries match generated DuckDB oracles") {
     assume(duckdbOk, "python3 + duckdb unavailable — differential fuzz skipped")
     assume(new java.io.File(s"$sfDir/events.parquet").exists(), s"$sfDir missing")
@@ -577,19 +644,7 @@ class FuzzSpec extends SparkSpec {
 
     // ---- Spark side + comparison
     val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
-    val df = graft.ops.Tables.events(spark, sfDir)
-      .withColumn("value", col("value").cast("decimal(20,4)"))
-      .withColumn("etype_n",
-        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
-          .otherwise(col("event_type")))
-      .withColumn("value_n",
-        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("decimal(20,4)"))
-          .otherwise(col("value")))
-      .withColumn("is_big", col("value") > 150)
-      .withColumn("is_big_n",
-        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("boolean"))
-          .otherwise(col("value") > 150))
-      .cache()
+    val df = fuzzFrame.cache()
     val failures = mutable.Buffer[String]()
 
     def check(qid: String, sparkDf: DataFrame, sql: String, json: String): Unit = {
@@ -638,5 +693,26 @@ class FuzzSpec extends SparkSpec {
       assert(failures.isEmpty,
         s"${failures.size} of $N fuzzed queries diverged (seed=$Seed):\n\n${failures.mkString("\n\n")}")
     } finally df.unpersist()
+  }
+
+  test("300 randomized invalid queries are rejected by parse + validation") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists(), s"$sfDir missing")
+    // Negative side of the fuzz: every mutation of a valid query that
+    // violates a documented rule must throw QueryValidationException from
+    // parse or schema validation — never plan silently. Pure driver-side
+    // (schema only, no Spark jobs), so it costs milliseconds.
+    val rnd = new Random(Seed + 1)
+    val spec = DatasetSpec("user_id", "ts")
+    val schema = fuzzFrame.schema
+    (0 until 300).foreach { i =>
+      val (json, why) = genInvalid(rnd)
+      val rejected =
+        try {
+          val q = QueryParser.parse(json)
+          graft.query.SchemaValidator.validate(schema, spec, q)
+          false
+        } catch { case _: graft.query.QueryValidationException => true }
+      assert(rejected, s"invalid query #$i accepted ($why): $json")
+    }
   }
 }
