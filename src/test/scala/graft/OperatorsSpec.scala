@@ -912,6 +912,24 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.capPerKey(d, "k", "id", 100, "c1").count() == 90)
   }
 
+  test("capPerKeyApprox plan: corpus side stays map-only (one count shuffle, broadcast join)") {
+    val rows = (0 until 2000).map(i => (i.toLong, s"k${i % 5}"))
+    val d = spark.createDataFrame(rows).toDF("id", "k")
+    val capped = TextAnalysis.capPerKeyApprox(d, "k", "id", 10, "plan")
+    capped.collect() // let AQE finalize join strategy from real sizes
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The scaladoc's 100 TB claim, pinned: the only shuffle is the per-key
+    // count aggregation (one row per key); the corpus side is joined by
+    // broadcast and filtered in place — never sorted, never shuffled.
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counts must attach by broadcast at this size:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("SortExec"),
+      s"nothing may be sorted:\n$plan")
+    assert(shuffles <= 1, s"only the count agg may shuffle, saw $shuffles:\n$plan")
+  }
+
   test("capPerKeyApprox: null keys are counted and capped, not dropped") {
     // The operator exists FOR hot null-ish default keys — a null-unsafe
     // join would silently drop exactly that group. With n >= every
