@@ -645,53 +645,63 @@ class FuzzSpec extends SparkSpec {
     // ---- Spark side + comparison
     val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
     val df = fuzzFrame.cache()
-    val failures = mutable.Buffer[String]()
-
-    def check(qid: String, sparkDf: DataFrame, sql: String, json: String): Unit = {
+    def check(qid: String, sparkDf: DataFrame, sql: String, json: String): Seq[String] = {
       val got = canonRows(sparkDf.collect().toIndexedSeq.map(_.toSeq.map(sparkCell)))
       duck.get(qid) match {
         case Some(Right(rows)) =>
           val want = canonRows(rows)
           if (got != want)
-            failures += s"""MISMATCH $qid
+            Seq(s"""MISMATCH $qid
                |query: $json
                |sql: $sql
                |spark (${got.size} rows): ${got.take(8).mkString(" | ")}
-               |duckdb (${want.size} rows): ${want.take(8).mkString(" | ")}""".stripMargin
+               |duckdb (${want.size} rows): ${want.take(8).mkString(" | ")}""".stripMargin)
+          else Nil
         case Some(Left(err)) =>
-          failures += s"ORACLE ERROR $qid: $err\nquery: $json\nsql: $sql"
+          Seq(s"ORACLE ERROR $qid: $err\nquery: $json\nsql: $sql")
         case None =>
-          failures += s"MISSING oracle result for $qid"
+          Seq(s"MISSING oracle result for $qid")
       }
     }
 
-    try {
-      queries.foreach { case (i, q) =>
-        try {
-          val planned = engine.runValidated(df, QueryParser.parse(q.json))
-          check(s"q${i}_summary", planned.summary, q.summarySql, q.json)
-          assert(planned.aggregations.size == q.aggSqls.size,
-            s"q$i: ${planned.aggregations.size} planned aggs vs ${q.aggSqls.size} oracles\n${q.json}")
-          planned.aggregations.zipWithIndex.foreach { case ((_, adf), k) =>
+    def evalOne(i: Int, q: GQuery): Seq[String] =
+      try {
+        val planned = engine.runValidated(df, QueryParser.parse(q.json))
+        if (planned.aggregations.size != q.aggSqls.size)
+          return Seq(s"q$i: ${planned.aggregations.size} planned aggs vs " +
+            s"${q.aggSqls.size} oracles\n${q.json}")
+        if (planned.funnelAggregations.size != q.funnelAggSqls.size)
+          return Seq(s"q$i: ${planned.funnelAggregations.size} planned funnel aggs vs " +
+            s"${q.funnelAggSqls.size} oracles\n${q.json}")
+        check(s"q${i}_summary", planned.summary, q.summarySql, q.json) ++
+          planned.aggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_agg$k", adf, q.aggSqls(k), q.json)
-          }
-          q.funnelSql.foreach(fsql => check(s"q${i}_funnel", planned.funnel.get, fsql, q.json))
-          assert(planned.funnelAggregations.size == q.funnelAggSqls.size,
-            s"q$i: ${planned.funnelAggregations.size} planned funnel aggs vs " +
-              s"${q.funnelAggSqls.size} oracles\n${q.json}")
-          planned.funnelAggregations.zipWithIndex.foreach { case ((_, adf), k) =>
+          } ++
+          q.funnelSql.toSeq.flatMap(fsql =>
+            check(s"q${i}_funnel", planned.funnel.get, fsql, q.json)) ++
+          planned.funnelAggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_fagg$k", adf, q.funnelAggSqls(k), q.json)
           }
-        } catch {
-          case e: org.scalatest.exceptions.TestFailedException => throw e
-          case e: Exception =>
-            failures += s"q$i PLAN/EXEC FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\nquery: ${q.json}"
-        }
-        if (failures.size >= 5)
-          fail(s"stopping after ${failures.size} failures (seed=$Seed):\n\n${failures.mkString("\n\n")}")
+      } catch {
+        case e: Exception =>
+          Seq(s"q$i PLAN/EXEC FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\nquery: ${q.json}")
       }
+
+    try {
+      // Spark actions are thread-safe; 4 concurrent query evaluations hide
+      // the per-job scheduling latency that dominates at this data size
+      // (tiny cached input, hundreds of small collects).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val failures =
+        try Await.result(
+          Future.sequence(queries.map { case (i, q) => Future(evalOne(i, q)) }),
+          30.minutes).flatten
+        finally pool.shutdown()
       assert(failures.isEmpty,
-        s"${failures.size} of $N fuzzed queries diverged (seed=$Seed):\n\n${failures.mkString("\n\n")}")
+        s"${failures.size} of $N fuzzed queries diverged (seed=$Seed):\n\n${failures.take(10).mkString("\n\n")}")
     } finally df.unpersist()
   }
 
