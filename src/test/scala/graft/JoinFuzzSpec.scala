@@ -1,12 +1,9 @@
 package graft
 
-import scala.sys.process.{Process, ProcessLogger}
 import scala.util.Random
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.json4s._
-import org.json4s.jackson.JsonMethods
 
 /**
  * Randomized differential fuzzer for the temporal-join family, the
@@ -195,17 +192,8 @@ class JoinFuzzSpec extends SparkSpec {
   private val NRange = NAsOf / 2
   private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
 
-  private lazy val duckdbOk =
-    Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
-
-  private def sparkCell(v: Any): String = v match {
-    case null                    => null
-    case d: java.math.BigDecimal => d.toPlainString
-    case x                       => x.toString
-  }
-
   test(s"$NAsOf as-of + $NRange range fuzzed join configs match DuckDB lateral oracles") {
-    assume(duckdbOk, "python3 + duckdb unavailable — differential join fuzz skipped")
+    assume(DuckOracle.available, "python3 + duckdb unavailable — differential join fuzz skipped")
     val parquet = s"$sfDir/events.parquet"
     assume(new java.io.File(parquet).exists(), s"$parquet missing")
 
@@ -214,59 +202,9 @@ class JoinFuzzSpec extends SparkSpec {
       (0 until NAsOf).map(i => genAsOf(i, rnd, parquet)) ++
         (0 until NRange).map(i => genRange(i, rnd, parquet))
 
-    // One batched DuckDB subprocess over every oracle statement.
-    val qFile = java.io.File.createTempFile("joinfuzz_queries", ".json")
-    val rFile = java.io.File.createTempFile("joinfuzz_results", ".json")
-    val fw = new java.io.FileWriter(qFile)
-    try fw.write(org.json4s.jackson.Serialization.write(
-      cases.map(c => c.name -> c.sql).toMap)(DefaultFormats))
-    finally fw.close()
-    val script = new java.io.File("tools/fuzz_oracle.py").getAbsolutePath
-    val rc = Process(Seq("python3", script, qFile.getAbsolutePath, rFile.getAbsolutePath)).!
-    assert(rc == 0, s"fuzz_oracle.py exited $rc")
-    val duck: Map[String, Either[String, Seq[Seq[String]]]] =
-      JsonMethods.parse(rFile).asInstanceOf[JObject].obj.map {
-        case (k, JArray(rows)) =>
-          k -> Right(rows.map {
-            case JArray(cells) => cells.map {
-              case JNull      => null
-              case JString(s) => s
-              case other      => JsonMethods.compact(other)
-            }
-            case other => fail(s"bad row in $k: $other")
-          })
-        case (k, obj: JObject) => k -> Left(JsonMethods.compact(obj))
-        case (k, other)        => k -> Left(s"unexpected: $other")
-      }.toMap
-
-    def evalOne(c: Case): Seq[String] =
-      try {
-        val got = QueryFuzzer.canonRows(
-          c.spark().collect().toIndexedSeq.map(_.toSeq.map(sparkCell)))
-        duck.get(c.name) match {
-          case Some(Right(rows)) =>
-            val want = QueryFuzzer.canonRows(rows)
-            if (got != want)
-              Seq(s"""MISMATCH ${c.name} (${c.desc})
-                 |sql: ${c.sql}
-                 |spark (${got.size} rows): ${got.take(6).mkString(" | ")}
-                 |duckdb (${want.size} rows): ${want.take(6).mkString(" | ")}""".stripMargin)
-            else Nil
-          case Some(Left(err)) => Seq(s"ORACLE ERROR ${c.name} (${c.desc}): $err\n${c.sql}")
-          case None            => Seq(s"MISSING oracle result for ${c.name}")
-        }
-      } catch {
-        case e: Exception =>
-          Seq(s"${c.name} (${c.desc}) EXEC FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val failures =
-      try Await.result(Future.sequence(cases.map(c => Future(evalOne(c)))), 30.minutes).flatten
-      finally pool.shutdown()
+    val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
+    val failures = DuckOracle.evalAll(
+      cases.map(c => (c.name, c.desc, c.sql, c.spark)), duck)
     assert(failures.isEmpty,
       s"${failures.size} of ${cases.size} fuzzed join configs diverged (seed=$Seed):\n\n" +
         failures.take(8).mkString("\n\n"))
