@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Scale probe for incremental dedup ([[operators.Dedup.incrementalCandidates]]
+ * / [[operators.Dedup.incrementalKeep]]), sibling of [[DedupScale]]: the
+ * claim under test is that per-BATCH cost is independent of CORPUS size —
+ * the production property that lets a 100 TB corpus grow by daily
+ * increments without ever re-pairing itself. The corpus bucket index is
+ * built once (timed separately, amortized across every future batch); the
+ * timed increment is batch signature + bucket join + survivor fixpoint.
+ * For contrast, `full_sec` times what the non-incremental pipeline would
+ * redo at each increment: LSH candidates + components over corpus ∪ batch.
+ *
+ * Corpus text generation matches [[DedupScale]] (deterministic 40-token
+ * docs, 1024-word vocab — unrelated docs share ~no shingles). Batch docs
+ * (ids above the corpus range): one third exact-duplicate a corpus doc
+ * (seed = id % n), one third duplicate their batch predecessor (chains —
+ * exercising transitivity through the survivor components), one third are
+ * unique.
+ *
+ * Args: corpus sizes (default 200000, 1000000); batch is
+ * `GRAFT_BATCH` docs (default 20000) at every corpus size.
+ */
+object IncrementalScale {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+                else Seq(200000L, 1000000L)
+    val batchN = sys.env.getOrElse("GRAFT_BATCH", "20000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocabSql = (0 until 1024).map(i => s"'w$i'").mkString(", ")
+    def text(seedCol: String) =
+      expr(s"concat_ws(' ', transform(sequence(1, 40), " +
+        s"p -> element_at(array($vocabSql), " +
+        s"CAST(pmod(hash($seedCol, p), 1024) + 1 AS INT))))").as("text")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def buckets(df: org.apache.spark.sql.DataFrame) = operators.Dedup.lshBuckets(
+      operators.Dedup.minHashSignature(
+        operators.Dedup.charShingles(df, "doc_id", "text", 5), k = 8),
+      k = 8, rowsPerBand = 4)
+
+    sizes.foreach { n =>
+      val corpus = spark.range(n)
+        .select(col("id").as("doc_id"), text("id"))
+        .repartition(cpus * 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val batch = spark.range(n, n + batchN)
+        .select(col("id").as("doc_id"),
+          expr(s"CASE WHEN id % 3 = 0 THEN id % $n " +
+            "WHEN id % 3 = 1 THEN id - 1 ELSE id END").as("__seed"))
+        .select(col("doc_id"), text("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+
+      // Index build: once per corpus lifetime, not per batch.
+      val (index, indexSec) = timed {
+        val ix = buckets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+        ix.count()
+        ix
+      }
+      // The increment: everything a new batch costs.
+      val (nKept, incSec) = timed {
+        val pairs = operators.Dedup.incrementalCandidates(index, buckets(batch))
+        operators.Dedup.incrementalKeep(batch, "doc_id", pairs,
+          corpus.select(col("doc_id"))).count()
+      }
+      graft.util.Caches.drain()
+      // What a full re-dedup of corpus ∪ batch would redo instead.
+      val (nFullClusters, fullSec) = timed {
+        val pairs = operators.Dedup.lshCandidates(buckets(corpus.union(batch)))
+        operators.Dedup.components(pairs).select("label").distinct().count()
+      }
+      println(f"""{"corpus": $n, "batch": $batchN, "index_sec": $indexSec%.2f, """ +
+        f""""inc_sec": $incSec%.2f, "kept": $nKept, """ +
+        f""""full_sec": $fullSec%.2f, "full_clusters": $nFullClusters}""")
+      Seq(corpus, batch, index).foreach(_.unpersist(blocking = true))
+      graft.util.Caches.drain()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -70,6 +70,25 @@ object PipelineQueries {
       Dedup.keepCanonical(docs(s, dir), "doc_id", minhashPairs(s, dir))
         .select(col("doc_id"), md5(col("text")).as("text_md5"))),
 
+    // Incremental dedup: docs split into an existing corpus (doc_id%4!=0,
+    // indexed once) and an incoming batch (doc_id%4==0); the batch's
+    // survivors against corpus + itself, never self-joining the corpus.
+    // The oracle recomputes the SAME pair CTEs as dd_minhash_lsh over the
+    // full table, restricts to pairs touching the batch, and applies the
+    // corpus-precedence survivor rule via recursive closure — green means
+    // incremental processing equals the full-batch result.
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.where(pmod(col("doc_id"), lit(4)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      def buckets(df: DataFrame) = Dedup.lshBuckets(
+        Dedup.minHashSignature(Dedup.charShingles(df, "doc_id", "text", 5), k = 8),
+        k = 8, rowsPerBand = 4)
+      val pairs = Dedup.incrementalCandidates(buckets(corpus), buckets(batch))
+      Dedup.incrementalKeep(batch, "doc_id", pairs, corpus.select(col("doc_id")))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    }),
+
     // Full corpus (no sample): the df cap is what keeps the inverted-index
     // join linear-in-corpus, so the query exercises the scale guard itself.
     "dd_jaccard" -> ((s, dir) =>
@@ -537,6 +556,22 @@ object PipelineQueries {
          |dups AS (SELECT id FROM lab WHERE id != label)
          |SELECT doc_id, md5(text) AS text_md5 FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM dups)""".stripMargin,
+
+    // Pairs touching the batch (doc_id%4==0) from the SAME pair CTEs as
+    // dd_minhash_lsh, then corpus-precedence survivors: a batch doc drops
+    // if its component contains any corpus doc or a smaller batch id.
+    "dd_incremental" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+         |rp AS (SELECT d1, d2 FROM pairs WHERE d1 % 4 = 0 OR d2 % 4 = 0),
+         |e AS (SELECT d1 AS a, d2 AS b FROM rp UNION SELECT d2, d1 FROM rp),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |lab AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         |clab AS (SELECT DISTINCT label FROM lab WHERE id % 4 <> 0),
+         |dropids AS (SELECT id FROM lab
+         |            WHERE label IN (SELECT label FROM clab) OR id <> label)
+         |SELECT doc_id, md5(text) AS text_md5 FROM documents
+         |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id FROM dropids)""".stripMargin,
 
     // Mirrors jaccardPairs' maxDf=100 cap: sizes AND intersections over the
     // df-capped shingle universe (see DIVERGENCES.md — near-universal

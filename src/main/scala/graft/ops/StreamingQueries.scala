@@ -163,6 +163,44 @@ object StreamingQueries {
           count(col("click_rtl")).as("n_matched"),
           coalesce(max(col("tl") - col("click_rtl")), lit(-1L)).as("max_gap_us"))
       runToBatch(s, summary, "st_asof_sink")
+    }),
+
+    // Stream-stream interval join (StreamIntervalJoin): purchases stream ⋈
+    // clicks stream, click within the 24h after its purchase, per-user —
+    // in-flight attribution with watermark-bounded two-sided state. The
+    // raw matches emit in append mode (exact on a finite input); the
+    // attribution summary aggregates the SINK, as a batch frame. Oracle =
+    // q_range_join's SQL verbatim: the streaming plan must agree with the
+    // batch coarse-bucket range join row-for-row.
+    "st_attribution" -> ((s, dir) => {
+      // State partitioning is the stream-stream join's cost knob: each
+      // shuffle partition carries TWO state stores, opened + committed
+      // every micro-batch, so partition count is sized to state VOLUME,
+      // not core count (measured 32 → 8 partitions: 7.4 s → 3.1 s at
+      // sf0.1, identical results). Set for the streaming query only,
+      // restored after — batch queries keep the session default.
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val sunk =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val purchases = eventsStream(s, dir)
+            .where(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("p_id"),
+              col("event_ts").as("p_ts"))
+          val clicks = eventsStream(s, dir)
+            .where(col("event_type") === "click")
+            .select(col("user_id"), col("event_ts").as("click_ts"))
+          val matches = graft.streaming.StreamIntervalJoin.join(
+            purchases, clicks, Seq("user_id"), "p_ts", "click_ts",
+            window = "24 hours", watermark = "90 days")
+          runToBatch(s, matches, "st_attr_sink", mode = "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      sunk
+        .groupBy(col("user_id"), col("p_id")).agg(count(lit(1)).as("nc"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases_hit"),
+          sum(col("nc")).as("n_attributed"),
+          max(col("nc")).as("max_clicks"))
     }))
 
   /** DuckDB equivalents over the same parquet (batch semantics — complete
@@ -208,5 +246,9 @@ object StreamingQueries {
 
     // q_asof's window SQL verbatim — the stream-static interval plan must
     // agree with the batch union-window as-of row-for-row.
-    "st_asof" -> RelationalQueries.oracleSql("q_asof"))
+    "st_asof" -> RelationalQueries.oracleSql("q_asof"),
+
+    // q_range_join's SQL verbatim — the stream-stream interval join must
+    // agree with the batch range join row-for-row.
+    "st_attribution" -> RelationalQueries.oracleSql("q_range_join"))
 }

@@ -467,6 +467,43 @@ class LibrarySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: window boundaries, keys, multi-match") {
+    import graft.streaming.StreamIntervalJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[(Long, Long, Long)] // (user, p_id, sec)
+    val rin = MemoryStream[(Long, Long)]       // (user, sec)
+    val purchases = lin.toDF().toDF("user", "p_id", "psec")
+      .withColumn("p_ts", timestamp_seconds(col("psec")))
+    val clicks = rin.toDF().toDF("user", "csec")
+      .withColumn("c_ts", timestamp_seconds(col("csec")))
+    val joined = StreamIntervalJoin.join(purchases, clicks, Seq("user"),
+      "p_ts", "c_ts", window = "10 seconds", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").start()
+    try {
+      lin.addData((1L, 100L, 50L), (2L, 200L, 50L))
+      rin.addData(
+        (1L, 50L),  // == p_ts: half-open lower bound INCLUDES it
+        (1L, 59L),  // inside the window — second match for p 100
+        (1L, 60L),  // == p_ts + window: EXCLUDED (half-open upper)
+        (1L, 49L),  // before the purchase: excluded
+        (2L, 55L),  // other key, inside ITS window
+        (3L, 55L))  // key with no purchase: excluded
+      q.processAllAvailable()
+      val got = spark.table("sij_out")
+        .select(col("p_id"), col("csec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 50L), (100L, 59L), (200L, 55L)), got)
+    } finally q.stop()
+
+    // Shared non-key columns fail loudly (the RangeJoin rule).
+    intercept[IllegalArgumentException] {
+      StreamIntervalJoin.join(purchases, clicks.withColumnRenamed("c_ts", "p_ts"),
+        Seq("user"), "p_ts", "p_ts", "10 seconds", "1 hour")
+    }
+  }
+
   test("streaming session_window matches batch sessionization boundaries") {
     import graft.streaming.StreamingSessions
     import spark.implicits._

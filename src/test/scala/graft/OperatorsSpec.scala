@@ -52,6 +52,45 @@ class OperatorsSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("incremental dedup: corpus precedence, batch-only min-id, transitivity") {
+    def buckets(df: org.apache.spark.sql.DataFrame) = Dedup.lshBuckets(
+      Dedup.minHashSignature(Dedup.charShingles(df, "doc_id", "text", 5), 8), 8, 4)
+    val corpus = docs((10L, "the quick brown fox jumps"),
+      (11L, "lorem ipsum dolor sit amet"), (12L, "unrelated corpus content"))
+    val batch = docs(
+      (1L, "the quick brown fox jumps"),          // dup of corpus 10 — smaller id,
+                                                  // corpus must still win
+      (5L, "evergreen terrace springfield usa"),  // batch-only cluster: min id keeps
+      (6L, "evergreen terrace springfield usa"),
+      (7L, "utterly unique batch snowflake"))     // no pairs at all
+    val pairs = Dedup.incrementalCandidates(buckets(corpus), buckets(batch))
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.contains((1L, 10L)) && ps.contains((5L, 6L)), ps)
+    assert(ps.forall { case (a, b) => a < b }, s"unordered pair in $ps")
+    val kept = Dedup.incrementalKeep(batch, "doc_id", pairs,
+      corpus.select(org.apache.spark.sql.functions.col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 7L), kept)
+
+    // Candidate generation stays pure equi-join — no cartesian fallback
+    // (the rule every pair generator in this package obeys).
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+
+    // Transitivity with hand-built pairs: batch 1 ~ batch 2 ~ corpus 100 —
+    // BOTH batch docs drop (their component contains a corpus doc), while
+    // an untouched batch doc survives.
+    val batch2 = docs((1L, "a"), (2L, "b"), (3L, "c"))
+    val handPairs = frame(
+      StructType(Seq(StructField("d1", LongType), StructField("d2", LongType))),
+      Seq(Map("d1" -> 1L, "d2" -> 2L), Map("d1" -> 2L, "d2" -> 100L)))
+    val kept2 = Dedup.incrementalKeep(batch2, "doc_id", handPairs,
+      docs((100L, "z")).select(org.apache.spark.sql.functions.col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(3L), kept2)
+  }
+
   test("jaccard pairs: identical docs = 1.0, disjoint docs absent") {
     val d = docs((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzzzzz"))
     val got = Dedup.jaccardPairs(Dedup.charShingles(d, "doc_id", "text", 5), 0.5)
