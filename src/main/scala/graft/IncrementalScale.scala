@@ -44,7 +44,11 @@ object IncrementalScale {
       expr(s"concat_ws(' ', transform(sequence(1, 40), " +
         s"p -> element_at(array($vocabSql), " +
         s"CAST(pmod(hash($seedCol, p), 1024) + 1 AS INT))))").as("text")
+    // GC before every timed stage (the Bench rule): a previous stage's
+    // garbage — million-doc string frames — otherwise lands as a
+    // multi-second pause inside the next stage's wall time.
     def timed[A](f: => A): (A, Double) = {
+      System.gc()
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     def buckets(df: org.apache.spark.sql.DataFrame) = operators.Dedup.lshBuckets(
@@ -52,29 +56,38 @@ object IncrementalScale {
         operators.Dedup.charShingles(df, "doc_id", "text", 5), k = 8),
       k = 8, rowsPerBand = 4)
 
-    sizes.foreach { n =>
+    def run(n: Long, bN: Long, warmup: Boolean): Unit = {
       val corpus = spark.range(n)
         .select(col("id").as("doc_id"), text("id"))
         .repartition(cpus * 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
       corpus.count()
-      val batch = spark.range(n, n + batchN)
+      // Batch thirds: corpus dup (seed = id % n — exact text of a corpus
+      // doc), dup of the batch predecessor's corpus doc (same effective
+      // seed — chains batch↔batch↔corpus through the survivor components),
+      // unique (raw id seed, disjoint from every corpus seed).
+      val batch = spark.range(n, n + bN)
         .select(col("id").as("doc_id"),
           expr(s"CASE WHEN id % 3 = 0 THEN id % $n " +
-            "WHEN id % 3 = 1 THEN id - 1 ELSE id END").as("__seed"))
+            s"WHEN id % 3 = 1 THEN (id - 1) % $n ELSE id END").as("__seed"))
         .select(col("doc_id"), text("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       batch.count()
 
-      // Index build: once per corpus lifetime, not per batch.
-      val (index, indexSec) = timed {
-        val ix = buckets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-        ix.count()
-        ix
+      // Index build: once per corpus lifetime, not per batch. The per-
+      // bucket counts are stored with it (the corpusCounts contract).
+      val (ix, indexSec) = timed {
+        val b = buckets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+        val c = b.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n")).persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        (b, c)
       }
+      val (index, counts) = ix
       // The increment: everything a new batch costs.
       val (nKept, incSec) = timed {
-        val pairs = operators.Dedup.incrementalCandidates(index, buckets(batch))
+        val pairs = operators.Dedup.incrementalCandidates(index, buckets(batch),
+          corpusCounts = Some(counts))
         operators.Dedup.incrementalKeep(batch, "doc_id", pairs,
           corpus.select(col("doc_id"))).count()
       }
@@ -84,13 +97,17 @@ object IncrementalScale {
         val pairs = operators.Dedup.lshCandidates(buckets(corpus.union(batch)))
         operators.Dedup.components(pairs).select("label").distinct().count()
       }
-      println(f"""{"corpus": $n, "batch": $batchN, "index_sec": $indexSec%.2f, """ +
-        f""""inc_sec": $incSec%.2f, "kept": $nKept, """ +
-        f""""full_sec": $fullSec%.2f, "full_clusters": $nFullClusters}""")
-      Seq(corpus, batch, index).foreach(_.unpersist(blocking = true))
+      if (!warmup)
+        println(f"""{"corpus": $n, "batch": $bN, "index_sec": $indexSec%.2f, """ +
+          f""""inc_sec": $incSec%.2f, "kept": $nKept, """ +
+          f""""full_sec": $fullSec%.2f, "full_clusters": $nFullClusters}""")
+      Seq(corpus, batch, index, counts).foreach(_.unpersist(blocking = true))
       graft.util.Caches.drain()
       spark.catalog.clearCache()
     }
+
+    run(50000L, 5000L, warmup = true) // JIT/codegen warmup — untimed
+    sizes.foreach(n => run(n, batchN, warmup = false))
     spark.stop()
   }
 }

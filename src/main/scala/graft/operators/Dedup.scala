@@ -102,9 +102,17 @@ object Dedup {
     * increments or in one shot yields the same candidates over batch docs
     * (pinned against the same DuckDB pair CTEs as `dd_minhash_lsh` by
     * `dd_incremental`). Output (d1, d2) with d1 < d2 — corpus and batch ids
-    * may interleave. */
+    * may interleave.
+    *
+    * Per-batch cost: work linear in the batch plus ONE pass over the index
+    * (the equi-joins scan it but never shuffle or self-join it; bucketed
+    * index storage makes them shuffle-free). Pass `corpusCounts` — the
+    * per-(band, bucket) size aggregate a deployment stores alongside the
+    * index — to skip recomputing it, leaving the candidate join as the
+    * only index scan. */
   def incrementalCandidates(corpusBuckets: DataFrame, batchBuckets: DataFrame,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000,
+                            corpusCounts: Option[DataFrame] = None): DataFrame = {
     // Both sides feed two consumers (the cap counts and a join); persist so
     // neither lineage — typically the shingle+minhash pipeline — runs
     // twice. A production corpus index is a materialized table, for which
@@ -114,10 +122,11 @@ object Dedup {
     val bb = graft.util.Caches.retain(
       batchBuckets.select(col("id"), col("band"), col("bucket")))
     // Per-bucket cap over the UNION size — the invariant that makes
-    // incremental == full-batch. The corpus count is a per-bucket aggregate
-    // a real deployment stores alongside the index; recomputing it here is
-    // one map-side-partial groupBy over the index, still no self-join.
-    val ok = cb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__nc"))
+    // incremental == full-batch.
+    val cCnt = corpusCounts
+      .map(_.select(col("band"), col("bucket"), col("n").as("__nc")))
+      .getOrElse(cb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__nc")))
+    val ok = cCnt
       .join(bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__nb")),
         Seq("band", "bucket"), "full")
       .where(coalesce(col("__nc"), lit(0L)) + coalesce(col("__nb"), lit(0L)) <= maxBucket)
