@@ -78,6 +78,59 @@ object WindowFuzzer {
     })
   }
 
+  /** Both per-key cap variants are pure functions of (id, salt) — the
+    * engine-parity contract TextAnalysis documents — so the fuzz compares
+    * the kept row SET exactly, a stronger check than the battery's
+    * error-gate on the approx variant. Null keys are in scope: both caps
+    * group them like a value (the hot null-ish default key is the approx
+    * variant's whole reason to exist); the oracle mirrors with GROUP BY's
+    * null group + IS NOT DISTINCT FROM. */
+  def genCap(i: Int, rnd: Random, parquet: String): Case = {
+    val approx = i % 2 == 1
+    val kMod = Seq(2, 3, 5, 9)(rnd.nextInt(4))
+    val n = Seq(1, 3, 10, 100)(rnd.nextInt(4))
+    val salt = s"fz${rnd.nextInt(1000)}"
+    val nullKeys = rnd.nextInt(3) == 0
+    val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
+    val desc = s"cap${if (approx) "Approx" else ""} kMod=$kMod n=$n " +
+      s"salt=$salt nullKeys=$nullKeys filter=$m/$r"
+
+    val kSql = if (nullKeys) s"CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % $kMod END"
+               else s"user_id % $kMod"
+    val md5Sql = s"md5('$salt:' || CAST(eid AS VARCHAR))"
+    val body =
+      s"""WITH e AS (SELECT event_id, user_id FROM read_parquet(${sqlStr(parquet)})),
+         |base AS (SELECT $kSql AS k, event_id AS eid
+         |  FROM e WHERE event_id % $m = $r)""".stripMargin
+    val sql =
+      if (approx)
+        s"""$body,
+           |cnt AS (SELECT k, count(*) AS c FROM base GROUP BY k)
+           |SELECT b.k, b.eid FROM base b JOIN cnt ON b.k IS NOT DISTINCT FROM cnt.k
+           |WHERE (('0x' || substr(md5('$salt:' || CAST(b.eid AS VARCHAR)), 1, 8))::BIGINT
+           |       / 4294967296.0) < CAST($n AS DOUBLE) / cnt.c""".stripMargin
+      else
+        s"""$body
+           |SELECT k, eid FROM (
+           |  SELECT k, eid, row_number() OVER
+           |    (PARTITION BY k ORDER BY $md5Sql, eid) AS rk FROM base)
+           |WHERE rk <= $n""".stripMargin
+
+    Case(s"cap_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val kSpark = if (nullKeys)
+        when(col("user_id") % 7 === 0, lit(null).cast("long")).otherwise(col("user_id") % kMod)
+      else col("user_id") % kMod
+      val base = graft.ops.Tables.events(s, new java.io.File(parquet).getParent)
+        .where(col("event_id") % m === r)
+        .select(kSpark.as("k"), col("event_id").as("eid"))
+      val capped =
+        if (approx) graft.operators.TextAnalysis.capPerKeyApprox(base, "k", "eid", n, salt)
+        else graft.operators.TextAnalysis.capPerKey(base, "k", "eid", n, salt)
+      capped.select(col("k"), col("eid"))
+    })
+  }
+
   def genTopN(i: Int, rnd: Random, parquet: String): Case = {
     val kMod  = Seq(3, 5, 9, 15)(rnd.nextInt(4))
     val n     = Seq(1, 2, 5, 20)(rnd.nextInt(4))
@@ -117,7 +170,7 @@ class WindowFuzzSpec extends SparkSpec {
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(24)
   private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
 
-  test(s"$N sessionize + $N salted top-N fuzzed configs match DuckDB oracles") {
+  test(s"$N sessionize + $N salted top-N + $N per-key cap fuzzed configs match DuckDB oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
     val parquet = s"$sfDir/events.parquet"
     assume(new java.io.File(parquet).exists(), s"$parquet missing")
@@ -125,7 +178,8 @@ class WindowFuzzSpec extends SparkSpec {
     val rnd = new Random(Seed)
     val cases =
       (0 until N).map(i => genSessionize(i, rnd, parquet)) ++
-        (0 until N).map(i => genTopN(i, rnd, parquet))
+        (0 until N).map(i => genTopN(i, rnd, parquet)) ++
+        (0 until N).map(i => genCap(i, rnd, parquet))
 
     val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
     val failures = DuckOracle.evalAll(
