@@ -1,0 +1,164 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Differential fuzzer for the dedup pipeline's PARAMETER SPACE. The battery
+ * pins one configuration per operator (5-char shingles, k=8/4-row bands,
+ * maxBucket=1000 — never binding at battery scale, 0.25 Jaccard, 32/64-bit
+ * SimHash); this sweeps random configurations — shingle width × minhash
+ * k/rowsPerBand × bucket caps SMALL ENOUGH TO BIND on real data × Jaccard
+ * thresholds/df caps × SimHash bit widths incl. the sign bit × doc subsets
+ * — each against a DuckDB oracle built from the same parameters by the
+ * same mirror rules as the battery CTEs (PipelineQueries.scala): salted
+ * md5 slices for minhash, hex-nibble bit extraction for simhash, capped
+ * universes for Jaccard. Cases run sequentially (dedup operators retain
+ * caches; Caches.drain between cases would race a concurrent evaluator).
+ */
+object DedupFuzzer {
+  final case class Case(name: String, desc: String, sql: String,
+                        spark: () => DataFrame)
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private def baseCte(parquet: String, m: Int, r: Int) =
+    s"""base AS (SELECT doc_id, text FROM read_parquet(${sqlStr(parquet)})
+       |  WHERE doc_id % $m = $r)""".stripMargin
+
+  private def shCte(n: Int) =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
+       |       FROM base, generate_series(1, 4000) t(i)
+       |       WHERE i <= greatest(len(text) - ${n - 1}, 1))""".stripMargin
+
+  def genMinhash(i: Int, rnd: Random, parquet: String): Case = {
+    val n = Seq(3, 5, 8)(rnd.nextInt(3))
+    val (k, rpb) = Seq((4, 2), (8, 4), (8, 2), (12, 4), (12, 3), (6, 3))(rnd.nextInt(6))
+    val maxBucket = Seq(2, 5, 50, 1000)(rnd.nextInt(4))
+    val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
+    val desc = s"minhash n=$n k=$k rpb=$rpb maxBucket=$maxBucket filter=$m/$r"
+
+    val mins = (0 until k).map(j =>
+      s"min(substr(md5('${j / 4}:' || sh), ${1 + 8 * (j % 4)}, 8)) AS h$j").mkString(", ")
+    val bands = (0 until k / rpb).map(b =>
+      s"SELECT doc_id, $b AS band, md5(${(0 until rpb).map(x => s"h${b * rpb + x}").mkString(" || ")}) AS bkt FROM sig")
+      .mkString(" UNION ALL ")
+    val sql =
+      s"""WITH ${baseCte(parquet, m, r)},
+         |${shCte(n)},
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |b AS ($bands),
+         |bc AS (SELECT band, bkt, count(*) AS cnt FROM b GROUP BY band, bkt),
+         |bt AS (SELECT b.* FROM b JOIN bc USING (band, bkt) WHERE bc.cnt <= $maxBucket)
+         |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+         |FROM bt a JOIN bt b2
+         |  ON a.band = b2.band AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id""".stripMargin
+
+    Case(s"mh_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val d = graft.ops.Tables.documents(s, new java.io.File(parquet).getParent)
+        .where(col("doc_id") % m === r)
+      graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.lshBuckets(
+          graft.operators.Dedup.minHashSignature(
+            graft.operators.Dedup.charShingles(d, "doc_id", "text", n), k),
+          k, rpb),
+        maxBucket)
+    })
+  }
+
+  def genJaccard(i: Int, rnd: Random, parquet: String): Case = {
+    val n = Seq(3, 5, 8)(rnd.nextInt(3))
+    val threshold = Seq(0.05, 0.25, 0.6)(rnd.nextInt(3))
+    val maxDf = Seq(3, 20, 1 << 29)(rnd.nextInt(3))
+    val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
+    val desc = s"jaccard n=$n t=$threshold maxDf=$maxDf filter=$m/$r"
+    val sql =
+      s"""WITH ${baseCte(parquet, m, r)},
+         |${shCte(n)},
+         |dfc AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxDf),
+         |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sn FROM rare GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / (x.sn + y.sn - i) AS jac
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.sn + y.sn - i) >= $threshold""".stripMargin
+
+    Case(s"jac_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val d = graft.ops.Tables.documents(s, new java.io.File(parquet).getParent)
+        .where(col("doc_id") % m === r)
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.charShingles(d, "doc_id", "text", n),
+        threshold, maxDf)
+    })
+  }
+
+  def genSimhash(i: Int, rnd: Random, parquet: String): Case = {
+    val nBits = Seq(8, 16, 32, 64)(rnd.nextInt(4))
+    val maxHam = Seq(0, 1, 3)(rnd.nextInt(3))
+    val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
+    val desc = s"simhash nBits=$nBits maxHam=$maxHam filter=$m/$r"
+    val sql =
+      s"""WITH ${baseCte(parquet, m, r)},
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM base),
+         |bits AS (SELECT doc_id, md5(tok) AS h, p FROM toks, generate_series(0, ${nBits - 1}) t(p)),
+         |c AS (SELECT doc_id, p,
+         |        sum((((strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) - 1)
+         |              >> (3 - (p % 4))) & 1) * 2 - 1) AS s
+         |      FROM bits GROUP BY doc_id, p),
+         |fps AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN s <= 0 THEN 0
+         |                        WHEN p = 63 THEN (-9223372036854775808)::BIGINT
+         |                        ELSE (CAST(1 AS BIGINT) << p) END) AS BIGINT) AS fp
+         |        FROM c GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHam""".stripMargin
+
+    Case(s"sim_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val d = graft.ops.Tables.documents(s, new java.io.File(parquet).getParent)
+        .where(col("doc_id") % m === r)
+      graft.operators.Dedup.simHashPairs(
+        graft.operators.Dedup.simHash(d, "doc_id", "text", nBits), maxHam, nBits)
+    })
+  }
+}
+
+class DedupFuzzSpec extends SparkSpec {
+  import DedupFuzzer._
+
+  private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
+  private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(10)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+
+  test(s"$N×3 fuzzed dedup parameterizations match DuckDB oracles") {
+    assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
+    val parquet = s"$sfDir/documents.parquet"
+    assume(new java.io.File(parquet).exists(), s"$parquet missing")
+
+    val rnd = new Random(Seed)
+    val cases =
+      (0 until N).map(i => genMinhash(i, rnd, parquet)) ++
+        (0 until N).map(i => genJaccard(i, rnd, parquet)) ++
+        (0 until N).map(i => genSimhash(i, rnd, parquet))
+
+    val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
+    // Sequential on purpose: dedup operators retain caches and the drain
+    // below is global.
+    val failures = cases.flatMap { c =>
+      val f = DuckOracle.check(c.name, c.desc, c.sql, c.spark(), duck)
+      graft.util.Caches.drain()
+      f
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} of ${cases.size} fuzzed dedup configs diverged (seed=$Seed):\n\n" +
+        failures.take(8).mkString("\n\n"))
+  }
+}
