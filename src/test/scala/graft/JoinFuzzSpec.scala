@@ -33,7 +33,7 @@ object JoinFuzzer {
     * (ts div 1000 ↔ epoch_ns(ts)//1000 — positive, so truncate == floor);
     * grids coarsen via exact integer floor-div on both sides. */
   final case class Cols(kMod: Int, twoKeys: Boolean, nullKeys: Boolean,
-                        grid: Long, nullTimeMod: Int) {
+                        grid: Long, nullTimeMod: Int, tsTyped: Boolean = false) {
     // null keys ride on user_id % 7 (15 users → ~2 null-key users); null
     // times on event_id % nullTimeMod (0 = never).
     def kSql = if (nullKeys) s"CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % $kMod END"
@@ -44,14 +44,19 @@ object JoinFuzzer {
     private def gSql(base: String) = if (grid == 1) base else s"($base // $grid) * $grid"
     private def gSpark(base: org.apache.spark.sql.Column) =
       if (grid == 1) base else graft.util.Arith.floorDiv(base, grid) * grid
+    // tsTyped exercises the non-integral time path (TimestampType: interval
+    // distance compare in nearest instead of the decimal widening).
     def tSql: String = {
-      val g = gSql("tl")
+      val g0 = gSql("tl")
+      val g = if (tsTyped) s"make_timestamp($g0)" else g0
       if (nullTimeMod == 0) g else s"CASE WHEN event_id % $nullTimeMod = 0 THEN NULL ELSE $g END"
     }
     def tSpark: org.apache.spark.sql.Column = {
-      val g = gSpark(expr("ts div 1000"))
+      val g0 = gSpark(expr("ts div 1000"))
+      val g = if (tsTyped) timestamp_micros(g0) else g0
       if (nullTimeMod == 0) g
-      else when(col("event_id") % nullTimeMod === 0, lit(null).cast("long")).otherwise(g)
+      else when(col("event_id") % nullTimeMod === 0,
+        lit(null).cast(if (tsTyped) "timestamp" else "long")).otherwise(g)
     }
     def keyNames: Seq[String] = if (twoKeys) Seq("k", "k2") else Seq("k")
   }
@@ -60,34 +65,42 @@ object JoinFuzzer {
     val dir    = rnd.nextInt(3) // 0 backward, 1 forward, 2 nearest
     val strict = rnd.nextBoolean()
     val grids  = Seq(1L, 1000000L, 60000000L, 3600000000L)
+    // Timestamp-typed cases exercise the interval-distance branch; the
+    // timeBucket skew mode contracts an integral time column, so it stays
+    // off there.
+    val tsTyped = rnd.nextInt(4) == 0
     val cols = Cols(
       kMod = Seq(3, 5, 9, 16)(rnd.nextInt(4)),
       twoKeys = rnd.nextInt(10) < 3,
       nullKeys = rnd.nextInt(4) == 0,
       grid = grids(rnd.nextInt(grids.size)),
-      nullTimeMod = if (rnd.nextBoolean()) 11 else 0)
+      nullTimeMod = if (rnd.nextBoolean()) 11 else 0,
+      tsTyped = tsTyped)
     val rGrid = grids(rnd.nextInt(grids.size))
     val rCols = cols.copy(grid = rGrid, nullTimeMod = if (rnd.nextInt(3) == 0) 13 else 0)
     val (lm, lr) = { val m = 2 + rnd.nextInt(3); (m, rnd.nextInt(m)) }
     val (rm, rr) = { val m = 2 + rnd.nextInt(3); (m, rnd.nextInt(m)) }
     val timeBucket =
-      if (rnd.nextInt(5) < 2)
+      if (!tsTyped && rnd.nextInt(5) < 2)
         Some(Seq(1L, 3600000000L, 86400000000L * 30)(rnd.nextInt(3)))
       else None
 
     val dirName = Seq("backward", "forward", "nearest")(dir)
     val desc = s"$dirName strict=$strict keys=${cols.keyNames.size} " +
       s"kMod=${cols.kMod} nullKeys=${cols.nullKeys} lGrid=${cols.grid} rGrid=$rGrid " +
-      s"nullT=${cols.nullTimeMod}/${rCols.nullTimeMod} timeBucket=$timeBucket"
+      s"nullT=${cols.nullTimeMod}/${rCols.nullTimeMod} timeBucket=$timeBucket ts=$tsTyped"
 
     val k2l = if (cols.twoKeys) ", event_id % 2 AS k2" else ""
     val selK2 = if (cols.twoKeys) ", l.k2" else ""
     val onK2 = if (cols.twoKeys) " AND r.k2 IS NOT DISTINCT FROM l.k2" else ""
+    // Distance arithmetic in µs for timestamp-typed cases (DuckDB
+    // timestamp subtraction yields INTERVAL); comparisons work either way.
+    def us(x: String) = if (tsTyped) s"epoch_us($x)" else x
     val (pred, ord) = dir match {
       case 0 => (s"r.rt ${if (strict) "<" else "<="} l.t", "r.rt DESC, r.rid DESC")
       case 1 => (s"r.rt ${if (strict) ">" else ">="} l.t", "r.rt ASC, r.rid ASC")
       case _ => (if (strict) "r.rt <> l.t" else "TRUE",
-        "abs(r.rt - l.t) ASC, (r.rt > l.t) ASC, " +
+        s"abs(${us("r.rt")} - ${us("l.t")}) ASC, (r.rt > l.t) ASC, " +
           "(CASE WHEN r.rt <= l.t THEN -r.rid ELSE r.rid END) ASC")
     }
     val sql =
@@ -97,7 +110,8 @@ object JoinFuzzer {
          |  FROM e WHERE event_id % $lm = $lr),
          |r AS (SELECT event_id AS rid, ${rCols.kSql} AS k$k2l, ${rCols.tSql} AS rt
          |  FROM e WHERE event_id % $rm = $rr)
-         |SELECT l.lid, l.k$selK2, l.t, m.rid AS m_rid, m.rt AS m_rt
+         |SELECT l.lid, l.k$selK2, ${if (tsTyped) "epoch_us(l.t)" else "l.t"} AS t,
+         |  m.rid AS m_rid, ${if (tsTyped) "epoch_us(m.rt)" else "m.rt"} AS m_rt
          |FROM l LEFT JOIN LATERAL (
          |  SELECT r.rid, r.rt FROM r
          |  WHERE l.t IS NOT NULL AND r.k IS NOT DISTINCT FROM l.k$onK2 AND $pred
@@ -122,9 +136,12 @@ object JoinFuzzer {
         case 1 => graft.operators.AsOfJoin.forward _
         case _ => graft.operators.AsOfJoin.nearest _
       }
-      fn(l, r, cols.keyNames, "t", "rt", Seq("rid", "rt"), strict, Seq("rid"),
+      val out = fn(l, r, cols.keyNames, "t", "rt", Seq("rid", "rt"), strict, Seq("rid"),
         "m_", timeBucket)
-        .select(("lid" +: cols.keyNames :+ "t" :+ "m_rid" :+ "m_rt").map(col): _*)
+      val tOut = if (tsTyped) unix_micros(col("t")) else col("t")
+      val rtOut = if (tsTyped) unix_micros(col("m_rt")) else col("m_rt")
+      out.select((col("lid") +: cols.keyNames.map(col)) ++
+        Seq(tOut.as("t"), col("m_rid"), rtOut.as("m_rt")): _*)
     })
   }
 
