@@ -131,6 +131,50 @@ object DedupFuzzer {
   }
 }
 
+object AnnFuzzer {
+  import DedupFuzzer.Case
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Brute-force cosine top-k under random k × query sets × corpus
+    * subsets. Pairwise cosines are fixed by the vectors, so subsetting
+    * only removes candidates — the ranking stability the battery's
+    * single-config row establishes carries over to every configuration. */
+  def genAnn(i: Int, rnd: Random, parquet: String): Case = {
+    val k = Seq(1, 3, 10)(rnd.nextInt(3))
+    val (qm, qr) = { val m = 5 + rnd.nextInt(20); (m, rnd.nextInt(m)) }
+    val (cm, cr) = if (rnd.nextBoolean()) { val m = 2 + rnd.nextInt(2); (m, rnd.nextInt(m)) }
+                   else (1, 0)
+    val desc = s"ann k=$k queries=$qm/$qr corpus=$cm/$cr"
+    val corpusW = if (cm == 1) "" else s" WHERE vec_id % $cm = $cr"
+    val sql =
+      s"""WITH emb AS (SELECT vec_id, embedding FROM read_parquet(${sqlStr(parquet)})$corpusW),
+         |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+         |u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM emb, idx),
+         |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM u GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, i, v FROM u WHERE vec_id % $qm = $qr),
+         |dot AS (SELECT q.qid, u.vec_id AS nid, sum(q.v * u.v) AS d
+         |        FROM q JOIN u ON q.i = u.i AND q.qid <> u.vec_id
+         |        GROUP BY q.qid, u.vec_id),
+         |scored AS (SELECT qid, nid, d / (x.n * y.n) AS cos
+         |           FROM dot JOIN nrm x ON qid = x.vec_id JOIN nrm y ON nid = y.vec_id),
+         |ranked AS (SELECT qid, nid,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |           FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+
+    Case(s"ann_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val e0 = graft.ops.Tables.embeddings(s, new java.io.File(parquet).getParent)
+      val corpus = if (cm == 1) e0 else e0.where(col("vec_id") % cm === cr)
+      val queries = corpus.where(col("vec_id") % qm === qr)
+      graft.operators.Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    })
+  }
+}
+
 class DedupFuzzSpec extends SparkSpec {
   import DedupFuzzer._
 
@@ -138,16 +182,18 @@ class DedupFuzzSpec extends SparkSpec {
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(10)
   private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
 
-  test(s"$N×3 fuzzed dedup parameterizations match DuckDB oracles") {
+  test(s"$N×3 fuzzed dedup + ${N / 2} ANN parameterizations match DuckDB oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
     val parquet = s"$sfDir/documents.parquet"
+    val embParquet = s"$sfDir/embeddings.parquet"
     assume(new java.io.File(parquet).exists(), s"$parquet missing")
 
     val rnd = new Random(Seed)
     val cases =
       (0 until N).map(i => genMinhash(i, rnd, parquet)) ++
         (0 until N).map(i => genJaccard(i, rnd, parquet)) ++
-        (0 until N).map(i => genSimhash(i, rnd, parquet))
+        (0 until N).map(i => genSimhash(i, rnd, parquet)) ++
+        (0 until N / 2).map(i => AnnFuzzer.genAnn(i, rnd, embParquet))
 
     val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
     // Sequential on purpose: dedup operators retain caches and the drain
