@@ -30,6 +30,13 @@ object StreamScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8") // state sizing, see st_attribution
+      // recentProgress is a ring buffer (default 100): ~100k-row batches at
+      // the default sizes produce ~100+ triggers, and anything larger would
+      // silently evict early progress entries — under-reporting `batches`
+      // and possibly the true max_state_rows. Progress objects are small
+      // metric maps; retaining every trigger is cheap at any size this
+      // probe can reach.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -106,22 +106,29 @@ object StreamingQueries {
           col("n_events"))
     }),
 
-    // Streaming funnel (flatMapGroupsWithState, O(numSteps) state/group):
-    // the same value-filtered 3-step chain as the batch fr_funnel, folded
-    // incrementally. completedSteps only grows across updates, so the max
-    // per group IS the final state however availableNow batches the input.
-    // step_rows is the batch funnel's group-constant flag summed over ALL
-    // rows of completing groups — state carries only the flag, so the
-    // final state joins back to static per-group row counts (a broadcast
-    // join at scale: one row per group that reached step 1). The oracle is
-    // fr_funnel's verbatim — full (step, step_groups, step_rows) parity.
+    // Streaming funnel (flatMapGroupsWithState): the same value-filtered
+    // 3-step chain as the batch fr_funnel, folded incrementally — the
+    // DISORDER-EXACT variant, which buffers events in state until the
+    // watermark seals them and so matches the batch engine under any
+    // cross-batch arrival order (state = O(steps + watermark-horizon
+    // events) per group, not stream length). completedSteps only grows
+    // across updates, so the max per group IS the final state however
+    // availableNow batches the input. step_rows is the batch funnel's
+    // group-constant flag summed over ALL rows of completing groups —
+    // state carries only the flag, so the final state joins back to
+    // static per-group row counts (a broadcast join at scale: one row per
+    // group that reached step 1). The oracle is fr_funnel's verbatim —
+    // full (step, step_groups, step_rows) parity.
     "st_funnel" -> ((s, dir) => {
       val v = col("value").cast("decimal(20,4)")
-      val prog = graft.streaming.StreamingFunnel.progress(
-        eventsStream(s, dir), "user_id", "ts", Seq(
+      val prog = graft.streaming.StreamingFunnel.progressExact(
+        eventsStream(s, dir), "user_id", "ts", "event_ts", "90 days", Seq(
           col("event_type") === "view" && v > 100,
           col("event_type") === "click" && v > 100,
-          col("event_type") === "purchase" && v > 100))
+          col("event_type") === "purchase" && v > 100),
+        // ts is epoch nanos, event_ts its µs truncation: a non-late event
+        // at watermark W ms satisfies (ts div 1000) >= W*1000 ⟺ ts >= W*1e6.
+        watermarkToTs = ms => ms * 1000000L)
       val fin = runToBatch(s, prog.toDF(), "st_funnel_sink", mode = "update")
         .groupBy(col("groupId"))
         .agg(max(col("completedSteps")).as("completed"))
@@ -177,25 +184,24 @@ object StreamingQueries {
       // shuffle partition carries TWO state stores, opened + committed
       // every micro-batch, so partition count is sized to state VOLUME,
       // not core count (measured 32 → 8 partitions: 7.4 s → 3.1 s at
-      // sf0.1, identical results). Set for the streaming query only,
-      // restored after — batch queries keep the session default.
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      val sunk =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          val purchases = eventsStream(s, dir)
-            .where(col("event_type") === "purchase")
-            .select(col("user_id"), col("event_id").as("p_id"),
-              col("event_ts").as("p_ts"))
-          val clicks = eventsStream(s, dir)
-            .where(col("event_type") === "click")
-            .select(col("user_id"), col("event_ts").as("click_ts"))
-          val matches = graft.streaming.StreamIntervalJoin.join(
-            purchases, clicks, Seq("user_id"), "p_ts", "click_ts",
-            window = "24 hours", watermark = "90 days")
-          runToBatch(s, matches, "st_attr_sink", mode = "append")
-        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      sunk
+      // sf0.1, identical results). The streaming query runs on an
+      // ISOLATED child session (shared SparkContext, cache and catalog;
+      // separate SQLConf) so the parent session's shuffle-partition
+      // default is never touched — a batch query planned concurrently in
+      // the parent keeps its own conf.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val purchases = eventsStream(ss, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("event_ts").as("p_ts"))
+      val clicks = eventsStream(ss, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_ts").as("click_ts"))
+      val matches = graft.streaming.StreamIntervalJoin.join(
+        purchases, clicks, Seq("user_id"), "p_ts", "click_ts",
+        window = "24 hours", watermark = "90 days")
+      runToBatch(ss, matches, "st_attr_sink", mode = "append")
         .groupBy(col("user_id"), col("p_id")).agg(count(lit(1)).as("nc"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases_hit"),

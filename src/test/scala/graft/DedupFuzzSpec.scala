@@ -180,7 +180,7 @@ class DedupFuzzSpec extends SparkSpec {
 
   private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(10)
-  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
 
   test(s"$N×3 fuzzed dedup + ${N / 2} ANN parameterizations match DuckDB oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")

@@ -576,7 +576,7 @@ class FuzzSpec extends SparkSpec {
   // without touching the committed reproducible run.
   private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(200)
-  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
 
   private lazy val duckdbOk =
     Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0

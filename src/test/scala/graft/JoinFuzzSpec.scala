@@ -207,7 +207,7 @@ class JoinFuzzSpec extends SparkSpec {
   private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
   private val NAsOf = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(48)
   private val NRange = NAsOf / 2
-  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
 
   test(s"$NAsOf as-of + $NRange range fuzzed join configs match DuckDB lateral oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential join fuzz skipped")

@@ -22,14 +22,20 @@ import org.apache.spark.sql.streaming.OutputMode
  * the 90-day watermark means disorder may not drop anything); streaming
  * session_window vs its batch form (complete mode); streaming dedup vs
  * batch distinct (key set only — which duplicate survives is explicitly
- * arrival-order-dependent); streaming funnel final state vs a single
- * batch pass (TIME-ORDERED chunks — the operator's documented in-order
- * contract; its anchors re-minimize only within a batch).
+ * arrival-order-dependent); greedy streaming funnel final state vs a
+ * single batch pass (TIME-ORDERED chunks — that variant's documented
+ * in-order contract; its anchors re-minimize only within a batch); EXACT
+ * streaming funnel (progressExact) under ARBITRARY chunk order with a
+ * wide watermark (pure buffered disorder — nothing finalizes) AND under
+ * time-banded chunks with a TIGHT watermark (finalization fires between
+ * batches, no event late) — both against an independent driver-side fold,
+ * each chunk flushed through its own micro-batch (processAllAvailable per
+ * chunk) so batch boundaries are deterministic, not racy.
  */
 class StreamFuzzSpec extends SparkSpec {
 
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(8)
-  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
   private val epoch = 1704067200L
 
   private def chunks[T](rows: Seq[T], rnd: Random): Seq[Seq[T]] = {
@@ -46,6 +52,35 @@ class StreamFuzzSpec extends SparkSpec {
     try { feed(); q.processAllAvailable() } finally q.stop()
     spark.table(sink)
   }
+
+  /** Like [[runStream]] but flushes each step through its own micro-batch
+    * (processAllAvailable per step) — deterministic batch boundaries, and
+    * the watermark advances BETWEEN steps, which is what exercises
+    * cross-batch state plus watermark finalization. */
+  private def runStreamSteps(df: DataFrame, sink: String, mode: String,
+                             steps: Seq[() => Unit]): DataFrame = {
+    spark.catalog.dropTempView(sink)
+    val q = df.writeStream.format("memory").queryName(sink).outputMode(mode).start()
+    try steps.foreach { s => s(); q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** Independent driver-side mirror of the funnel's chained-min fold
+    * (anchors(s) = min ts matching step s strictly after anchors(s-1)) —
+    * the semantics fr_funnel pins against DuckDB. Groups that never reach
+    * step 1 are omitted, matching the stream's emit-on-change contract. */
+  private def funnelOracle(rows: Seq[(Long, Long, String)],
+                           steps: Seq[String => Boolean]): Map[Long, Int] =
+    rows.groupBy(_._1).map { case (g, evs) =>
+      val anch = Array.fill(steps.size)(Long.MaxValue)
+      evs.map(e => (e._2, e._3)).sortBy(_._1).foreach { case (t, ty) =>
+        for (s <- steps.indices)
+          if (steps(s)(ty) &&
+              (s == 0 || (anch(s - 1) != Long.MaxValue && t > anch(s - 1))) &&
+              t < anch(s)) anch(s) = t
+      }
+      g -> anch.takeWhile(_ != Long.MaxValue).length
+    }.filter(_._2 > 0)
 
   test(s"$N interval-join chunkings equal the batch range join") {
     import spark.implicits._
@@ -164,6 +199,95 @@ class StreamFuzzSpec extends SparkSpec {
         .groupBy(col("groupId")).agg(max(col("completedSteps")).as("steps"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == want, s"case $i: stream $got vs batch $want")
+    }
+  }
+
+  private val exactTypes = Seq("view", "click", "buy")
+  private val exactStepCols = Seq(col("etype") === "view",
+    col("etype") === "click", col("etype") === "buy")
+  private val exactStepFns: Seq[String => Boolean] =
+    exactTypes.map(t => (ty: String) => ty == t)
+
+  private def exactStream(in: MemoryStream[(Long, Long, String)], delay: String) =
+    graft.streaming.StreamingFunnel.progressExact(
+      in.toDF().toDF("gid", "sec", "etype")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "gid", "sec", "ts", delay, exactStepCols,
+      // sec is epoch seconds, event time its exact timestamp: non-late at
+      // watermark W ms ⟺ sec*1000 >= W ⟺ sec >= ceil(W/1000).
+      watermarkToTs = ms => Math.floorDiv(ms + 999, 1000)).toDF()
+
+  private def maxSteps(sunk: DataFrame): Map[Long, Int] =
+    sunk.groupBy(col("groupId")).agg(max(col("completedSteps")).as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test(s"$N exact-funnel ARBITRARY chunkings equal the driver fold") {
+    import spark.implicits._
+    val rnd = new Random(Seed + 4)
+    (0 until N).foreach { i =>
+      implicit val sqlCtx = spark.sqlContext
+      val nGroups = 1 + rnd.nextInt(5)
+      val rows = (0 until 150 + rnd.nextInt(100)).map(_ =>
+        (rnd.nextInt(nGroups).toLong, epoch + rnd.nextInt(7200).toLong,
+          exactTypes(rnd.nextInt(3))))
+      val in = MemoryStream[(Long, Long, String)]
+      // 90-day watermark: no event is ever late, nothing finalizes — the
+      // buffer alone must reproduce the batch fold under ANY chunk order,
+      // each chunk its own micro-batch.
+      val got = maxSteps(runStreamSteps(exactStream(in, "90 days"),
+        s"sfz_xfun_$i", "update",
+        chunks(rows, rnd).map(c => () => { in.addData(c); () })))
+      val want = funnelOracle(rows, exactStepFns)
+      assert(got == want, s"case $i: stream $got vs oracle $want")
+    }
+  }
+
+  test(s"$N exact-funnel banded chunkings with a tight watermark finalize exactly") {
+    import spark.implicits._
+    val rnd = new Random(Seed + 5)
+    (0 until N).foreach { i =>
+      implicit val sqlCtx = spark.sqlContext
+      val nGroups = 1 + rnd.nextInt(5)
+      val nBands = 4 + rnd.nextInt(4)
+      val bandSec = 600
+      // Band b covers [epoch + b*band, epoch + (b+1)*band); bands feed in
+      // order (so the watermark advances and SEALS earlier bands between
+      // micro-batches) but events WITHIN a band arrive in arbitrary order.
+      // Delay < band width ⇒ finalization fires; later bands' events are
+      // never behind the watermark ⇒ nothing is late. Each group's step
+      // chain is deliberately SPREAD over strictly increasing bands (plus
+      // same-type duplicates and never-matching noise), so by the time the
+      // last step arrives its predecessors are already sealed — no single
+      // batch's buffer ever holds a whole chain, and a seal-side fold bug
+      // CANNOT hide behind max(completedSteps) over earlier provisional
+      // emissions (the masking a dense generator allows).
+      def bandTs(b: Int) = epoch + b * bandSec + rnd.nextInt(bandSec).toLong
+      val deliberate = (0L until nGroups).flatMap { g =>
+        // 3 distinct ascending bands for the chain, e.g. view@b0 click@b2
+        // buy@b3; duplicates of each step in ITS band keep min-anchor logic
+        // honest without enabling an intra-band chain.
+        val Seq(bv, bc, bb) = rnd.shuffle((0 until nBands).toList).take(3).sorted.toSeq
+        Seq(bv -> "view", bc -> "click", bb -> "buy").flatMap { case (b, t) =>
+          (0 until 1 + rnd.nextInt(3)).map(_ => (g, bandTs(b), t))
+        }
+      }
+      val noise = (0 until nBands).flatMap { b =>
+        (0 until 10 + rnd.nextInt(20)).map(_ =>
+          (rnd.nextInt(nGroups).toLong, bandTs(b), "noise"))
+      }
+      val all = deliberate ++ noise
+      val bands = (0 until nBands).map { b =>
+        rnd.shuffle(all.filter(e =>
+          e._2 >= epoch + b * bandSec && e._2 < epoch + (b + 1) * bandSec))
+      }.filter(_.nonEmpty)
+      val delay = s"${60 + rnd.nextInt(bandSec - 60)} seconds"
+      val in = MemoryStream[(Long, Long, String)]
+      val got = maxSteps(runStreamSteps(exactStream(in, delay),
+        s"sfz_bfun_$i", "update",
+        bands.map(c => () => { in.addData(c); () })))
+      val want = funnelOracle(all, exactStepFns)
+      assert(got == want, s"case $i (bands=$nBands delay=$delay): " +
+        s"stream $got vs oracle $want")
     }
   }
 }
