@@ -41,7 +41,10 @@ object ComponentsScale {
         .select(col("id").as("d1"), (col("id") + 1L).as("d2"))
         .repartition(cpus * 2)
       val t0 = System.nanoTime()
-      val (labels, rounds) = operators.Dedup.componentsWithRounds(edges.toDF)
+      // Threshold 0: this probe MEASURES the distributed fixpoint, so never
+      // let small arg sizes route to the single-task short-circuit.
+      val (labels, rounds) = operators.Dedup.componentsWithRounds(
+        edges.toDF, localEdgeThreshold = 0)
       val nComponents = labels.select("label").distinct().count()
       val sec = (System.nanoTime() - t0) / 1e9
       require(nComponents == chains,

@@ -277,13 +277,58 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int = 50): DataFrame =
     componentsWithRounds(pairs, maxIters)._1
 
+  /** Single-task exact components for a SMALL edge set: one union-find pass
+    * over the whole (bidirectional) edge list in a single partition.
+    * Union-by-min keeps every tree's root at its component's minimum id, so
+    * the output (id, label = component min) is identical to the fixpoint's
+    * — the routing threshold changes cost, never results. Exists because
+    * the distributed fixpoint pays a per-round floor of two jobs +
+    * checkpoint I/O (~4 s at battery SF) that dwarfs a few thousand edges;
+    * at 100 TB the threshold simply never fires. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").as[Long], col("b").as[Long])
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toArray.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "label")
+  }
+
   /** [[components]] plus the number of fixpoint rounds it ran — the scale
     * probe (graft.ComponentsScale) validates the O(log diameter) claim
-    * against this. */
-  def componentsWithRounds(pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    * against this. Edge sets at or under `localEdgeThreshold` directed
+    * rows (= 2× pairs) with long ids route to [[localComponents]] instead
+    * (reported as 0 rounds); pass 0 to force the distributed fixpoint,
+    * e.g. to measure it at sizes the threshold would short-circuit. */
+  def componentsWithRounds(pairs: DataFrame, maxIters: Int = 50,
+                           localEdgeThreshold: Long = 100000L): (DataFrame, Int) = {
     val edges = graft.util.Caches.retain(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    // The count doubles as the cache materialization the seed aggregation
+    // below would otherwise pay; long-only guard keeps the fixpoint's
+    // type-preserving behavior for any non-long id scheme.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localEdgeThreshold > 0 && longIds && edges.count() <= localEdgeThreshold)
+      return (localComponents(edges), 0)
     // Seed with min(id, min neighbor) — one aggregation over the (already
     // bidirectional) edge list, same shuffle the identity-label distinct()
     // would cost, but it collapses every star in "round 0" for free: one

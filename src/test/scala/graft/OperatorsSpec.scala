@@ -546,11 +546,18 @@ class OperatorsSpec extends SparkSpec {
         .map(id => id -> find(id.toInt).toLong).toMap
       // expected labels are the component MINIMUM among touched nodes:
       // union-by-min with path compression guarantees find() is the min
-      val got = Dedup.components(
-        frame(schema, edges.map { case (a, b) =>
-          Map[String, Any]("d1" -> a, "d2" -> b) }))
+      // Both routing paths against the same reference: the default call
+      // short-circuits to the single-task union-find at this size;
+      // threshold 0 forces the distributed fixpoint. Identical labels is
+      // the contract that makes the threshold a pure cost knob.
+      val pairsDf = frame(schema, edges.map { case (a, b) =>
+        Map[String, Any]("d1" -> a, "d2" -> b) })
+      val gotLocal = Dedup.components(pairsDf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"seed $seed: components diverge from union-find")
+      assert(gotLocal == expected, s"seed $seed: local path diverges from union-find")
+      val gotFix = Dedup.componentsWithRounds(pairsDf, localEdgeThreshold = 0)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotFix == expected, s"seed $seed: fixpoint diverges from union-find")
       graft.util.Caches.drain()
     }
   }
@@ -577,7 +584,10 @@ class OperatorsSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      val result = Dedup.components(pairs)
+      // Threshold 0: this test pins the FIXPOINT's per-round action shape,
+      // which the small-edge short-circuit would otherwise bypass (0 also
+      // skips the routing count, so the action budget is unchanged).
+      val result = Dedup.componentsWithRounds(pairs, localEdgeThreshold = 0)._1
       val labels = result
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((1L to 5L).forall(labels(_) == 1L) && labels(11L) == 10L)
@@ -617,8 +627,9 @@ class OperatorsSpec extends SparkSpec {
     // Twice the rounds must NOT mean a deeper plan: every round ends on a
     // localCheckpoint boundary, so the analyzed plan of the result is the
     // same handful of nodes for a 6-node chain and a 40-node chain.
-    val small = Dedup.components(chain(6))
-    val large = Dedup.components(chain(40))
+    // (Threshold 0 forces the fixpoint — the property under test.)
+    val small = Dedup.componentsWithRounds(chain(6), localEdgeThreshold = 0)._1
+    val large = Dedup.componentsWithRounds(chain(40), localEdgeThreshold = 0)._1
     val sizeS = small.queryExecution.analyzed.collect { case n => n }.size
     val sizeL = large.queryExecution.analyzed.collect { case n => n }.size
     assert(sizeL == sizeS,
