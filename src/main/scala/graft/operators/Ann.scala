@@ -180,7 +180,12 @@ object Ann {
 
   /** IVF approximate top-k: rank by cosine within the query's `nProbes`
     * nearest cells (multi-probe raises recall at nProbes × the candidate
-    * volume; corpus vectors stay single-cell — only queries fan out). */
+    * volume; corpus vectors stay single-cell — only queries fan out).
+    * Recall depends on corpus shape: cluster structure HELPS, because
+    * k-means cells align with real clusters (BENCH.md §RecallScale:
+    * recall@10 at 1 probe is 0.79 on a well-separated mixture vs 0.43
+    * near-uniform). Size nProbes for the overlapping-cluster floor, not
+    * the clustered average. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, nCells: Int, iters: Int,
               k: Int, nProbes: Int = 1): DataFrame = {

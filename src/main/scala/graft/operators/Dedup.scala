@@ -505,7 +505,11 @@ object Dedup {
     * materialization rule) and joins on the cell key — no cartesian.
     * Precision is exact (every emitted pair passed the true cosine test);
     * recall < 1 by design — a pair straddling a cell boundary is missed
-    * (battery-gated by dd_semantic_recall). */
+    * (battery-gated by dd_semantic_recall). Near-duplicate pairs sit so
+    * close that cell boundaries rarely split them even on the hardest
+    * (near-uniform) corpus: BENCH.md §RecallScale measures planted-pair
+    * recall 0.97 at 1 probe and 1.00 at 2 probes on both overlapping and
+    * well-separated mixtures — nProbes=2 saturates the near-dup use case. */
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, dim: Int = 64, nCells: Int = 8,
                     iters: Int = 2, nProbes: Int = 1): DataFrame = {
