@@ -41,7 +41,8 @@ object Main {
           else q
         val df = {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+          graft.ops.Tables.tsToNanos(spark.read.parquet(path))
         }
         val engine = new QueryEngine(DatasetSpec(gid, ts))
         val plan = engine.runValidated(df, graft.query.QueryParser.parse(json))

@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // A FAILED marker from a previous run must not outlive a subsequent
       // success — delete it up front; a fresh failure rewrites it below.
@@ -35,8 +36,8 @@ object Verify {
           import scala.jdk.CollectionConverters._
           Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
         }
-        Files.writeString(Paths.get(s"$outDir/${name}_FAILED"),
-          Option(e.getMessage).getOrElse(e.getClass.getName))
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        Files.writeString(Paths.get(s"$outDir/${name}_FAILED"), failed(name))
       } finally graft.util.Caches.drain() // no cache build-up across 50+ queries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +55,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of EVERY attempted query + its failure (if any): a query that
+    // throws must surface as an explicit err row in any downstream gate, not
+    // silently vanish from the artifact — a round whose suite shrank is a
+    // regression even when every surviving row is green (the round-8 lesson:
+    // 18 ts-typed queries dropped while the gate reported all-green).
+    val manifest = "{" +
+      s"${q("queries")}: [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(", ")}], " +
+      s"${q("failed")}: {${failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}}}"
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failed.keys.mkString(", "))
+    } else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
     spark.stop()
   }
 }

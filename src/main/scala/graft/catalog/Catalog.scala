@@ -165,6 +165,7 @@ object Catalog {
                validateGroupLocality: Boolean = false,
                dayPartitionColumn: Option[String] = None): RegisteredDataset = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC") // pins tsToNanos' NTZ reading
     // Schema always comes from the full basepath (parquet footers — no data
     // scan); only the stats/validation pass below is restricted to the
     // sampled files.
@@ -172,7 +173,7 @@ object Catalog {
     if (allParts.isEmpty)
       throw RegistrationException(s"No part files found under $basepath")
     val sampled = chooseParts(allParts, mode)
-    val df =
+    val df = graft.ops.Tables.tsToNanos(
       if (mode == ValidationMode.Full) spark.read.parquet(basepath)
       else {
         // basePath keeps hive-style partition columns visible when reading
@@ -187,8 +188,10 @@ object Catalog {
         val rd = if (fs.getFileStatus(new org.apache.hadoop.fs.Path(basepath)).isDirectory)
           spark.read.option("basePath", basepath) else spark.read
         rd.parquet(sampled: _*)
-      }
-    val schema = spark.read.parquet(basepath).schema
+      })
+    // Schema AFTER ts normalization: registration classifies the columns the
+    // engine will actually see (a TIMESTAMP-typed ts registers as Int).
+    val schema = graft.ops.Tables.tsToNanos(spark.read.parquet(basepath)).schema
 
     def field(c: String): StructField =
       schema.find(_.name == c).getOrElse(
@@ -395,7 +398,8 @@ object Catalog {
     val ds = get(name).getOrElse(throw RegistrationException(s"Unknown dataset '$name'"))
     lastUsedAt.put(name, System.currentTimeMillis())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(ds.basepath)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.ops.Tables.tsToNanos(spark.read.parquet(ds.basepath))
   }
 
   // ------------------------------------------------------------ persistence

@@ -75,7 +75,9 @@ final class QueryEngine(spec: DatasetSpec) {
     val framed = q.timeframe match {
       case Some(Timeframe(from, to)) =>
         // ts >= from && ts < to (reference query_task_runner.py:116-133);
-        // both pushed to parquet row-group stats by Catalyst.
+        // both pushed to parquet row-group stats by Catalyst — directly when
+        // ts is a stored long, via plans.TimeframePushdown's raw-attribute
+        // bound when ts is Tables.tsToNanos-derived from a TIMESTAMP column.
         val lower = from.map(f => col(ts) >= lit(f))
         val upper = to.map(t => col(ts) < lit(t))
         // Day-partitioned layouts (GroupedWriter.partitionByDay) carry a

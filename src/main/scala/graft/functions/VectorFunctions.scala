@@ -162,6 +162,8 @@ object VectorFunctions {
 
 /** Session extension wiring: spark.sql.extensions=graft.functions.GraftExtensions */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.TimeframePushdown)
+  }
 }

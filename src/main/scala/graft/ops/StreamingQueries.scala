@@ -47,16 +47,19 @@ object StreamingQueries {
     s.table(sink)
   }
 
-  /** File-source stream over the events table: schema (and the nanos-as-
-    * long conf) come from the batch reader; ts arrives as epoch-nanos long
-    * and becomes a proper event-time timestamp at micros precision. */
+  /** File-source stream over the events table: the stream reads with the
+    * ON-DISK schema (Tables.loadRaw — a file source must match the files,
+    * whether ts is int64 nanos or TIMESTAMP_NTZ), then Tables.tsToNanos
+    * restores the engine's epoch-nanos-long contract, and event_ts is its
+    * proper event-time timestamp at micros precision. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(s, dir).schema
+    val schema = Tables.loadRaw(s, dir, "events").schema
     // The file stream source requires a DIRECTORY path; pathGlobFilter
     // narrows it to the events table (the SF dir holds all tables).
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    Tables.tsToNanos(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -38,7 +38,10 @@ class LibrarySpec extends SparkSpec {
     assert(ds.columns("price") == Catalog.ColType.Float)
     assert(ds.columns("flag") == Catalog.ColType.Bool)
     assert(ds.columns("cat") == Catalog.ColType.Str)
-    assert(ds.unsupportedColumns == Seq("when")) // datetime → unsupported, recorded
+    // Datetime columns normalize to epoch-nanos long at registration
+    // (Tables.tsToNanos) — usable opaque numbers, not unsupported.
+    assert(ds.columns("when") == Catalog.ColType.Int)
+    assert(ds.unsupportedColumns.isEmpty)
     assert(ds.minTimestamp == 100.0 && ds.maxTimestamp == 300.0)
     assert(ds.numGroups == 2 && ds.numRows == 2)
     assert(Catalog.get("t1").isDefined)
@@ -280,6 +283,46 @@ class LibrarySpec extends SparkSpec {
     val got = part.collect()(0)
     assert(got == flat, s"partitioned $got vs flat $flat")
     assert(got.getLong(1) > 0L) // the timeframe actually selected rows
+  }
+
+  test("timeframe bounds on a timestamp-typed source reach the parquet scan") {
+    import graft.query.QueryAst._
+    // Source stores ts as µs TIMESTAMP_NTZ (the round-8 testdata shape);
+    // Tables.events normalizes to epoch-nanos long, which makes the
+    // timeframe filter a DERIVED expression — TimeframePushdown must add
+    // the equivalent raw-attribute bound so row-group stats still prune.
+    val dir = tmpDir("tspush")
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("etype", StringType)))
+    val usBase = 1704067200000000L // 2024-01-01 UTC in µs
+    val ev = frame(schema, (0L until 400L).map(i => Map[String, Any](
+      "user_id" -> i % 20, "ts" -> epoch.plusNanos((usBase + i * 60000000L) * 1000),
+      "etype" -> Seq("view", "click", "buy")((i % 3).toInt))))
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val loaded = graft.ops.Tables.events(spark, dir)
+    // Bounds deliberately NOT µs multiples: from = row-100's ts + 1 ns must
+    // EXCLUDE row 100 (ceil µs conversion), to = row-300's ts + 1 ns must
+    // INCLUDE row 300 — a wrong rounding direction in the added bound would
+    // drop/keep boundary rows and fail the count check below.
+    val fromNs = (usBase + 100 * 60000000L) * 1000L + 1L
+    val toNs   = (usBase + 300 * 60000000L) * 1000L + 1L
+    val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
+    val q = GraftQuery(Some(Timeframe(Some(fromNs), Some(toNs))),
+      Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
+        Scalar.Str("view"))), Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      None, Nil, None)
+    val res = engine.run(loaded, q).summary
+    val plan = res.queryExecution.executedPlan.toString
+    // The raw µs bounds reach the scan's pushed filters.
+    assert("PushedFilters: \\[[^\\]]*GreaterThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*LessThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined, plan)
+    val row = res.collect()(0)
+    // 200 in-frame rows (101..300 inclusive: +1ns excludes row 100, includes
+    // row 300), all 20 users have a view among any 200 consecutive rows.
+    assert(row.getLong(1) == 200L, row.toString)
   }
 
   test("an unrelated DATE column named dt is NOT used for pruning unless declared") {
@@ -611,5 +654,37 @@ class LibrarySpec extends SparkSpec {
       assert(rows(1L).anchors == Seq(10L, 20L, 30L))
       assert(rows(2L).completedSteps == 1)
     } finally q.stop()
+  }
+
+  test("tables: TIMESTAMP_NTZ and TIMESTAMP event-time columns normalize to epoch nanos") {
+    // The round-8 driver regenerated events.ts as µs TIMESTAMP_NTZ; the
+    // engine contract is epoch-nanos LongType (reference: timestamps are
+    // opaque numbers — query_validator.py:268-299). Tables.tsToNanos must
+    // restore it for BOTH timestamp flavors, with the UTC reading DuckDB's
+    // epoch_ns gives the oracle side, exact to the microsecond.
+    val ldt = java.time.LocalDateTime.of(2024, 1, 15, 12, 0, 0, 123456000)
+    val expectedNs = ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L + 123456000L
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("tz_ts", TimestampType),
+      StructField("value", DoubleType)))
+    val df = frame(schema, Seq(Map(
+      "user_id" -> 7L, "ts" -> ldt,
+      "tz_ts" -> java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)),
+      "value" -> 1.0)))
+    val dir = tmpDir("ntz")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val loaded = graft.ops.Tables.events(spark, dir)
+    assert(loaded.schema("ts").dataType == LongType)
+    assert(loaded.schema("tz_ts").dataType == LongType)
+    val row = loaded.collect()(0)
+    assert(row.getAs[Long]("ts") == expectedNs)
+    assert(row.getAs[Long]("tz_ts") == expectedNs)
+    // Numeric (already-normalized) event tables pass through untouched.
+    val asIs = graft.ops.Tables.tsToNanos(frame(
+      StructType(Seq(StructField("ts", LongType))), Seq(Map("ts" -> 42L))))
+    assert(asIs.schema("ts").dataType == LongType && asIs.collect()(0).getLong(0) == 42L)
   }
 }

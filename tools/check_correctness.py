@@ -11,6 +11,10 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# Optional: previous round's CORRECTNESS_r{N}.json — the gate refuses a
+# shrunken suite (round-8 lesson: 18 queries silently dropped while every
+# surviving row was green).
+prev_file = sys.argv[3] if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -18,9 +22,35 @@ for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+# Check set = every query Verify attempted (manifest) ∪ every oracle key ∪
+# the previous round's query set. A query that failed in Verify, produced no
+# dump, or vanished since last round becomes an explicit FAIL row.
+manifest = {"queries": [], "failed": {}}
+mpath = os.path.join(out_dir, "manifest.json")
+if os.path.exists(mpath):
+    manifest = json.load(open(mpath))
+prev = set()
+if prev_file and os.path.exists(prev_file):
+    prev = set(json.load(open(prev_file)))
+
 results = {}
-for name in sorted(oracle):
+all_names = sorted(set(oracle) | set(manifest["queries"]) | prev)
+for name in all_names:
     path = os.path.join(out_dir, name)
+    if name in manifest["failed"]:
+        results[name] = f"VERIFY FAILED: {manifest['failed'][name][:200]}"
+        continue
+    if name not in set(manifest["queries"]) | set(oracle):
+        results[name] = "DROPPED: present in previous round, gone from suite"
+        continue
+    if not os.path.isdir(path):
+        if name not in oracle:
+            continue  # rows-only query handled by the driver's weaker check
+        results[name] = "MISSING: no dump directory"
+        continue
+    if name not in oracle:
+        continue  # dumped, no oracle: driver records a rows-only check
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
