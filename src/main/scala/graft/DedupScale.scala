@@ -22,11 +22,16 @@ import org.apache.spark.storage.StorageLevel
  * are guaranteed LSH candidates, near pairs probabilistically (that recall
  * is measured by the battery's oracle rows, not here).
  *
- * Args: doc counts (default 100000, 1000000).
+ * Args: doc counts (default 100000, 1000000); `--fast` switches the
+ * signature/bucket hash family to codegen'd xxhash64 (the 100 TB
+ * configuration — see minHashSignature's scaladoc; the md5 family stays on
+ * every oracle-gated battery row).
  */
 object DedupScale {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    val fastHash = args.contains("--fast")
+    val sizeArgs = args.toSeq.filterNot(_ == "--fast")
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong)
                 else Seq(100000L, 1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -57,14 +62,15 @@ object DedupScale {
 
       val (sig, sigSec) = timed {
         val s = operators.Dedup.minHashSignature(
-          operators.Dedup.charShingles(corpus, "doc_id", "text", 5), k = 8)
+          operators.Dedup.charShingles(corpus, "doc_id", "text", 5), k = 8,
+          fastHash = fastHash)
           .persist(StorageLevel.MEMORY_AND_DISK)
         s.count()
         s
       }
       val ((pairs, nPairs), candSec) = timed {
         val p = operators.Dedup.lshCandidates(
-          operators.Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4))
+          operators.Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4, fastHash = fastHash))
           .persist(StorageLevel.MEMORY_AND_DISK)
         (p, p.count())
       }
@@ -72,7 +78,7 @@ object DedupScale {
         val (labels, r) = operators.Dedup.componentsWithRounds(pairs)
         (labels.select("label").distinct().count(), r)
       }
-      println(f"""{"docs": $n, "sig_sec": $sigSec%.2f, """ +
+      println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", "sig_sec": $sigSec%.2f, """ +
         f""""sig_docs_per_sec_core": ${n / sigSec / cpus}%.0f, """ +
         f""""cand_sec": $candSec%.2f, "pairs": $nPairs, """ +
         f""""comp_sec": $compSec%.2f, "clusters": $nClusters, "rounds": $rounds}""")

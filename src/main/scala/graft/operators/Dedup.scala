@@ -42,8 +42,22 @@ object Dedup {
     * h_i = min over shingles of an 8-hex-char (32-bit) slice of a salted
     * md5 (lexicographic). One md5 yields four independent 32-bit hashes, so
     * only ceil(k/4) digests are computed per shingle — md5 dominates the
-    * signature cost at corpus scale. */
-  def minHashSignature(shingles: DataFrame, k: Int): DataFrame = {
+    * signature cost at corpus scale.
+    *
+    * `fastHash` switches the hash family to codegen'd `xxhash64(salt, sh)`
+    * (LongType mins): the same algorithm with a different random family,
+    * measured 9-30× cheaper per shingle and steadier under ambient load,
+    * with FEWER false-positive candidates (64-bit values vs md5's 32-bit
+    * slices — BENCH.md §DedupScale) — the configuration a 100 TB deployment
+    * should run. It is NOT cross-engine-stable — DuckDB cannot reproduce
+    * Spark's xxhash64 — so every oracle-gated battery row keeps the md5
+    * family; exact duplicates have identical signatures under EITHER family
+    * (same shingle set), pinned by OperatorsSpec. */
+  def minHashSignature(shingles: DataFrame, k: Int, fastHash: Boolean = false): DataFrame = {
+    if (fastHash) {
+      val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      return shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    }
     val nDigests = (k + 3) / 4
     val withDigests = (0 until nDigests).foldLeft(shingles) { (df, d) =>
       df.withColumn(s"__m$d", md5(concat(lit(s"$d:"), col("sh"))))
@@ -55,12 +69,16 @@ object Dedup {
   }
 
   /** LSH banding: signature → (id, band, bucket) with bands of `rowsPerBand`
-    * hashes; bucket = md5 of the concatenated band slice. */
-  def lshBuckets(signature: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    * hashes; bucket = md5 of the concatenated band slice (`fastHash`:
+    * xxhash64 over the slice — pair with minHashSignature's fast mode). */
+  def lshBuckets(signature: DataFrame, k: Int, rowsPerBand: Int,
+                 fastHash: Boolean = false): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into equal bands")
     val bands = (0 until k / rowsPerBand).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(slice: _*)).as("bucket"))
+      val bucket = if (fastHash) xxhash64(slice: _*).cast("string")
+                   else md5(concat(slice: _*))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     signature.select(col("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))

@@ -52,6 +52,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("minhash fastHash family: exact dups collide, unrelated docs don't") {
+    // The xxhash64 family (the 100 TB configuration — DedupScale --fast) is
+    // a different random family than md5, but the ALGORITHM guarantees hold
+    // family-independently: identical texts share every shingle, hence every
+    // signature minimum, hence every band bucket; and the signature schema
+    // (h0..h{k-1}) feeds the same banding/candidate machinery.
+    val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different content here"))
+    val sig = Dedup.minHashSignature(Dedup.charShingles(d, "doc_id", "text", 5), 8,
+      fastHash = true)
+    assert(sig.schema.fields.count(_.name.startsWith("h")) == 8)
+    val rows = sig.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(rows(1L) == rows(2L))  // identical docs → identical signatures
+    assert(rows(1L) != rows(3L))
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, 8, 4, fastHash = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((1L, 2L)), cands.toString)
+    // Deterministic across runs (xxhash64 is seed-stable in Spark).
+    val sig2 = Dedup.minHashSignature(Dedup.charShingles(d, "doc_id", "text", 5), 8,
+      fastHash = true).collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig2 == rows)
+  }
+
   test("incremental dedup: corpus precedence, batch-only min-id, transitivity") {
     def buckets(df: org.apache.spark.sql.DataFrame) = Dedup.lshBuckets(
       Dedup.minHashSignature(Dedup.charShingles(df, "doc_id", "text", 5), 8), 8, 4)
