@@ -1,0 +1,139 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{DatasetSpec, QueryEngine}
+import graft.query.QueryAst._
+
+/**
+ * Differential fuzzer for the timestamp-normalization + pushdown path
+ * added in round 9: the events source stores `ts` as µs TIMESTAMP_NTZ,
+ * [[graft.ops.Tables.tsToNanos]] rebuilds the engine's epoch-nanos-long
+ * contract, and [[graft.plans.TimeframePushdown]] must convert every
+ * nanos timeframe bound into an exact raw-attribute µs bound for the
+ * parquet scan.
+ *
+ * Each case draws random nanos bounds spanning the table's real range —
+ * exact µs multiples AND ±1 ns off-grid values (the rounding cases: a
+ * wrong ceil/floor direction in the rewrite shifts a boundary row),
+ * one-sided and inverted (empty) frames included — and checks BOTH:
+ *
+ *  1. the summary (distinct groups, rows) equals DuckDB computing the
+ *     identical predicate over `epoch_ns(ts)` straight off the parquet;
+ *  2. the executed plan's `PushedFilters` carries the corresponding
+ *     raw `ts` bound — exactness AND pushdown on every random config,
+ *     not just the two committed literals in the battery row.
+ */
+object TimeframeFuzzer {
+  final case class Case(name: String, desc: String, sql: String,
+                        spark: () => org.apache.spark.sql.DataFrame,
+                        wantLower: Boolean, wantUpper: Boolean)
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  def gen(i: Int, rnd: Random, parquet: String, minNs: Long, maxNs: Long,
+          tsPool: IndexedSeq[Long], engine: QueryEngine): Case = {
+    val span = maxNs - minNs
+    // Bounds anchor on REAL row timestamps (plus ±1 ns) so the rounding
+    // edge actually bites: a too-tight µs conversion must shift a boundary
+    // row that exists. (A uniformly random bound almost never coincides
+    // with a row's µs value — the broken-mirror check on an early draft
+    // proved that variant blind to an off-by-one in the upper bound.)
+    def bound(): Long = {
+      val base =
+        if (rnd.nextInt(4) == 0) // some off-row values for variety
+          Math.floorDiv(minNs + (rnd.nextDouble() * span).toLong, 1000L) * 1000L
+        else tsPool(rnd.nextInt(tsPool.size))
+      base + (rnd.nextInt(3) - 1)                 // exact, -1ns, +1ns
+    }
+    val from = if (rnd.nextInt(4) == 0) None else Some(bound())
+    val to   = if (rnd.nextInt(4) == 0) None else Some(bound())
+    // ~1 in 8 cases invert deliberately (from > to -> empty frame).
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if a > b && rnd.nextInt(2) == 0 => (Some(b), Some(a))
+      case other => other
+    }
+    val withCond = rnd.nextBoolean()
+    val desc = s"timeframe from=$f to=$t cond=$withCond"
+
+    val where = (f.map(v => s"tl >= $v") ++ t.map(v => s"tl < $v") ++
+      Seq("TRUE")).mkString(" AND ")
+    val condSql =
+      if (!withCond) ""
+      else """ AND user_id IN (SELECT user_id FROM e
+             | GROUP BY user_id
+             | HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1)""".stripMargin
+    val sql =
+      s"""WITH e0 AS (SELECT user_id, event_type, epoch_ns(ts) AS tl
+         |  FROM read_parquet(${sqlStr(parquet)})),
+         |e AS (SELECT * FROM e0 WHERE $where)
+         |SELECT count(DISTINCT user_id) AS g, count(*) AS r
+         |FROM e WHERE TRUE$condSql""".stripMargin
+
+    Case(s"tf_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val ev = graft.ops.Tables.events(s, new java.io.File(parquet).getParent)
+      val conds =
+        if (!withCond) Nil
+        else Seq(Condition.Filters(None,
+          Seq(RowFilter("event_type", FilterOp.Eq, Scalar.Str("purchase"))),
+          Target.Count(CmpOp.Gte, 1), includeZero = false))
+      engine.run(ev, GraftQuery(Some(Timeframe(f, t)), conds, None, Nil, None)).summary
+    }, wantLower = f.isDefined, wantUpper = t.isDefined)
+  }
+}
+
+class TimeframeFuzzSpec extends SparkSpec {
+  import TimeframeFuzzer._
+
+  private val sfDir = sys.env.getOrElse("GRAFT_FUZZ_SF", "/root/testdata/sf0.001")
+  private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(32)
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed + 7)
+
+  test(s"$N fuzzed timeframes match DuckDB and push raw bounds into the scan") {
+    assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
+    val parquet = s"$sfDir/events.parquet"
+    assume(new java.io.File(parquet).exists(), s"$parquet missing")
+
+    val ev = graft.ops.Tables.events(spark, sfDir)
+    val isDerived = // plain int64 testdata would make the pushdown assert vacuous
+      graft.ops.Tables.loadRaw(spark, sfDir, "events").schema("ts").dataType !=
+        org.apache.spark.sql.types.LongType
+    val Array(minNs, maxNs) =
+      ev.agg(min(col("ts")), max(col("ts"))).collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    // Deterministic sample of real row timestamps for boundary anchoring.
+    val tsPool = ev.select(col("ts")).where(pmod(col("event_id"), lit(17)) === 0)
+      .orderBy(col("ts")).limit(128).collect().map(_.getLong(0)).toIndexedSeq
+    assert(tsPool.nonEmpty)
+
+    val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
+    val rnd = new Random(Seed)
+    val cases = (0 until N).map(i => gen(i, rnd, parquet, minNs, maxNs, tsPool, engine))
+
+    val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
+    val failures = DuckOracle.evalAll(
+      cases.map(c => (c.name, c.desc, c.sql, c.spark)), duck)
+    assert(failures.isEmpty,
+      s"${failures.size} of ${cases.size} fuzzed timeframes diverged (seed=$Seed):\n\n" +
+        failures.take(8).mkString("\n\n"))
+
+    // Pushdown leg: every bounded side must reach the scan's PushedFilters
+    // on the timestamp-typed source (rounding exactness is covered by the
+    // value leg above — a too-tight bound would have dropped rows there).
+    if (isDerived) {
+      val planMisses = cases.flatMap { c =>
+        val plan = c.spark().queryExecution.executedPlan.toString
+        val okL = !c.wantLower ||
+          "PushedFilters: \\[[^\\]]*GreaterThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined
+        val okU = !c.wantUpper ||
+          "PushedFilters: \\[[^\\]]*LessThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined
+        if (okL && okU) Nil else Seq(s"${c.name} (${c.desc}): no pushed ts bound\n$plan")
+      }
+      assert(planMisses.isEmpty,
+        s"${planMisses.size} of ${cases.size} plans missed pushdown (seed=$Seed):\n" +
+          planMisses.take(3).mkString("\n"))
+    }
+  }
+}
