@@ -232,15 +232,25 @@ object Dedup {
     * `nBits` up to 64 (md5 has 128 bits available). 32-bit matches the
     * cross-engine oracle battery; 64-bit is the production scale choice —
     * [[simHashPairs]] banding with maxHamming=3 then keys on 16-bit bands
-    * (candidate volume ~n²/2^16 per band instead of n²/2^8). */
+    * (candidate volume ~n²/2^16 per band instead of n²/2^8).
+    *
+    * `fastHash` swaps the per-token hash to codegen'd `xxhash64` with plain
+    * long shifts for the bit extraction (no md5, no hex-string parsing) —
+    * the same md5→xxhash64 family swap as [[minHashSignature]], for the
+    * same reason (BENCH.md §DedupScale), with the same caveat: a different
+    * random family, NOT cross-engine-stable, so oracle-gated battery rows
+    * keep md5; identical texts fingerprint identically under either family
+    * (OperatorsSpec). */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-              nBits: Int = 32): DataFrame = {
+              nBits: Int = 32, fastHash: Boolean = false): DataFrame = {
     require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"))
+      .select(col("id"),
+        (if (fastHash) xxhash64(col("tok")) else md5(col("tok"))).as("h"))
     val bitSums = (0 until nBits).map { p =>
-      sum(expr(
+      if (fastHash) sum(expr(s"(h >> $p) & 1")).as(s"__s$p")
+      else sum(expr(
         s"shiftright(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1, " +
         s"${3 - (p % 4)}) & 1")).as(s"__s$p")
     }

@@ -75,6 +75,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sig2 == rows)
   }
 
+  test("simhash fastHash family: identical texts collide, pairs machinery unchanged") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"))
+    val fp = Dedup.simHash(d, "doc_id", "text", nBits = 64, fastHash = true)
+    val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))   // identical token multisets → identical fingerprints
+    assert(m(1L) != m(3L))
+    val pairs = Dedup.simHashPairs(fp, maxHamming = 3, nBits = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(pairs.contains((1L, 2L, 0L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // Deterministic across runs.
+    val m2 = Dedup.simHash(d, "doc_id", "text", nBits = 64, fastHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == m)
+  }
+
   test("incremental dedup: corpus precedence, batch-only min-id, transitivity") {
     def buckets(df: org.apache.spark.sql.DataFrame) = Dedup.lshBuckets(
       Dedup.minHashSignature(Dedup.charShingles(df, "doc_id", "text", 5), 8), 8, 4)
