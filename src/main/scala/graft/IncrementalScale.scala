@@ -27,7 +27,8 @@ import org.apache.spark.storage.StorageLevel
  */
 object IncrementalScale {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    val sizeArgs = args.toSeq.filterNot(_ == "--fast")
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong)
                 else Seq(200000L, 1000000L)
     val batchN = sys.env.getOrElse("GRAFT_BATCH", "20000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -51,10 +52,15 @@ object IncrementalScale {
       System.gc()
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
+    // --fast: the xxhash64 family (the 100 TB configuration — see
+    // minHashSignature's scaladoc); default stays md5 so recorded runs
+    // remain comparable across rounds.
+    val fastHash = args.contains("--fast")
     def buckets(df: org.apache.spark.sql.DataFrame) = operators.Dedup.lshBuckets(
       operators.Dedup.minHashSignature(
-        operators.Dedup.charShingles(df, "doc_id", "text", 5), k = 8),
-      k = 8, rowsPerBand = 4)
+        operators.Dedup.charShingles(df, "doc_id", "text", 5), k = 8,
+        fastHash = fastHash),
+      k = 8, rowsPerBand = 4, fastHash = fastHash)
 
     def run(n: Long, bN: Long, warmup: Boolean): Unit = {
       val corpus = spark.range(n)
