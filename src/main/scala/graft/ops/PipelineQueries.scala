@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Dedup, LmScore, Multimodal, TextAnalysis}
 
 /**
  * Driver-contract queries for the training-data pipeline operators
@@ -25,6 +25,17 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
+
+  /** LM-model fixture for tx_lm_score, keyed by SF-dir name (same contract
+    * as RelationalQueries' CSV/ORC fixtures: runs at different SFs must not
+    * clobber each other's model between dump and oracle compare). */
+  private def lmFixturePath(dir: String): String =
+    s"/tmp/graft_lm_fixture/${new java.io.File(dir).getName}/model"
+
+  /** Oracle-side glob for the LM fixture (resolved from the SF-dir-name
+    * property Verify records before dumping oracle_sql.json). */
+  private def lmOracleGlob: String =
+    s"/tmp/graft_lm_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
 
   /** Recall gate for an approximate ANN result vs the exact one: single
     * row `passed = 1` iff |approx ∩ exact| / |exact| >= floor, computed
@@ -324,6 +335,17 @@ object PipelineQueries {
         "doc_id", "text", n = 13)
     }),
 
+    // CCNet-style LM quality scoring: train an add-one-smoothed char-trigram
+    // model on the reference slice (doc_id % 10 == 0), materialize it as a
+    // parquet fixture, score EVERY document by average log-likelihood.
+    // The oracle reads the same fixture — scoring is integer sums + one
+    // final IEEE division, exact in both engines.
+    "tx_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LmScore.trainAndScore(s, d, d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", lmFixturePath(dir))
+    }),
+
     // Deterministic hash split (train/val/test) + per-split corpus stats:
     // the re-runnable split assignment every training pipeline needs.
     "pipeline_split" -> ((s, dir) =>
@@ -526,7 +548,10 @@ object PipelineQueries {
       |u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM embeddings, idx),
       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM u GROUP BY vec_id)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: tx_lm_score's SQL embeds the SF-keyed model fixture path,
+  // resolved from the property Verify sets before dumping oracle_sql.json
+  // (same contract as RelationalQueries.oracleSql).
+  def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
 
@@ -834,6 +859,28 @@ object PipelineQueries {
         |FROM g JOIN ev USING (gh) JOIN ng ON g.doc_id = ng.doc_id
         |WHERE g.doc_id >= 20
         |GROUP BY g.doc_id, ng.n_grams""".stripMargin,
+
+    // Mirrors LmScore: canonicalize to [a-z ] single-spaced, slice char
+    // trigrams (nt[i : i+2] is 1-based inclusive = substring(nt, i, 3)),
+    // left-join the SAME on-disk model fixture the Spark side wrote, sum
+    // the integer scores (OOV trigrams take the sentinel row's score) and
+    // divide once. generate_series bound 800 > max text length (577).
+    "tx_lm_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+         |                        ' +', ' ', 'g')) AS nt FROM documents),
+         |g AS (SELECT doc_id, nt[i : i+2] AS tri
+         |      FROM t, generate_series(1, 800) s(i)
+         |      WHERE i <= len(nt) - 2),
+         |m AS (SELECT tri, score_micro
+         |      FROM read_parquet('${lmOracleGlob}') WHERE tri <> '__OOV__'),
+         |o AS (SELECT score_micro AS oov
+         |      FROM read_parquet('${lmOracleGlob}') WHERE tri = '__OOV__')
+         |SELECT g.doc_id, count(*) AS n_tri,
+         |       CAST(sum(coalesce(m.score_micro, o.oov)) AS DOUBLE) / count(*)
+         |         AS avg_logp_micro
+         |FROM g LEFT JOIN m USING (tri), o
+         |GROUP BY g.doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.hashSplit: first hex char of md5('split:' || id),
     // '0'..'b' train (12/16), 'c'..'d' val, 'e'..'f' test.

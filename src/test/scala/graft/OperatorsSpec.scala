@@ -1033,4 +1033,73 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.where(col("k").isNull).count() == 10)
     assert(kept.columns.toSeq == Seq("id", "k"))
   }
+
+  test("LM score matches a driver-side mirror fold exactly") {
+    // Mixed charset (canonicalization), short docs (dropped), pure-OOV
+    // docs, and reference docs (id % 10 == 0 is the training slice).
+    val d = docs(
+      0L  -> "The CAT sat on the mat, the cat sat!",
+      10L -> "the mat sat on the cat  and   the rat",
+      20L -> "a cat and a rat sat... 42 times",
+      1L  -> "the cat sat QUICKLY on the mat",
+      2L  -> "xyzzy qwfp jjjj zzzz",   // mostly out-of-vocabulary
+      3L  -> "zz",                      // canonical length < 3: omitted
+      4L  -> "!!! 123 ???")             // canonical empty: omitted
+    val fixture = java.nio.file.Files.createTempDirectory("lm_fix").toString
+    val got = operators.LmScore.trainAndScore(
+        spark, d, d.where(col("doc_id") % 10 === 0), "doc_id", "text",
+        s"$fixture/model")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    // Independent mirror: same canonicalization/trigram/smoothing contract,
+    // folded in plain Scala. Same-JVM math.log ⇒ the model integers match
+    // what Spark's log wrote to the fixture; sums and the single division
+    // must then be bit-identical.
+    def canon(t: String) =
+      t.toLowerCase.replaceAll("[^a-z ]", "").replaceAll(" +", " ").trim
+    def tris(t: String) = {
+      val nt = canon(t)
+      if (nt.length < 3) Seq.empty[String]
+      else (0 to nt.length - 3).map(i => nt.substring(i, i + 3))
+    }
+    val texts = Map(0L -> "The CAT sat on the mat, the cat sat!",
+      10L -> "the mat sat on the cat  and   the rat",
+      20L -> "a cat and a rat sat... 42 times",
+      1L -> "the cat sat QUICKLY on the mat",
+      2L -> "xyzzy qwfp jjjj zzzz", 3L -> "zz", 4L -> "!!! 123 ???")
+    val refTris = Seq(0L, 10L, 20L).flatMap(i => tris(texts(i)))
+    val counts  = refTris.groupBy(identity).map { case (k, v) => k -> v.size }
+    val tv      = refTris.size + counts.size
+    val model   = counts.map { case (k, c) =>
+      k -> math.floor(1e6 * math.log((c + 1).toDouble / tv)).toLong }
+    val oov     = math.floor(1e6 * math.log(1.0 / tv)).toLong
+    val want = texts.flatMap { case (id, t) =>
+      val ts = tris(t)
+      if (ts.isEmpty) None
+      else Some(id -> (ts.size.toLong,
+        ts.map(g => model.getOrElse(g, oov)).sum.toDouble / ts.size))
+    }
+    assert(got == want)
+    // Reference docs must outscore the mostly-OOV doc by construction.
+    assert(got(0L)._2 > got(2L)._2)
+  }
+
+  test("LM score plan: model joins by broadcast, corpus trigrams never sorted") {
+    val d = docs((0L until 40L).map(i =>
+      i -> s"the cat sat on mat number $i and slept"): _*)
+    val fixture = java.nio.file.Files.createTempDirectory("lm_fix2").toString
+    val scored = operators.LmScore.trainAndScore(
+      spark, d, d.where(col("doc_id") % 10 === 0), "doc_id", "text",
+      s"$fixture/model")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The 100 TB claim pinned: vocabulary + OOV sentinel attach by
+    // broadcast; the exploded corpus-trigram stream is never sorted and
+    // the only data-sized exchange is the per-document aggregation.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model must join by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("SortExec"),
+      s"corpus trigrams must never be sorted:\n$plan")
+  }
 }
