@@ -299,4 +299,195 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
   }
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI'11): the vector is
+    * split into `nSub` contiguous subspaces and each gets its own
+    * `nCodes`-centroid k-means codebook. All nSub k-means runs are FUSED
+    * into one distributed aggregate per Lloyd iteration — vectors explode
+    * to (sub, subvector) rows once (cached), nearest-centroid assignment is
+    * a broadcast join against the (sub, code, centroid) table with
+    * `min_by` argmin (||sv||² dropped from the distance: constant per row,
+    * can't change the argmin), and the new means come back in a single
+    * (sub, code, pos) aggregation — so training costs `iters` jobs total,
+    * not nSub × iters, at any corpus size. Codebooks live driver-side
+    * (nSub × nCodes × subDim doubles — a few KB, the standard k-means
+    * shape). Deterministic init from the lowest-id vectors' slices.
+    * Returns codebooks(sub)(code)(dim). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              nSub: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val subDim = dim / nSub
+    require(subDim * nSub == dim, s"dim $dim must divide into $nSub subspaces")
+    val init = corpus.orderBy(col(idCol)).limit(nCodes)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(s =>
+      init.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val sv = graft.util.Caches.retain(corpus
+      .select(col(idCol).as("__id"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+        s"s -> struct(s AS sub, slice($vecCol, s * $subDim + 1, $subDim) AS sv))"))
+        .as("e"))
+      .select(col("__id"), col("e.sub").as("sub"), col("e.sv").as("sv")))
+    for (_ <- 0 until iters) {
+      val bookDf = books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, i) => (s, i, c, c.map(x => x * x).sum) }
+      }.toSeq.toDF("sub", "code", "cent", "cn")
+      val sums = sv.join(broadcast(bookDf), Seq("sub"))
+        .withColumn("d", col("cn") - lit(2.0) *
+          expr("vec_dot(sv, CAST(cent AS ARRAY<FLOAT>))"))
+        .groupBy(col("__id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("d"), col("code"))).as("a"))
+        .select(col("sub"), col("a.code").as("code"),
+          posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+    }
+    books
+  }
+
+  /** PQ-compressed approximate top-k via asymmetric distance computation:
+    * corpus vectors are stored as `nSub` one-byte codes (64 floats → 8
+    * bytes at the default shape, 32× smaller), queries stay exact, and the
+    * approximate dot is Σ_s LUT[q, s, code_s] where the lookup table holds
+    * the query-subvector · sub-centroid dots. Everything after training is
+    * declarative: code assignment is ONE map-only projection (codebooks are
+    * literal expressions), the LUT is |queries| × nSub × nCodes rows built
+    * by a broadcast cross join, and scoring joins the unpivoted codes
+    * against the broadcast LUT — the only data-sized exchange is the
+    * per-(query, vector) sum, the same linear-scan shape as
+    * [[bruteForceTopK]] but reading bytes instead of floats (PQ's win is
+    * memory bandwidth; compose with [[ivfTopK]] cells for sub-linear
+    * candidate sets — IVF-PQ — when |corpus| demands it). Ranking divides
+    * by the EXACT stored vector norm, so only the dot is approximated.
+    * `rerank > 1` adds the standard serving refinement: ADC keeps a
+    * k·rerank shortlist from codes alone, then exact cosine re-ranks ONLY
+    * those vectors (near-uniform corpora need it — codes alone measured
+    * recall@5 ≈ 0.24 on the synthetic embeddings vs ≥ 0.75 with rerank=8;
+    * clustered corpora, the realistic case, are far easier — see
+    * BENCH.md §RecallScale for the same effect on IVF).
+    * Recall < 1 by design — gate with a recallGate row like the other
+    * approximate paths. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, nSub: Int, nCodes: Int, iters: Int,
+             k: Int, rerank: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val subDim = dim / nSub
+    val books = pqTrain(corpus, idCol, vecCol, dim, nSub, nCodes, iters)
+
+    // One projection assigns every subspace's code (nearest sub-centroid,
+    // literal codebook arrays — no shuffle), then unpivots to (nid, sub,
+    // code) rows: the stored form is nSub small ints per vector.
+    val codeCols = (0 until nSub).map { s =>
+      probeCellsCol(s"slice(nv, ${s * subDim + 1}, $subDim)", books(s), 1)
+        .getItem(0).getField("cell").as(s"__c$s")
+    }
+    val stacked = (0 until nSub).map(s => s"$s, __c$s").mkString(", ")
+    val codes = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", expr("vec_norm(nv)"))
+      .select(Seq(col("nid"), col("nn")) ++ codeCols: _*)
+      .select(col("nid"), col("nn"),
+        expr(s"stack($nSub, $stacked)").as(Seq("sub", "code")))
+
+    // Query-side lookup table: dot of each query subvector with each sub-
+    // centroid (float-cast, matching the corpus-side bucket arithmetic).
+    val bookDf = books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, i) => (s, i, c) }
+    }.toSeq.toDF("sub", "code", "cent")
+    val lut = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", expr("vec_norm(qv)"))
+      .crossJoin(broadcast(bookDf))
+      .select(col("qid"), col("qn"), col("sub"), col("code"),
+        expr(s"vec_dot(slice(qv, sub * $subDim + 1, $subDim), " +
+          "CAST(cent AS ARRAY<FLOAT>))").as("l"))
+
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("l")).as("adc"), first(col("nn")).as("nn"),
+        first(col("qn")).as("qn"))
+      .withColumn("cos", col("adc") / (col("qn") * col("nn")))
+    val shortlist = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k * rerank)
+    if (rerank <= 1)
+      shortlist.select(col("qid").as("query_id"),
+        col("nid").as("neighbor_id"), col("rank"))
+    else {
+      // Exact re-rank of the ADC shortlist — the standard serving pattern:
+      // ADC prunes |corpus| → k·rerank candidates from codes alone, exact
+      // cosine touches ONLY those full vectors (a per-query k·rerank-row
+      // equi-join, broadcast at any corpus size since the shortlist is
+      // query-bounded).
+      val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      val qfull = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("qn", expr("vec_norm(qv)"))
+      full.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
+        .join(broadcast(qfull), Seq("qid"))
+        .withColumn("cosx",
+          expr("vec_dot(qv, nv)") / (col("qn") * expr("vec_norm(nv)")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cosx"), asc("nid"))))
+        .where(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rank"))
+    }
+  }
+
+  /** Per-vector scalar int8 quantization — the storage/bandwidth pass a
+    * vector store runs before ANN serving (4 bytes/dim float → 1 byte/dim,
+    * dequantizable from the per-vector (qmin, qmax) pair). Works on the
+    * floor(v·1024) integer domain (the same quantization [[qPlaneWeight]]
+    * buckets use), so every step is integer arithmetic and a DuckDB oracle
+    * reproduces codes bit-for-bit: code = (q − qmin)·254 ∕ (qmax − qmin)
+    * − 127 ∈ [−127, 127] (integer division on non-negative operands, where
+    * truncation and floor agree in any engine); degenerate constant vectors
+    * code to 0. Output is flattened — one (vec_id, pos, code) row per
+    * dimension, with (qmin, qmax) carried for self-contained dequantization.
+    * Map-only: a projection plus posexplode, no shuffle at any scale. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizedRows(emb, idCol, vecCol)
+      .select(col("vec_id"), col("pos"), col("qmin"), col("qmax"), col("code"))
+
+  private def quantizedRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+          .as("__q"))
+      .select(col("vec_id"), expr("array_min(__q)").as("qmin"),
+        expr("array_max(__q)").as("qmax"),
+        posexplode(col("__q")).as(Seq("pos", "qv")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("qmin"), col("qmax"), col("qv"),
+        when(col("qmax") > col("qmin"),
+          expr("((qv - qmin) * 254) div (qmax - qmin) - 127"))
+          .otherwise(lit(0L)).as("code"))
+
+  /** Quantization-error gate: dequantize every code and assert the absolute
+    * error in the integer domain never exceeds the analytic worst case
+    * ceil((R−1)/254) for range R = qmax − qmin (derived from the two
+    * truncating divisions; any rounding-mode regression lands far outside
+    * it). Single row `passed = 1` — the literal-oracle pattern the other
+    * approximate operators use. */
+  def quantizeInt8ErrGate(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizedRows(emb, idCol, vecCol)
+      .select(
+        abs(col("qv") - (col("qmin") +
+          expr("((code + 127) * (qmax - qmin)) div 254"))).as("err"),
+        expr("(qmax - qmin + 252) div 254").as("bound"))
+      .agg(max(col("err") - col("bound")).as("worst"))
+      .select(when(coalesce(col("worst"), lit(0L)) <= 0, lit(1L))
+        .otherwise(lit(0L)).as("passed"))
 }

@@ -214,6 +214,36 @@ object PipelineQueries {
         .select(col("bucket"), col("pos").cast("long").as("pos"),
           col("qsum"), col("n"))),
 
+    // Scalar int8 quantization (4 bytes/dim → 1): flattened (vec_id, pos,
+    // qmin, qmax, code) rows, all-integer arithmetic — the oracle
+    // re-derives every code bit-for-bit.
+    "emb_quantize" -> ((s, dir) =>
+      Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding")),
+
+    // Dequantization-error gate: |q - dequant(code)| must stay within the
+    // analytic worst case for every dimension of every vector.
+    "emb_quantize_err" -> ((s, dir) =>
+      Ann.quantizeInt8ErrGate(emb(s, dir), "vec_id", "embedding")),
+
+    // PQ-compressed ANN (8 subspaces × 16 codes = 8 bytes/vector, 32×
+    // smaller than float32): ADC scoring against the exact top-k, gated on
+    // recall like the other approximate paths.
+    "ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, nSub = 8, nCodes = 16, iters = 2, k = 5, rerank = 8)
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallGate(
+        Ann.pqTopK(e, q, "vec_id", "embedding",
+          dim = 64, nSub = 8, nCodes = 16, iters = 2, k = 5, rerank = 8),
+        Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        floor = 0.5)
+    }),
+
     // Capstone: the full training-data cleaning pipeline composed from the
     // individual operators — marker language filter → token-count band →
     // mean-token-length sanity → exact dedup (keep min doc id) → token-
@@ -682,8 +712,27 @@ object PipelineQueries {
     // oracle is the constant — a recall regression flips the hash red.
     "ann_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "ann_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "dd_semantic_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "tx_cms_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "emb_quantize_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
+
+    // Mirrors Ann.quantizeInt8 bit-for-bit: float→double cast then ×1024
+    // (an exponent shift — no rounding) and floor land on the same integer
+    // in any engine; the code divisions run on non-negative BIGINTs, where
+    // truncation and floor agree.
+    "emb_quantize" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |u AS (SELECT vec_id, i,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS qv
+        |      FROM embeddings, idx),
+        |mm AS (SELECT vec_id, min(qv) AS qmin, max(qv) AS qmax
+        |       FROM u GROUP BY vec_id)
+        |SELECT u.vec_id, CAST(u.i - 1 AS BIGINT) AS pos, mm.qmin, mm.qmax,
+        |  CASE WHEN mm.qmax > mm.qmin
+        |       THEN ((u.qv - mm.qmin) * 254) // (mm.qmax - mm.qmin) - 127
+        |       ELSE CAST(0 AS BIGINT) END AS code
+        |FROM u JOIN mm USING (vec_id)""".stripMargin,
 
     // Single-table variant of the dd_embed_near bucket mirror (seed 1000),
     // then exact integer per-position sums per bucket.

