@@ -359,13 +359,14 @@ object Ann {
     * bytes at the default shape, 32× smaller), queries stay exact, and the
     * approximate dot is Σ_s LUT[q, s, code_s] where the lookup table holds
     * the query-subvector · sub-centroid dots. Everything after training is
-    * declarative: code assignment is ONE map-only projection (codebooks are
-    * literal expressions), the LUT is |queries| × nSub × nCodes rows built
-    * by a broadcast cross join, and scoring joins the unpivoted codes
-    * against the broadcast LUT — the only data-sized exchange is the
-    * per-(query, vector) sum, the same linear-scan shape as
-    * [[bruteForceTopK]] but reading bytes instead of floats (PQ's win is
-    * memory bandwidth; compose with [[ivfTopK]] cells for sub-linear
+    * declarative and map-shaped: code assignment is ONE map-only projection
+    * (codebooks are literal expressions), each query carries its LUT as a
+    * flat nSub × nCodes array (built once per query, broadcast), and the
+    * scan scores one row per (query, vector) — the same linear shape as
+    * [[bruteForceTopK]] — with a fixed-order nSub-lookup fold per row
+    * instead of a dim-wide float dot (8 lookups vs 64 multiply-adds at the
+    * default shape: the memory-bandwidth win PQ exists for; compose with
+    * [[ivfTopK]] cells for sub-linear
     * candidate sets — IVF-PQ — when |corpus| demands it). Ranking divides
     * by the EXACT stored vector norm, so only the dot is approximated.
     * `rerank > 1` adds the standard serving refinement: ADC keeps a
@@ -386,38 +387,42 @@ object Ann {
     val books = pqTrain(corpus, idCol, vecCol, dim, nSub, nCodes, iters)
 
     // One projection assigns every subspace's code (nearest sub-centroid,
-    // literal codebook arrays — no shuffle), then unpivots to (nid, sub,
-    // code) rows: the stored form is nSub small ints per vector.
+    // literal codebook arrays — no shuffle): the stored form is one array
+    // of nSub small ints per vector — the 8-byte PQ representation.
     val codeCols = (0 until nSub).map { s =>
       probeCellsCol(s"slice(nv, ${s * subDim + 1}, $subDim)", books(s), 1)
-        .getItem(0).getField("cell").as(s"__c$s")
+        .getItem(0).getField("cell")
     }
-    val stacked = (0 until nSub).map(s => s"$s, __c$s").mkString(", ")
     val codes = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", expr("vec_norm(nv)"))
-      .select(Seq(col("nid"), col("nn")) ++ codeCols: _*)
-      .select(col("nid"), col("nn"),
-        expr(s"stack($nSub, $stacked)").as(Seq("sub", "code")))
+      .select(col("nid"), col("nn"), array(codeCols: _*).as("codes"))
 
-    // Query-side lookup table: dot of each query subvector with each sub-
-    // centroid (float-cast, matching the corpus-side bucket arithmetic).
-    val bookDf = books.zipWithIndex.flatMap { case (cents, s) =>
-      cents.zipWithIndex.map { case (c, i) => (s, i, c) }
-    }.toSeq.toDF("sub", "code", "cent")
-    val lut = queries
+    // Query-side lookup table, one flat array per query: lut[s·nCodes + c]
+    // = query-subvector(s) · sub-centroid(s, c) (float-cast, matching the
+    // corpus-side bucket arithmetic). nSub × nCodes doubles per query.
+    val bookLit = books.flatMap(_.iterator)
+      .map(_.mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    val qlut = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", expr("vec_norm(qv)"))
-      .crossJoin(broadcast(bookDf))
-      .select(col("qid"), col("qn"), col("sub"), col("code"),
-        expr(s"vec_dot(slice(qv, sub * $subDim + 1, $subDim), " +
-          "CAST(cent AS ARRAY<FLOAT>))").as("l"))
+      .withColumn("lut", expr(
+        s"transform(sequence(0, ${nSub * nCodes - 1}), i -> " +
+        s"vec_dot(slice(qv, (i div $nCodes) * $subDim + 1, $subDim), " +
+        s"CAST(element_at($bookLit, i + 1) AS ARRAY<FLOAT>)))"))
+      .select(col("qid"), col("qn"), col("lut"))
 
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    // ADC scan: one row per (query, vector) — the same linear shape as
+    // bruteForceTopK — but each row is nSub array lookups + adds instead
+    // of a dim-wide float dot (8 vs 64 at the default shape: the memory-
+    // bandwidth win PQ exists for). The fold order is fixed (s = 0..nSub),
+    // so adc is deterministic, unlike a shuffled SUM.
+    val scored = codes.crossJoin(broadcast(qlut))
       .where(col("qid") =!= col("nid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("l")).as("adc"), first(col("nn")).as("nn"),
-        first(col("qn")).as("qn"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${nSub - 1}), CAST(0 AS DOUBLE), (acc, s) -> " +
+        s"acc + element_at(lut, s * $nCodes + element_at(codes, s + 1) + 1))"))
       .withColumn("cos", col("adc") / (col("qn") * col("nn")))
     val shortlist = scored
       .withColumn("rank", row_number().over(

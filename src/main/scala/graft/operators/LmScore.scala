@@ -36,11 +36,17 @@ import org.apache.spark.sql.functions._
  */
 object LmScore {
 
-  /** Lowercase-`[a-z ]` canonical form: strip everything outside the model
-    * charset, collapse space runs, trim. Mirrors the SQL in
-    * [[graft.ops.PipelineQueries]] (`regexp_replace(..., 'g')`). */
+  /** Lowercase-`[a-z ]` canonical form: strip everything outside
+    * `[A-Za-z ]` FIRST, then lowercase, collapse space runs, trim. The
+    * strip-first order matters: `lower` only ever sees pure ASCII, so
+    * Java vs ICU case-folding of exotic codepoints (Turkish İ → i +
+    * combining dot, ß → ss, …) can never reach the trigram stream — the
+    * cross-engine agreement holds by construction, not by charset luck.
+    * Mirrors the SQL in [[graft.ops.PipelineQueries]]
+    * (`regexp_replace(..., 'g')`). */
   def canonical(textCol: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z ]", ""), " +", " "))
+    trim(regexp_replace(lower(regexp_replace(textCol, "[^A-Za-z ]", "")),
+      " +", " "))
 
   /** One row per character trigram occurrence: (doc_id, tri). The CASE
     * keeps sequence() from descending through 0 on short docs under

@@ -916,7 +916,7 @@ object PipelineQueries {
     // divide once. generate_series bound 800 > max text length (577).
     "tx_lm_score" ->
       s"""WITH t AS (SELECT doc_id,
-         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+         |    trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')),
          |                        ' +', ' ', 'g')) AS nt FROM documents),
          |g AS (SELECT doc_id, nt[i : i+2] AS tri
          |      FROM t, generate_series(1, 800) s(i)

@@ -1106,7 +1106,7 @@ class OperatorsSpec extends SparkSpec {
     // what Spark's log wrote to the fixture; sums and the single division
     // must then be bit-identical.
     def canon(t: String) =
-      t.toLowerCase.replaceAll("[^a-z ]", "").replaceAll(" +", " ").trim
+      t.replaceAll("[^A-Za-z ]", "").toLowerCase.replaceAll(" +", " ").trim
     def tris(t: String) = {
       val nt = canon(t)
       if (nt.length < 3) Seq.empty[String]
