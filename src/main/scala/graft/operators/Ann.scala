@@ -300,23 +300,42 @@ object Ann {
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("rank"))
   }
 
+  /** Nearest sub-centroid by squared L2 on `v[off, off + subDim)`; strict
+    * `<` keeps ties at the lowest code, deterministically. The tight JVM
+    * loop IS the point: a nCodes-way argmin per row has no codegen-friendly
+    * expression form at 256 codes (a literal-centroid expression array
+    * explodes the plan; an aggregate() HOF evaluates interpreted), while
+    * this is exactly the per-partition imperative core MLlib's k-means
+    * uses. */
+  private def nearestCode(v: Array[Float], off: Int,
+                          book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cent = book(c); var d = 0.0; var j = 0
+      while (j < cent.length) {
+        val x = v(off + j) - cent(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Product-quantization codebooks (Jégou et al., TPAMI'11): the vector is
     * split into `nSub` contiguous subspaces and each gets its own
-    * `nCodes`-centroid k-means codebook. All nSub k-means runs are FUSED
-    * into one distributed aggregate per Lloyd iteration — vectors explode
-    * to (sub, subvector) rows once (cached), nearest-centroid assignment is
-    * a broadcast join against the (sub, code, centroid) table with
-    * `min_by` argmin (||sv||² dropped from the distance: constant per row,
-    * can't change the argmin), and the new means come back in a single
-    * (sub, code, pos) aggregation — so training costs `iters` jobs total,
-    * not nSub × iters, at any corpus size. Codebooks live driver-side
-    * (nSub × nCodes × subDim doubles — a few KB, the standard k-means
-    * shape). Deterministic init from the lowest-id vectors' slices.
-    * Returns codebooks(sub)(code)(dim). */
+    * `nCodes`-centroid k-means codebook. One Lloyd iteration = ONE
+    * mapPartitions pass (broadcast codebooks, [[nearestCode]] argmin, local
+    * (sub, code) sum/count accumulators) + a tree reduce of the partials —
+    * the MLlib k-means shape, costing `iters` jobs at any corpus size and
+    * any nCodes (256-code books are standard; a join- or expression-based
+    * argmin degrades at that width — measured and replaced). Codebooks live
+    * driver-side (nSub × nCodes × subDim doubles — a few hundred KB at
+    * most). Deterministic init from the lowest-id vectors' slices; empty
+    * codes keep their previous centroid. Returns codebooks(sub)(code)(dim). */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
               nSub: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
-    graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
     val subDim = dim / nSub
     require(subDim * nSub == dim, s"dim $dim must divide into $nSub subspaces")
@@ -325,44 +344,75 @@ object Ann {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(s =>
       init.map(_.slice(s * subDim, (s + 1) * subDim)))
-    val sv = graft.util.Caches.retain(corpus
-      .select(col(idCol).as("__id"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), " +
-        s"s -> struct(s AS sub, slice($vecCol, s * $subDim + 1, $subDim) AS sv))"))
-        .as("e"))
-      .select(col("__id"), col("e.sub").as("sub"), col("e.sv").as("sv")))
+    val vecs = corpus.select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]].rdd
     for (_ <- 0 until iters) {
-      val bookDf = books.zipWithIndex.flatMap { case (cents, s) =>
-        cents.zipWithIndex.map { case (c, i) => (s, i, c, c.map(x => x * x).sum) }
-      }.toSeq.toDF("sub", "code", "cent", "cn")
-      val sums = sv.join(broadcast(bookDf), Seq("sub"))
-        .withColumn("d", col("cn") - lit(2.0) *
-          expr("vec_dot(sv, CAST(cent AS ARRAY<FLOAT>))"))
-        .groupBy(col("__id"), col("sub"))
-        .agg(min_by(struct(col("code"), col("sv")),
-          struct(col("d"), col("code"))).as("a"))
-        .select(col("sub"), col("a.code").as("code"),
-          posexplode(col("a.sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      sums.foreach(r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-      books = next
+      val bb = spark.sparkContext.broadcast(books)
+      val (sums, cnts) = vecs.mapPartitions { it =>
+        val b = bb.value
+        val s0 = Array.ofDim[Double](nSub, nCodes, subDim)
+        val c0 = Array.ofDim[Long](nSub, nCodes)
+        it.foreach { v =>
+          var s = 0
+          while (s < nSub) {
+            val c = nearestCode(v, s * subDim, b(s))
+            c0(s)(c) += 1
+            val acc = s0(s)(c); var j = 0
+            while (j < subDim) { acc(j) += v(s * subDim + j); j += 1 }
+            s += 1
+          }
+        }
+        Iterator.single((s0, c0))
+      }.treeReduce { case ((sa, ca), (sb, cb)) =>
+        for (s <- 0 until nSub; c <- 0 until nCodes) {
+          ca(s)(c) += cb(s)(c)
+          val x = sa(s)(c); val y = sb(s)(c)
+          var j = 0; while (j < subDim) { x(j) += y(j); j += 1 }
+        }
+        (sa, ca)
+      }
+      books = Array.tabulate(nSub)(s => Array.tabulate(nCodes)(c =>
+        if (cnts(s)(c) > 0) sums(s)(c).map(_ / cnts(s)(c))
+        else books(s)(c)))
+      bb.destroy()
     }
     books
+  }
+
+  /** Corpus side of the PQ store: (nid, nn, codes) — exact norm + the nSub
+    * one-byte codes, computed in one mapPartitions pass with broadcast
+    * codebooks (see [[nearestCode]] for why this is imperative). In a
+    * deployment this runs once at ingest and persists; [[pqScoreTopK]]
+    * re-derives it per call only because the battery has no ingest step. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nSub = books.length; val subDim = books(0)(0).length
+    val bb = spark.sparkContext.broadcast(books)
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bb.value
+        it.map { case (id, v) =>
+          var nrm = 0.0; var j = 0
+          while (j < v.length) { nrm += v(j).toDouble * v(j); j += 1 }
+          (id, math.sqrt(nrm),
+            Array.tabulate(b.length)(s => nearestCode(v, s * subDim, b(s))))
+        }
+      }.toDF("nid", "nn", "codes")
   }
 
   /** PQ-compressed approximate top-k via asymmetric distance computation:
     * corpus vectors are stored as `nSub` one-byte codes (64 floats → 8
     * bytes at the default shape, 32× smaller), queries stay exact, and the
     * approximate dot is Σ_s LUT[q, s, code_s] where the lookup table holds
-    * the query-subvector · sub-centroid dots. Everything after training is
-    * declarative and map-shaped: code assignment is ONE map-only projection
-    * (codebooks are literal expressions), each query carries its LUT as a
-    * flat nSub × nCodes array (built once per query, broadcast), and the
-    * scan scores one row per (query, vector) — the same linear shape as
+    * the query-subvector · sub-centroid dots. Code assignment and the
+    * per-query LUT are one [[pqCodes]]-style mapPartitions pass each (the
+    * nCodes-way argmin has no plan-friendly expression form at standard
+    * 256-code books); the scan itself is declarative: each query carries
+    * its LUT as a flat nSub × nCodes array (built once, broadcast), and
+    * scoring is one row per (query, vector) — the same linear shape as
     * [[bruteForceTopK]] — with a fixed-order nSub-lookup fold per row
     * instead of a dim-wide float dot (8 lookups vs 64 multiply-adds at the
     * default shape: the memory-bandwidth win PQ exists for; compose with
@@ -379,50 +429,72 @@ object Ann {
     * approximate paths. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, nSub: Int, nCodes: Int, iters: Int,
-             k: Int, rerank: Int = 1): DataFrame = {
+             k: Int, rerank: Int = 1): DataFrame =
+    pqScoreTopK(corpus, queries, idCol, vecCol,
+      pqTrain(corpus, idCol, vecCol, dim, nSub, nCodes, iters), k, rerank)
+
+  /** The serving half of [[pqTopK]] against pre-trained codebooks (the
+    * offline/online split a deployment actually has — codebooks and codes
+    * are built once at ingest; only this scan runs per query batch). */
+  def pqScoreTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, books: Array[Array[Array[Double]]],
+                  k: Int, rerank: Int = 1,
+                  precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
-    val subDim = dim / nSub
-    val books = pqTrain(corpus, idCol, vecCol, dim, nSub, nCodes, iters)
+    val nSub = books.length
+    val nCodes = books(0).length
+    val subDim = books(0)(0).length
 
-    // One projection assigns every subspace's code (nearest sub-centroid,
-    // literal codebook arrays — no shuffle): the stored form is one array
-    // of nSub small ints per vector — the 8-byte PQ representation.
-    val codeCols = (0 until nSub).map { s =>
-      probeCellsCol(s"slice(nv, ${s * subDim + 1}, $subDim)", books(s), 1)
-        .getItem(0).getField("cell")
-    }
-    val codes = corpus
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .withColumn("nn", expr("vec_norm(nv)"))
-      .select(col("nid"), col("nn"), array(codeCols: _*).as("codes"))
+    // The stored form: one array of nSub small ints per vector — the
+    // 8-byte PQ representation — plus the exact norm (see pqCodes). A
+    // deployment passes its persisted code table via `precomputedCodes`;
+    // deriving it here per call is the battery's no-ingest-step fallback.
+    val codes = precomputedCodes.getOrElse(pqCodes(corpus, idCol, vecCol, books))
 
     // Query-side lookup table, one flat array per query: lut[s·nCodes + c]
-    // = query-subvector(s) · sub-centroid(s, c) (float-cast, matching the
-    // corpus-side bucket arithmetic). nSub × nCodes doubles per query.
-    val bookLit = books.flatMap(_.iterator)
-      .map(_.mkString("array(", "D, ", "D)"))
-      .mkString("array(", ", ", ")")
+    // = query-subvector(s) · sub-centroid(s, c), computed in the same
+    // tight-loop pass on the (small) query side. nSub × nCodes doubles per
+    // query, broadcast.
+    val bb = spark.sparkContext.broadcast(books)
     val qlut = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qn", expr("vec_norm(qv)"))
-      .withColumn("lut", expr(
-        s"transform(sequence(0, ${nSub * nCodes - 1}), i -> " +
-        s"vec_dot(slice(qv, (i div $nCodes) * $subDim + 1, $subDim), " +
-        s"CAST(element_at($bookLit, i + 1) AS ARRAY<FLOAT>)))"))
-      .select(col("qid"), col("qn"), col("lut"))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bb.value
+        it.map { case (id, v) =>
+          var nrm = 0.0; var j = 0
+          while (j < v.length) { nrm += v(j).toDouble * v(j); j += 1 }
+          val lut = new Array[Double](nSub * nCodes)
+          var s = 0
+          while (s < nSub) {
+            var c = 0
+            while (c < nCodes) {
+              val cent = b(s)(c); var d = 0.0; var k2 = 0
+              while (k2 < subDim) { d += v(s * subDim + k2) * cent(k2); k2 += 1 }
+              lut(s * nCodes + c) = d; c += 1
+            }
+            s += 1
+          }
+          (id, math.sqrt(nrm), lut)
+        }
+      }.toDF("qid", "qn", "lut")
 
     // ADC scan: one row per (query, vector) — the same linear shape as
     // bruteForceTopK — but each row is nSub array lookups + adds instead
     // of a dim-wide float dot (8 vs 64 at the default shape: the memory-
-    // bandwidth win PQ exists for). The fold order is fixed (s = 0..nSub),
-    // so adc is deterministic, unlike a shuffled SUM.
+    // bandwidth win PQ exists for). The sum is a STATIC expression tree,
+    // not an aggregate() HOF: higher-order-function lambdas evaluate
+    // interpreted per row (measured 6× slower than the brute scan at 200k
+    // vectors), while element_at chains stay inside whole-stage codegen.
+    // Left-to-right s = 0..nSub association keeps adc deterministic.
+    val adcExpr = (0 until nSub)
+      .map(s => expr(s"element_at(lut, $s * $nCodes + element_at(codes, ${s + 1}) + 1)"))
+      .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qlut))
       .where(col("qid") =!= col("nid"))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${nSub - 1}), CAST(0 AS DOUBLE), (acc, s) -> " +
-        s"acc + element_at(lut, s * $nCodes + element_at(codes, s + 1) + 1))"))
+      .withColumn("adc", adcExpr)
       .withColumn("cos", col("adc") / (col("qn") * col("nn")))
     val shortlist = scored
       .withColumn("rank", row_number().over(
