@@ -188,6 +188,37 @@ object TextAnalysis {
       .where(col("n_hits") > 0)
   }
 
+  /** Blocklist filtering with a Bloom pre-probe — the URL/content-hash
+    * scrub a corpus runs against blocklists too large to broadcast as an
+    * exact set (abuse-domain lists, previously-served training hashes).
+    * Semantics are EXACTLY the plain left-anti join — the Bloom filter
+    * only routes: rows whose key definitely isn't in the blocklist (no
+    * false negatives by construction) pass through a MAP-ONLY codegen'd
+    * probe ([[graft.functions.BloomMightContain]]); only the "maybe" rows
+    * (true hits + the fpp share of the corpus) reach the exact anti-join
+    * for confirmation. At 100 TB that shrinks the corpus-side shuffle from
+    * |corpus| to |blocked| + fpp·|corpus| while the result stays
+    * bit-identical to the exact join — the explicit form of Spark's own
+    * runtime-filter rewrite, with the filter sized by the caller instead
+    * of guessed by the optimizer. Keys are standardized to `xxhash64`
+    * longs on both sides; null keys are never blocked (anti-join
+    * semantics). `expectedItems`/`fpp` size the filter: bits ≈
+    * -n·ln(fpp)/ln²2 (~1.2 GB for 1B items at 1%), broadcast once. */
+  def blocklistFilter(corpus: DataFrame, keyCol: String,
+                      blocklist: DataFrame, blockKeyCol: String,
+                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = blocklist.stat.bloomFilter(
+      xxhash64(col(blockKeyCol)), expectedItems, fpp)
+    val might = graft.functions.BloomFunctions.mightContain(
+      corpus.sparkSession, bloom, xxhash64(col(keyCol)))
+    val clean = corpus.where(!coalesce(might, lit(false)))
+    val maybe = corpus.where(coalesce(might, lit(false)))
+    val confirmedClean = maybe.join(
+      blocklist.select(col(blockKeyCol).as("__bk")).distinct(),
+      col(keyCol) === col("__bk"), "left_anti")
+    clean.unionByName(confirmedClean)
+  }
+
   /** Text normalization — the canonicalization pass that precedes every
     * dedup/tokenize stage (two docs differing only in case/spacing should
     * hash identically): ASCII-lowercase, collapse whitespace runs to one

@@ -365,6 +365,19 @@ object PipelineQueries {
         "doc_id", "text", n = 13)
     }),
 
+    // Blocklist scrub with a Bloom pre-probe (id < 50 docs' content hashes
+    // are the blocklist): semantics are exactly the left-anti join — the
+    // bloom only shrinks the corpus-side shuffle to hits + fpp — so the
+    // oracle is the plain NOT IN, certifying the routing changes nothing.
+    "pipeline_blocklist" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("__k", md5(col("text")))
+      TextAnalysis.blocklistFilter(
+          d, "__k",
+          d.where(col("doc_id") < 50).select(md5(col("text")).as("bk")), "bk",
+          expectedItems = 64, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: train an add-one-smoothed char-trigram
     // model on the reference slice (doc_id % 10 == 0), materialize it as a
     // parquet fixture, score EVERY document by average log-likelihood.
@@ -908,6 +921,13 @@ object PipelineQueries {
         |FROM g JOIN ev USING (gh) JOIN ng ON g.doc_id = ng.doc_id
         |WHERE g.doc_id >= 20
         |GROUP BY g.doc_id, ng.n_grams""".stripMargin,
+
+    // The bloom pre-probe is routing only — the exact-semantics contract
+    // makes the oracle the plain anti-join.
+    "pipeline_blocklist" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id < 50)""".stripMargin,
 
     // Mirrors LmScore: canonicalize to [a-z ] single-spaced, slice char
     // trigrams (nt[i : i+2] is 1-based inclusive = substring(nt, i, 3)),

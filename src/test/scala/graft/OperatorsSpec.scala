@@ -1084,6 +1084,43 @@ class OperatorsSpec extends SparkSpec {
       .forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
   }
 
+  test("bloom blocklist filter equals the plain anti-join exactly, keeps null keys") {
+    // 200 docs; blocklist = hashes of ids 0..19 plus a value absent from
+    // the corpus; ids 100..119 duplicate the blocked texts (must also be
+    // dropped); one null-key row (must be kept — anti-join semantics).
+    val rows = (0 until 200).map { i =>
+      val t = if (i >= 100 && i < 120) s"text_${i - 100}" else s"text_$i"
+      (i.toLong, t)
+    } :+ (999L, null.asInstanceOf[String])
+    val d = spark.createDataFrame(rows).toDF("doc_id", "k")
+    val block = spark.createDataFrame(
+      (0 until 20).map(i => Tuple1(s"text_$i")) :+ Tuple1("absent")).toDF("bk")
+    val kept = TextAnalysis.blocklistFilter(d, "k", block, "bk",
+      expectedItems = 32, fpp = 0.05)
+    val exact = d.join(block, col("k") === col("bk"), "left_anti")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactIds = exact.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == exactIds, s"bloom-routed result diverged from anti-join")
+    // Both dup ranges blocked, null-key row kept, clean rows kept.
+    assert(!keptIds.exists(i => i < 20 || (i >= 100 && i < 120)))
+    assert(keptIds.contains(999L) && keptIds.contains(50L))
+    assert(keptIds.size == 161)
+  }
+
+  test("bloom might_contain: no false negatives; codegen and interpreted agree") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(100, 0.03)
+    (0L until 100L).foreach(i => bloom.putLong(i * 7919L))
+    val d = spark.range(200).select((col("id") * 7919L).as("h"))
+    val c = graft.functions.BloomFunctions.mightContain(spark, bloom, col("h"))
+    val got = d.select(col("h"), c.as("m")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // Every inserted value MUST probe true (bloom guarantee).
+    (0L until 100L).foreach(i => assert(got(i * 7919L), s"false negative at $i"))
+    // The filter must also say no somewhere (sanity: it's not degenerate).
+    assert(got.values.count(_ == false) > 0)
+  }
+
   test("LM score matches a driver-side mirror fold exactly") {
     // Mixed charset (canonicalization), short docs (dropped), pure-OOV
     // docs, and reference docs (id % 10 == 0 is the training slice).
