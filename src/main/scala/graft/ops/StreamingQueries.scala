@@ -47,6 +47,21 @@ object StreamingQueries {
     s.table(sink)
   }
 
+  /** Isolated child session for the streaming queries: shared
+    * SparkContext/cache/catalog, separate SQLConf with 8 shuffle
+    * partitions. State-store cost scales with partition count (each
+    * stateful partition opens + commits a store every micro-batch), so
+    * partitions are sized to state VOLUME, not core count — measured on
+    * the stream-stream join: 32 → 8 partitions, 7.4 s → 3.1 s at sf0.1,
+    * identical results. The child session means the parent's
+    * shuffle-partition default is never touched — a batch query planned
+    * concurrently keeps its own conf. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** File-source stream over the events table: the stream reads with the
     * ON-DISK schema (Tables.loadRaw — a file source must match the files,
     * whether ts is int64 nanos or TIMESTAMP_NTZ), then Tables.tsToNanos
@@ -68,11 +83,12 @@ object StreamingQueries {
     // window → agg, the canonical Structured Streaming shape. State at
     // scale is O(active windows × keys), bounded by the watermark.
     "st_rates" -> ((s, dir) => {
+      val ss = streamSession(s)
       val rates = WindowedRates.perWindow(
-        eventsStream(s, dir)
+        eventsStream(ss, dir)
           .withColumn("value_d", col("value").cast("decimal(20,4)")),
         "event_ts", "event_type", "value_d", "1 hour", "10 minutes")
-      runToBatch(s, rates, "st_rates_sink")
+      runToBatch(ss, rates, "st_rates_sink")
         .select(unix_micros(col("window_start")).as("window_us"),
           col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
@@ -87,11 +103,12 @@ object StreamingQueries {
     // DISTINCT — the production-sized watermark (bounded state, horizon-
     // scoped dedup) is covered by the MemoryStream unit spec instead.
     "st_dedup" -> ((s, dir) => {
-      val keyed = eventsStream(s, dir)
+      val ss = streamSession(s)
+      val keyed = eventsStream(ss, dir)
         .withColumn("__payload", concat_ws(":", col("user_id"), col("event_type")))
       val first = graft.streaming.StreamingDedup.firstOccurrences(
         keyed, "event_ts", "__payload", "90 days")
-      runToBatch(s, first, "st_dedup_sink", mode = "append")
+      runToBatch(ss, first, "st_dedup_sink", mode = "append")
         .select(col("user_id"), col("event_type"))
     }),
 
@@ -99,10 +116,11 @@ object StreamingQueries {
     // streaming counterpart of the batch fr_sessions operator. State per
     // group is only the open session once the watermark passes.
     "st_sessions" -> ((s, dir) => {
+      val ss = streamSession(s)
       val sessions = StreamingSessions.sessionCounts(
-        eventsStream(s, dir), "user_id", "event_ts",
+        eventsStream(ss, dir), "user_id", "event_ts",
         "30 minutes", "10 minutes")
-      runToBatch(s, sessions, "st_sessions_sink")
+      runToBatch(ss, sessions, "st_sessions_sink")
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),
           unix_micros(col("session_end")).as("session_end_us"),
@@ -123,19 +141,20 @@ object StreamingQueries {
     // group that reached step 1). The oracle is fr_funnel's verbatim —
     // full (step, step_groups, step_rows) parity.
     "st_funnel" -> ((s, dir) => {
+      val ss = streamSession(s)
       val v = col("value").cast("decimal(20,4)")
       val prog = graft.streaming.StreamingFunnel.progressExact(
-        eventsStream(s, dir), "user_id", "ts", "event_ts", "90 days", Seq(
+        eventsStream(ss, dir), "user_id", "ts", "event_ts", "90 days", Seq(
           col("event_type") === "view" && v > 100,
           col("event_type") === "click" && v > 100,
           col("event_type") === "purchase" && v > 100),
         // ts is epoch nanos, event_ts its µs truncation: a non-late event
         // at watermark W ms satisfies (ts div 1000) >= W*1000 ⟺ ts >= W*1e6.
         watermarkToTs = ms => ms * 1000000L)
-      val fin = runToBatch(s, prog.toDF(), "st_funnel_sink", mode = "update")
+      val fin = runToBatch(ss, prog.toDF(), "st_funnel_sink", mode = "update")
         .groupBy(col("groupId"))
         .agg(max(col("completedSteps")).as("completed"))
-      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+      val perUser = Tables.events(ss, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_rows"))
       fin.join(perUser, col("groupId") === col("user_id"))
         .agg(
@@ -158,10 +177,11 @@ object StreamingQueries {
     // state store). Oracle = q_asof's window SQL verbatim: the streaming
     // plan must agree with the batch AsOfJoin result row-for-row.
     "st_asof" -> ((s, dir) => {
-      val errors = eventsStream(s, dir)
+      val ss = streamSession(s)
+      val errors = eventsStream(ss, dir)
         .where(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tl"))
-      val clicks = Tables.events(s, dir)
+      val clicks = Tables.events(ss, dir)
         .where(col("event_type") === "click")
         .select(col("user_id"), expr("ts div 1000").as("rtl"),
           col("event_id").as("click_eid"))
@@ -172,7 +192,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_errors"),
           count(col("click_rtl")).as("n_matched"),
           coalesce(max(col("tl") - col("click_rtl")), lit(-1L)).as("max_gap_us"))
-      runToBatch(s, summary, "st_asof_sink")
+      runToBatch(ss, summary, "st_asof_sink")
     }),
 
     // Stream-stream interval join (StreamIntervalJoin): purchases stream ⋈
@@ -192,8 +212,7 @@ object StreamingQueries {
       // separate SQLConf) so the parent session's shuffle-partition
       // default is never touched — a batch query planned concurrently in
       // the parent keeps its own conf.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val purchases = eventsStream(ss, dir)
         .where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"),
