@@ -107,6 +107,38 @@ object PqScale {
       val exactRows = exact.count()
       val tBrute = (System.nanoTime() - t3) / 1e9
 
+      // IVFADC: coarse routing over the same corpus (64 cells, 4 probes) —
+      // the sub-linear serving path. Index build = k-means + residual
+      // codes (offline, per ingest); serve = LUT + cell-local ADC + exact
+      // re-rank. cand_frac measures the fraction of the code table the ADC
+      // scan actually touches (Σ probed-cell sizes / (n × queries)) — the
+      // sub-linearity claim, measured rather than argued.
+      val nCells = 64; val nProbes = 4
+      val t4 = System.nanoTime()
+      val (ivfCodes0, cents, rbooks) = operators.Ann.ivfPqIndex(emb,
+        "vec_id", "embedding", dim, nCells, 2, nSub, nCodes, iters)
+      val ivfCodes = graft.util.Caches.retain(ivfCodes0)
+      ivfCodes.count()
+      val tIvfIndex = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val ivfpq = operators.Ann.ivfPqServe(emb, queries, "vec_id",
+        "embedding", cents, rbooks, ivfCodes, k, nProbes, rerank)
+      ivfpq.count()
+      val tIvfServe = (System.nanoTime() - t5) / 1e9
+      val candRows = queries.select(col("vec_id"),
+          explode(operators.Ann.probeCellsCol("embedding", cents, nProbes)
+            .getField("cell")).as("cell"))
+        .join(ivfCodes.groupBy("cell").count(), "cell")
+        .agg(sum("count")).collect()(0).getLong(0)
+      val plantedIvf = ivfpq
+        .where(col("neighbor_id") >= n - nPlanted &&
+          pmod(col("neighbor_id"), lit(nQueries)) === col("query_id"))
+        .count()
+      val overlapIvf = ivfpq.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .count().toDouble / exactRows
+
       // Planted-match recall: every (query, copy) pair must surface in the
       // re-ranked PQ top-k (k > dupsPerQuery, so room is not the binder).
       val planted = pq
@@ -126,6 +158,11 @@ object PqScale {
         f"store_ratio=${vecBytes.toDouble / codeBytes}%.1f " +
         f"adc_vecs_per_sec_per_core=${n.toDouble * nQueries / tAdc / cpus}%.0f " +
         f"brute_vecs_per_sec_per_core=${n.toDouble * nQueries / tBrute / cpus}%.0f")
+      println(f"IVFPQSCALE n=$n cells=$nCells probes=$nProbes " +
+        f"index=$tIvfIndex%.1f serve=$tIvfServe%.1f " +
+        f"dup_recall=${plantedIvf.toDouble / nPlanted}%.2f " +
+        f"topk_overlap=$overlapIvf%.2f " +
+        f"cand_frac=${candRows.toDouble / (n.toDouble * nQueries)}%.3f")
     }
     spark.stop()
   }

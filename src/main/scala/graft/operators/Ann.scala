@@ -524,6 +524,208 @@ object Ann {
     }
   }
 
+  /** IVFADC (Jégou et al., TPAMI'11 §IV — the FAISS `IVFx,PQy` layout):
+    * IVF coarse routing composed with PQ compression, the canonical
+    * billion-scale ANN serving shape. The corpus is k-means-partitioned
+    * into `nCells` cells ([[ivfAssign]]); each vector is stored as its
+    * cell id + the PQ codes of its RESIDUAL (v − centroid(cell)) —
+    * residual encoding is what makes the composition better than either
+    * half alone, because residuals concentrate near zero so the shared
+    * codebooks spend their codes on a much tighter distribution than raw
+    * vectors. Scoring exploits the exact decomposition
+    * `dot(q, v) = dot(q, centroid) + dot(q, residual)`: the first term is
+    * exact per (query, probed cell); the second is the standard ADC sum of
+    * `nSub` LUT lookups. Only the residual dot is approximated, and only
+    * within the query's `nProbes` nearest cells — sub-linear candidates ×
+    * 8-byte codes is why this layout serves billions per node.
+    *
+    * Plan shape (the 100 TB story): ONE corpus pass assigns cells +
+    * residual codes (broadcast centroids + codebooks, the [[nearestCode]]
+    * imperative core — no join between the IVF and PQ halves); queries fan
+    * out to nProbes (cell, exact-centroid-dot) rows with a per-query LUT
+    * and broadcast into a cell equi-join; ADC is a static element_at
+    * expression tree inside whole-stage codegen; `rerank` re-ranks the
+    * k·rerank ADC shortlist with exact cosine over only those full
+    * vectors. In a deployment the code table persists at ingest — it is
+    * re-derived per call here only because the battery has no ingest step.
+    * Recall < 1 by design — gate with a recall row like the other
+    * approximate paths. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, nCells: Int, ivfIters: Int,
+                nSub: Int, nCodes: Int, pqIters: Int, k: Int,
+                nProbes: Int = 1, rerank: Int = 1): DataFrame = {
+    val (codes, centroids, books) = ivfPqIndex(corpus, idCol, vecCol,
+      dim, nCells, ivfIters, nSub, nCodes, pqIters)
+    ivfPqServe(corpus, queries, idCol, vecCol, centroids, books, codes,
+      k, nProbes, rerank)
+  }
+
+  /** Offline half of [[ivfPqTopK]] — the per-ingest index build: IVF
+    * k-means, then ONE corpus pass computing cell + original-vector norm +
+    * residual, PQ codebook training over the residuals, and ONE more pass
+    * assigning residual codes (broadcast centroids + codebooks, the
+    * [[nearestCode]] imperative core — no join between the IVF and PQ
+    * halves at any scale). Returns (codes(nid, cell, nn, codes),
+    * centroids, codebooks); in a deployment `codes` persists and only
+    * [[ivfPqServe]] runs per query batch. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, nCells: Int, ivfIters: Int,
+                 nSub: Int, nCodes: Int, pqIters: Int)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val subDim = dim / nSub
+    require(subDim * nSub == dim, s"dim $dim must divide into $nSub subspaces")
+
+    val (assigned, centroids) = ivfAssign(corpus, idCol, vecCol, dim, nCells, ivfIters)
+    val cb = spark.sparkContext.broadcast(centroids)
+
+    // Residual pass: (nid, cell, ||v||, v − centroid(cell)). Cached — PQ
+    // training iterates over it, then the code pass reads it once more.
+    // The residual is stored float (the same width the raw vectors have);
+    // the exact norm is of the ORIGINAL vector — ranking divides by it, so
+    // like the flat-PQ path only the dot is approximated.
+    val resid = graft.util.Caches.retain(
+      assigned.select(col(idCol).cast("long").as("nid"), col("cell"),
+          col(vecCol).cast("array<float>").as("v"))
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions { it =>
+          val cs = cb.value
+          it.map { case (id, cell, v) =>
+            val c = cs(cell)
+            var nrm = 0.0
+            val r = new Array[Float](v.length)
+            var j = 0
+            while (j < v.length) {
+              nrm += v(j).toDouble * v(j)
+              r(j) = (v(j) - c(j)).toFloat
+              j += 1
+            }
+            (id, cell, math.sqrt(nrm), r)
+          }
+        }.toDF("nid", "cell", "nn", "resid"))
+
+    // One shared residual codebook set across cells (the standard IVFADC
+    // choice — per-cell books multiply training cost nCells× for marginal
+    // gain, cf. the paper's §IV.A discussion).
+    val books = pqTrain(resid, "nid", "resid", dim, nSub, nCodes, pqIters)
+    val bb = spark.sparkContext.broadcast(books)
+
+    // Code pass: cell + residual codes + exact norm in ONE mapPartitions.
+    val codes = resid
+      .as[(Long, Int, Double, Array[Float])]
+      .mapPartitions { it =>
+        val b = bb.value
+        it.map { case (id, cell, nn, r) =>
+          (id, cell, nn,
+            Array.tabulate(b.length)(s => nearestCode(r, s * subDim, b(s))))
+        }
+      }.toDF("nid", "cell", "nn", "codes")
+    (codes, centroids, books)
+  }
+
+  /** Serving half of [[ivfPqTopK]] against a pre-built index: queries fan
+    * out to nProbes (cell, exact-centroid-dot) rows with a per-query LUT
+    * and broadcast into a cell equi-join; ADC is a static element_at
+    * expression tree inside whole-stage codegen; `rerank` re-ranks the
+    * k·rerank ADC shortlist with exact cosine over only those full
+    * vectors. */
+  def ivfPqServe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, centroids: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], codes: DataFrame,
+                 k: Int, nProbes: Int = 1, rerank: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val nSub = books.length
+    // Effective code count: pqTrain inits from the lowest-id vectors, so a
+    // corpus smaller than nCodes yields shorter books — size the LUT and
+    // the ADC expression from what was actually trained.
+    val nC = books(0).length
+    val subDim = books(0)(0).length
+    val cb = spark.sparkContext.broadcast(centroids)
+    val bb = spark.sparkContext.broadcast(books)
+
+    // Query fan-out: per query, the exact norm, the residual-codebook LUT
+    // (shared across probed cells — books are cell-independent), and one
+    // row per probed cell carrying dot(q, centroid) EXACTLY. Centroid
+    // arithmetic mirrors probeCellsCol's float-cast + float→double-widening
+    // accumulation so probe choice agrees with the corpus-side expressions.
+    val qfan = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        val b = bb.value
+        it.flatMap { case (qid, v) =>
+          var nrm = 0.0
+          var j = 0
+          while (j < v.length) { nrm += v(j).toDouble * v(j); j += 1 }
+          val qn = math.sqrt(nrm)
+          val lut = new Array[Double](nSub * nC)
+          var s = 0
+          while (s < nSub) {
+            var c = 0
+            while (c < nC) {
+              val cent = b(s)(c); var d = 0.0; var k2 = 0
+              while (k2 < subDim) { d += v(s * subDim + k2) * cent(k2); k2 += 1 }
+              lut(s * nC + c) = d; c += 1
+            }
+            s += 1
+          }
+          // Probe ORDERING uses the float-cast centroid (mirroring
+          // probeCellsCol); the exact term qc = dot(q, centroid) uses the
+          // DOUBLE centroid — the same one the residuals subtract, so the
+          // dot(q,c) + dot(q,r) decomposition stays exact up to PQ error.
+          cs.indices.map { cell =>
+            val cd = cs(cell)
+            val cf = cd.map(_.toFloat)
+            var dotf = 0.0; var dotd = 0.0; var i = 0
+            while (i < v.length) {
+              dotf += v(i).toDouble * cf(i)
+              dotd += v(i).toDouble * cd(i)
+              i += 1
+            }
+            (nrm - 2.0 * dotf + cf.map(x => x.toDouble * x).sum, cell, dotd)
+          }.sortBy { case (d, cell, _) => (d, cell) }.take(nProbes)
+            .map { case (_, cell, dotd) => (qid, cell, dotd, qn, lut) }
+        }
+      }.toDF("qid", "cell", "qc", "qn", "lut")
+
+    // ADC scan within probed cells: adc = dot(q, centroid) + Σ_s LUT
+    // lookups — a static expression tree (see pqScoreTopK for why not an
+    // aggregate() HOF), left-to-right association for determinism.
+    val adcExpr = (0 until nSub)
+      .map(s => expr(s"element_at(lut, $s * $nC + element_at(codes, ${s + 1}) + 1)"))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(qfan), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", col("qc") + adcExpr)
+      .withColumn("cos", col("adc") / (col("qn") * col("nn")))
+    val shortlist = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .where(col("rank") <= k * rerank)
+    if (rerank <= 1)
+      shortlist.select(col("qid").as("query_id"),
+        col("nid").as("neighbor_id"), col("rank"))
+    else {
+      val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      val qfull = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("qn", expr("vec_norm(qv)"))
+      full.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
+        .join(broadcast(qfull), Seq("qid"))
+        .withColumn("cosx",
+          expr("vec_dot(qv, nv)") / (col("qn") * expr("vec_norm(nv)")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cosx"), asc("nid"))))
+        .where(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rank"))
+    }
+  }
+
   /** Per-vector scalar int8 quantization — the storage/bandwidth pass a
     * vector store runs before ANN serving (4 bytes/dim float → 1 byte/dim,
     * dequantizable from the per-vector (qmin, qmax) pair). Works on the

@@ -244,6 +244,27 @@ object PipelineQueries {
         floor = 0.5)
     }),
 
+    // IVFADC (FAISS `IVF8,PQ8`-shaped): IVF cell routing + PQ residual
+    // codes + exact-centroid-dot ADC + exact re-rank — the billion-scale
+    // serving layout. Approximate by design, rows-only check + recall gate.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, nCells = 8, ivfIters = 2, nSub = 8, nCodes = 16,
+        pqIters = 2, k = 5, nProbes = 2, rerank = 8)
+    }),
+
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallGate(
+        Ann.ivfPqTopK(e, q, "vec_id", "embedding",
+          dim = 64, nCells = 8, ivfIters = 2, nSub = 8, nCodes = 16,
+          pqIters = 2, k = 5, nProbes = 2, rerank = 8),
+        Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        floor = 0.5)
+    }),
+
     // Capstone: the full training-data cleaning pipeline composed from the
     // individual operators — marker language filter → token-count band →
     // mean-token-length sanity → exact dedup (keep min doc id) → token-
@@ -726,6 +747,7 @@ object PipelineQueries {
     "ann_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "ann_ivfpq_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "dd_semantic_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "tx_cms_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "emb_quantize_err" -> "SELECT CAST(1 AS BIGINT) AS passed",

@@ -136,16 +136,10 @@ object AnnFuzzer {
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
-  /** Brute-force cosine top-k under random k × query sets × corpus
-    * subsets. Pairwise cosines are fixed by the vectors, so subsetting
-    * only removes candidates — the ranking stability the battery's
-    * single-config row establishes carries over to every configuration. */
-  def genAnn(i: Int, rnd: Random, parquet: String): Case = {
-    val k = Seq(1, 3, 10)(rnd.nextInt(3))
-    val (qm, qr) = { val m = 5 + rnd.nextInt(20); (m, rnd.nextInt(m)) }
-    val (cm, cr) = if (rnd.nextBoolean()) { val m = 2 + rnd.nextInt(2); (m, rnd.nextInt(m)) }
-                   else (1, 0)
-    val desc = s"ann k=$k queries=$qm/$qr corpus=$cm/$cr"
+  /** Exact cosine top-k oracle SQL over a (possibly subsetted) corpus
+    * with queries = corpus rows where vec_id % qm = qr. */
+  private def bruteSql(parquet: String, k: Int, qm: Int, qr: Int,
+                       cm: Int, cr: Int): String = {
     val corpusW = if (cm == 1) "" else s" WHERE vec_id % $cm = $cr"
     val sql =
       s"""WITH emb AS (SELECT vec_id, embedding FROM read_parquet(${sqlStr(parquet)})$corpusW),
@@ -163,6 +157,20 @@ object AnnFuzzer {
          |           FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $k""".stripMargin
+    sql
+  }
+
+  /** Brute-force cosine top-k under random k × query sets × corpus
+    * subsets. Pairwise cosines are fixed by the vectors, so subsetting
+    * only removes candidates — the ranking stability the battery's
+    * single-config row establishes carries over to every configuration. */
+  def genAnn(i: Int, rnd: Random, parquet: String): Case = {
+    val k = Seq(1, 3, 10)(rnd.nextInt(3))
+    val (qm, qr) = { val m = 5 + rnd.nextInt(20); (m, rnd.nextInt(m)) }
+    val (cm, cr) = if (rnd.nextBoolean()) { val m = 2 + rnd.nextInt(2); (m, rnd.nextInt(m)) }
+                   else (1, 0)
+    val desc = s"ann k=$k queries=$qm/$qr corpus=$cm/$cr"
+    val sql = bruteSql(parquet, k, qm, qr, cm, cr)
 
     Case(s"ann_$i", desc, sql, () => {
       val s = SparkSpec.spark
@@ -170,6 +178,45 @@ object AnnFuzzer {
       val corpus = if (cm == 1) e0 else e0.where(col("vec_id") % cm === cr)
       val queries = corpus.where(col("vec_id") % qm === qr)
       graft.operators.Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    })
+  }
+
+  /** IVFADC at the exactness limit: probing EVERY cell with a shortlist
+    * wider than the corpus makes the exact re-rank see all candidates, so
+    * the result must equal brute force row-for-row REGARDLESS of the IVF/
+    * PQ parameters — random cells × subspaces × code counts × iteration
+    * budgets × query/corpus subsets all reduce to the same brute-force
+    * DuckDB oracle. A wrong residual sign, a query routed to a cell its
+    * codes weren't stored under, a LUT indexed off-by-one: each would
+    * surface as a shortlist that drops a true neighbor and diverges. The
+    * approximate regime's quality is gated separately (ann_ivfpq_recall);
+    * this family pins the MACHINERY exactly. */
+  def genIvfPq(i: Int, rnd: Random, parquet: String): Case = {
+    val k = Seq(1, 3, 10)(rnd.nextInt(3))
+    val (qm, qr) = { val m = 5 + rnd.nextInt(20); (m, rnd.nextInt(m)) }
+    val (cm, cr) = if (rnd.nextBoolean()) { val m = 2 + rnd.nextInt(2); (m, rnd.nextInt(m)) }
+                   else (1, 0)
+    val nCells = Seq(2, 3, 4, 8)(rnd.nextInt(4))
+    val nSub = Seq(4, 8, 16)(rnd.nextInt(3))
+    val nCodes = Seq(4, 8, 16)(rnd.nextInt(3))
+    val ivfIters = 1 + rnd.nextInt(2)
+    val pqIters = 1 + rnd.nextInt(2)
+    // corpus is ≤500 vectors at any SF subset; k·rerank ≥ 500 ⇒ no slack
+    val rerank = 500 / k + 1
+    val desc = s"ivfpq k=$k cells=$nCells sub=$nSub codes=$nCodes " +
+      s"iters=$ivfIters/$pqIters queries=$qm/$qr corpus=$cm/$cr"
+    val sql = bruteSql(parquet, k, qm, qr, cm, cr)
+
+    Case(s"ivfpq_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val e0 = graft.ops.Tables.embeddings(s, new java.io.File(parquet).getParent)
+      val corpus = if (cm == 1) e0 else e0.where(col("vec_id") % cm === cr)
+      val queries = corpus.where(col("vec_id") % qm === qr)
+      graft.operators.Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+          dim = 64, nCells = nCells, ivfIters = ivfIters, nSub = nSub,
+          nCodes = nCodes, pqIters = pqIters, k = k,
+          nProbes = nCells, rerank = rerank)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     })
   }
@@ -182,7 +229,7 @@ class DedupFuzzSpec extends SparkSpec {
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(10)
   private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
 
-  test(s"$N×3 fuzzed dedup + ${N / 2} ANN parameterizations match DuckDB oracles") {
+  test(s"$N×3 fuzzed dedup + ${N / 2}×2 ANN/IVFADC parameterizations match DuckDB oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
     val parquet = s"$sfDir/documents.parquet"
     val embParquet = s"$sfDir/embeddings.parquet"
@@ -193,7 +240,8 @@ class DedupFuzzSpec extends SparkSpec {
       (0 until N).map(i => genMinhash(i, rnd, parquet)) ++
         (0 until N).map(i => genJaccard(i, rnd, parquet)) ++
         (0 until N).map(i => genSimhash(i, rnd, parquet)) ++
-        (0 until N / 2).map(i => AnnFuzzer.genAnn(i, rnd, embParquet))
+        (0 until N / 2).map(i => AnnFuzzer.genAnn(i, rnd, embParquet)) ++
+        (0 until N / 2).map(i => AnnFuzzer.genIvfPq(i, rnd, embParquet))
 
     val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
     // Sequential on purpose: dedup operators retain caches and the drain

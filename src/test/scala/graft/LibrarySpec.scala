@@ -118,9 +118,13 @@ class LibrarySpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    // Isolated child session: listenerManager is session-scoped, so an
+    // async action from an EARLIER suite completing late (ApiServer jobs)
+    // can't bleed into this count — only the registration's own actions do.
+    val sess = spark.newSession()
+    sess.listenerManager.register(listener)
     try {
-      val ds = Catalog.register(spark, "catwide", dir, "uid", "ts")
+      val ds = Catalog.register(sess, "catwide", dir, "uid", "ts")
       // all four are categorical, with full per-column top values
       for ((c, n) <- Seq("c1" -> 2, "c2" -> 3, "c3" -> 4, "c4" -> 5)) {
         assert(ds.columnAttrs(c).categorical, c)
@@ -138,7 +142,7 @@ class LibrarySpec extends SparkSpec {
       }
       assert(actions.get() == 2,
         s"registration must cost 2 actions (stats + fused top-K), saw ${actions.get()}")
-    } finally spark.listenerManager.unregister(listener)
+    } finally sess.listenerManager.unregister(listener)
   }
 
   test("catalog: sampled validation modes scan only the chosen part files") {

@@ -1084,6 +1084,43 @@ class OperatorsSpec extends SparkSpec {
       .forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
   }
 
+  test("IVFADC: in-cluster neighbors; full-probe full-rerank equals brute force") {
+    // Same 4-cluster geometry as the PQ test: IVF cells align with the
+    // clusters, residual codes preserve within-cluster geometry.
+    val rnd = new scala.util.Random(11)
+    val vecs: Seq[(Long, Array[Float])] = (0 until 48).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(j => if (j % 4 == c) 5f else 0f)
+      i.toLong -> base.map(x => x + rnd.nextFloat() * 0.2f)
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val got = Ann.ivfPqTopK(df, q, "vec_id", "embedding",
+      dim = 16, nCells = 4, ivfIters = 2, nSub = 4, nCodes = 8,
+      pqIters = 2, k = 5, nProbes = 1)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) % 4 == r.getLong(0) % 4),
+      s"IVFADC returned a cross-cluster neighbor:\n${rows.mkString("\n")}")
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
+    // Exactness at the limit: probing EVERY cell with a shortlist wider
+    // than the corpus makes the exact re-rank see all candidates, so the
+    // result must equal brute force row-for-row — pins the decomposition
+    // dot(q,v) = dot(q,centroid) + dot(q,residual) end to end (a wrong
+    // exact term or residual sign would reorder the shortlist's tail only
+    // if ADC error exceeded the shortlist slack; here there IS no slack).
+    val all = Ann.ivfPqTopK(df, q, "vec_id", "embedding",
+      dim = 16, nCells = 4, ivfIters = 2, nSub = 4, nCodes = 8,
+      pqIters = 2, k = 5, nProbes = 4, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Ann.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == brute, "full-probe full-rerank IVFADC diverged from brute force")
+  }
+
   test("bloom blocklist filter equals the plain anti-join exactly, keeps null keys") {
     // 200 docs; blocklist = hashes of ids 0..19 plus a value absent from
     // the corpus; ids 100..119 duplicate the blocked texts (must also be
