@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic weighted sampling and token-budget sharding — the two
+ * export-side primitives a training-data pipeline needs after cleaning and
+ * dedup: draw a quality-weighted subset of the corpus, and write the
+ * survivors as contiguous shards of a fixed token budget. Both are pure
+ * functions of (id, salt) like every hash decision in this package
+ * (TextAnalysis.saltedMd5 contract), so any engine — and any re-run —
+ * reproduces the same sample and the same shard assignment bit-for-bit.
+ * No reference counterpart (the reference has no sampling/export surface);
+ * the weighted draw is Efraimidis–Spirakis (Inf. Proc. Letters 97(5),
+ * 2006) reformulated to avoid cross-engine float transcendentals.
+ */
+object Sampling {
+
+  /**
+   * Weighted lottery ticket for integer weights: the max of `w` salted md5
+   * draws, `max_{j<w} md5("<salt>:<id>:<j>")`.
+   *
+   * Why this form: Efraimidis–Spirakis samples by the key u^(1/w) (u
+   * uniform), whose distribution equals the MAX of w independent uniforms
+   * — so for integer weights the transcendental pow() can be replaced by
+   * literally drawing w tickets and keeping the best. Tickets stay hex
+   * STRINGS compared lexicographically (a 128-bit uniform), so the
+   * cross-engine contract is pure string equality — no float in the
+   * decision at all, where pow()'s last-ulp differences between libm
+   * implementations could otherwise flip a rank at the cut boundary.
+   *
+   * Map-only and codegen'd (sequence → transform → array_max). Cost is
+   * O(w) md5 calls per row — intended for small integer weights (quality
+   * bands, source tiers; cap at ~32). Rows with weight < 1 hold zero
+   * tickets (NULL) and can never be sampled.
+   */
+  def lotteryTicket(idCol: Column, weightCol: Column, salt: String): Column = {
+    val w = weightCol.cast("long")
+    when(w >= 1,
+      array_max(transform(
+        sequence(lit(0L), w - lit(1L)),
+        j => md5(concat(lit(s"$salt:"), idCol.cast("string"), lit(":"),
+          j.cast("string"))))))
+  }
+
+  /**
+   * Deterministic weighted sample without replacement: the `k` rows with
+   * the best [[lotteryTicket]], ties broken by id — P(row in sample) is
+   * exactly the Efraimidis–Spirakis weighted-reservoir probability for
+   * integer `weightCol`. Output carries the input columns plus `ticket`.
+   *
+   * Scale shape: the ticket is map-only; `orderBy(...).limit(k)` plans as
+   * TakeOrderedAndProject — a per-partition top-k heap + a single k-row
+   * merge, no global sort and no full shuffle at any corpus size. The
+   * driver merge holds partitions×k rows, so for k beyond ~10⁶ pre-filter
+   * with a ticket threshold from a quantile sketch and top-k the
+   * survivors (same two-phase trick as Skew.saltedTopN); for the
+   * rate-shaped variant with no exact k, filter on
+   * TextAnalysis.hashUniform instead — no ordering at all.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    df.withColumn("ticket", lotteryTicket(col(idCol), col(weightCol), salt))
+      .where(col("ticket").isNotNull)
+      .orderBy(col("ticket").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Expected-size weighted sample (Poisson sampling) — the form that
+   * scales past [[weightedSample]]'s exact-k bound: each row is kept
+   * independently with probability `min(1, k·w/W)` (W = total weight),
+   * giving an expected sample size of ~k (exactly k when no rate
+   * saturates) with CV ≈ 1/√k — at the corpus sizes where exact-k
+   * matters least. Entirely map-only after ONE scalar aggregate for W:
+   * no ordering, no top-k merge, no driver-size dependence on k — the
+   * 100 TB path ("sample roughly a billion docs by quality"). The draw
+   * is TextAnalysis.hashUniform, so the kept SET is a pure function of
+   * (id, weight-column, salt): exactly re-runnable, engine-reproducible
+   * (rate = one double multiply + divide of exact integer sums —
+   * identical IEEE ops in any engine).
+   */
+  def weightedKeepExpected(df: DataFrame, idCol: String, weightCol: String,
+                           k: Long, salt: String): DataFrame = {
+    require(k > 0, "expected sample size must be positive")
+    val total = df.agg(sum(col(weightCol).cast("long")).as("w")).head().getLong(0)
+    require(total > 0, "total weight must be positive")
+    df.where(TextAnalysis.hashUniform(col(idCol), salt) <
+      lit(k.toDouble) * col(weightCol).cast("double") / lit(total.toDouble))
+  }
+
+  /**
+   * Per-key weighted sample: keep the `n` best lottery tickets within each
+   * `keyCol` — the quality-weighted form of TextAnalysis.capPerKey (which
+   * is exactly this with all weights 1). The per-domain cap every mixture
+   * pipeline runs, but biased toward high-weight (high-quality) documents
+   * instead of uniformly. Same determinism contract: the kept set is a
+   * pure function of (id, weight, salt). One window exchange partitioned
+   * by key; for billion-row hot keys compose hashUniform with a
+   * weight-stratified rate instead (capPerKeyApprox's regime).
+   */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, n: Int, salt: String): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ticket").desc, col(idCol))
+    df.withColumn("__ticket", lotteryTicket(col(idCol), col(weightCol), salt))
+      .where(col("__ticket").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk", "__ticket")
+  }
+
+  /**
+   * Token-budget sharding: place every row on the deterministic md5 line
+   * (order by `md5("<salt>:<id>")`, id tie-break — content-random, so
+   * every shard is an unbiased corpus slice), then cut the line into
+   * contiguous shards of `budget` tokens: a row whose EXCLUSIVE running
+   * token total is c lands in shard `c div budget`. Output:
+   * (`idCol`, `n_tokens`, `shard`). Every shard except the last spans
+   * at least `budget` tokens; a row never splits.
+   *
+   * This is the distributed prefix-sum shape, kept declarative:
+   *  1. range-partition + sort by the md5 line (ONE exchange; each
+   *     partition owns a contiguous slice of the line),
+   *  2. per-partition token totals — P rows — to the driver, folded into
+   *     exclusive partition offsets (bounded driver state, same class as
+   *     k-means centroids / GK sketches elsewhere in this package),
+   *  3. broadcast the P-row offset table back and window-cumsum WITHIN
+   *     each partition slice, + offset = the global exclusive prefix.
+   * The within-slice window re-clusters by partition id (narrow 4-column
+   * exchange), so no task ever sees more than one slice and no global
+   * single-partition window exists anywhere in the plan — the shape that
+   * survives a 100 TB corpus, where a naive `Window.orderBy(line)` would
+   * serialize everything through one task.
+   *
+   * The sorted frame is persisted (Caches.retain) so the offset job and
+   * the output job see the SAME range boundaries — boundaries come from
+   * sampling, and recomputation could legally re-draw them mid-query.
+   * Shard assignment itself never depends on where the boundaries fall
+   * (offsets absorb them); persistence only pins the two jobs together.
+   */
+  def shardByBudget(df: DataFrame, idCol: String, tokensCol: Column,
+                    budget: Long, salt: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val clash = df.columns.toSet.intersect(Set("__o", "__pid", "__off", "__cum", "n_tokens"))
+    require(clash.isEmpty,
+      s"columns collide with shardByBudget internal names: ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val ordered = graft.util.Caches.retain(
+      df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+        .withColumn("__o", TextAnalysis.saltedMd5(col(idCol), salt))
+        .repartitionByRange(col("__o"), col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    val partTotals = ordered.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.map { case (p, t) => val row = (p, acc); acc += t; row }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
+    val slice = Window.partitionBy(col("__pid")).orderBy(col("__o"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ordered.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(slice), lit(0L)) + col("__off"))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__cum div ${budget}L").as("shard"))
+  }
+}

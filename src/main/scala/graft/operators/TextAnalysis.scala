@@ -257,8 +257,13 @@ object TextAnalysis {
     * DuckDB oracle mirror build exactly this string. Defined once so a
     * drift in any copy (separator, missing cast) cannot silently break a
     * single operator's engine parity. */
-  private def saltedMd5(idCol: Column, salt: String): Column =
+  private[operators] def saltedMd5(idCol: Column, salt: String): Column =
     md5(concat(lit(s"$salt:"), idCol.cast("string")))
+
+  /** [[saltedMd5]] for callers outside the operators package (scale
+    * probes mirroring an operator's line order). Same single definition —
+    * not a copy. */
+  def saltedMd5Public(idCol: Column, salt: String): Column = saltedMd5(idCol, salt)
 
   /** Deterministic hash-based train/val/test assignment: buckets on the
     * first hex char of md5("<salt>:<id>") — 12/16 train, 2/16 val, 2/16

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, LmScore, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Dedup, LmScore, Multimodal, Sampling, TextAnalysis}
 
 /**
  * Driver-contract queries for the training-data pipeline operators
@@ -558,7 +558,49 @@ object PipelineQueries {
           col("n_channels").cast("long").as("n_channels"),
           col("n_samples"), col("sum_abs"),
           col("max_abs").cast("long").as("max_abs"),
-          col("zero_crossings")))
+          col("zero_crossings"))),
+
+    // Quality-weighted corpus sample (Efraimidis–Spirakis, integer-weight
+    // lottery form): 200 docs drawn without replacement, weight = length
+    // band (1..8). The ticket is a max of salted md5 hex strings — pure
+    // string comparison, so the oracle reproduces the exact sample set;
+    // the plan is map-only + TakeOrderedAndProject (no global sort).
+    "pipeline_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w", expr("1L + least(n_chars div 400, 7L)"))
+      Sampling.weightedSample(d, "doc_id", "w", k = 200, salt = "ws1")
+        .select(col("doc_id"), col("w"), col("ticket"))
+    }),
+
+    // Expected-size weighted sample (Poisson): keep each doc w.p.
+    // k·w/W — the map-only large-k path (no ordering anywhere). The kept
+    // set is a pure hash function, so per-band counts + id checksum
+    // hash-check exactly; only the sample SIZE is probabilistic.
+    "pipeline_weighted_keep" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w", expr("1L + least(n_chars div 400, 7L)"))
+      Sampling.weightedKeepExpected(d, "doc_id", "w", k = 150L, salt = "wk1")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // Quality-weighted per-domain cap: keep the 10 best lottery tickets
+    // per source, weight = length band — the per-domain balancing pass
+    // biased toward high-quality docs instead of uniform. Kept counts +
+    // id checksum pin the exact kept set against the oracle's rank.
+    "pipeline_weighted_cap" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w", expr("1L + least(n_chars div 400, 7L)"))
+      Sampling.weightedSamplePerKey(d, "source", "doc_id", "w", n = 10, salt = "wcap")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // Token-budget sharding (the export step): cut the md5-ordered corpus
+    // line into contiguous ~2000-token shards via the distributed
+    // prefix-sum (range-partition → P-row offset fold → within-slice
+    // window). The oracle is the single-window cumsum — green certifies
+    // the two-phase decomposition equals the global prefix exactly.
+    "pipeline_shard" -> ((s, dir) =>
+      Sampling.shardByBudget(docs(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 2000L, salt = "shard1"))
   )
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
@@ -983,6 +1025,67 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS nt FROM documents)
         |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM d GROUP BY split""".stripMargin,
+
+    // Mirrors Sampling.lotteryTicket: the ticket is the max of w salted md5
+    // hex strings (Efraimidis–Spirakis u^(1/w) ≡ max of w uniforms for
+    // integer w) — pure string comparison, no float in the decision.
+    "pipeline_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + least(n_chars // 400, 7) AS w FROM documents
+        |), t AS (
+        |  SELECT doc_id, w,
+        |    list_max(list_transform(range(w),
+        |      j -> md5('ws1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS ticket
+        |  FROM d
+        |)
+        |SELECT doc_id, w, ticket FROM t
+        |ORDER BY ticket DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Mirrors Sampling.weightedKeepExpected: u < k*w/W with the identical
+    // multiply-then-divide order (one IEEE op sequence in both engines).
+    "pipeline_weighted_keep" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + least(n_chars // 400, 7) AS w FROM documents
+        |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
+        |SELECT w, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d, tot
+        |WHERE ('0x' || substr(md5('wk1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 < 150.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+        |GROUP BY w""".stripMargin,
+
+    // Mirrors Sampling.weightedSamplePerKey: same lottery tickets, ranked
+    // within each source.
+    "pipeline_weighted_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 1 + least(n_chars // 400, 7) AS w FROM documents
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    list_max(list_transform(range(w),
+        |      j -> md5('wcap:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS ticket
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY ticket DESC, doc_id) AS rk
+        |  FROM t
+        |)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 10 GROUP BY source""".stripMargin,
+
+    // Mirrors Sampling.shardByBudget as ONE window cumsum over the global
+    // md5 line — green certifies the engine's two-phase range-partitioned
+    // prefix sum equals the global exclusive prefix exactly.
+    "pipeline_shard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5('shard1:' || CAST(doc_id AS VARCHAR)) AS o
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY o, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+        |       AS BIGINT) AS shard
+        |FROM d""".stripMargin,
 
     // Single-division IEEE arithmetic over exact integer counts — the
     // reason diversity uses Gini-Simpson, not Shannon (log() ulps differ

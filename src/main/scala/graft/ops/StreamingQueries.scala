@@ -229,6 +229,31 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_purchases_hit"),
           sum(col("nc")).as("n_attributed"),
           max(col("nc")).as("max_clicks"))
+    }),
+
+    // Windowed heavy hitters with BOUNDED state (Space-Saving per hourly
+    // window, hash-bucketed so a hot window spreads over 4 state groups):
+    // top-3 event types per hour. The per-bucket summary capacity (32)
+    // exceeds the key cardinality here, so every count is exact and
+    // monotone across updates — max(count) per (window, key) over the
+    // update stream is the batch groupBy count verbatim, and the DuckDB
+    // rank oracle pins the whole path. The m-bounded approximate regime
+    // (eviction + error tracking) is covered by StreamFuzzSpec's
+    // guarantee assertions instead.
+    "st_topk" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val hh = graft.streaming.StreamingTopK.heavyHitters(
+        eventsStream(ss, dir), "event_ts", "event_type", "1 hour", "90 days",
+        m = 32, buckets = 4)
+      val counts = runToBatch(ss, hh.toDF(), "st_topk_sink", mode = "update")
+        .groupBy(col("windowUs"), col("key"))
+        .agg(max(col("count")).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("windowUs")).orderBy(col("cnt").desc, col("key"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("windowUs").as("window_us"), col("key").as("event_type"),
+          col("cnt"), col("rk"))
     }))
 
   /** DuckDB equivalents over the same parquet (batch semantics — complete
@@ -278,5 +303,19 @@ object StreamingQueries {
 
     // q_range_join's SQL verbatim — the stream-stream interval join must
     // agree with the batch range join row-for-row.
-    "st_attribution" -> RelationalQueries.oracleSql("q_range_join"))
+    "st_attribution" -> RelationalQueries.oracleSql("q_range_join"),
+
+    // Batch per-window counts + rank: in the exact regime the Space-Saving
+    // summaries must reproduce this verbatim.
+    "st_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_us,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_us
+        |                               ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c
+        |)
+        |SELECT window_us, event_type, cnt, rk FROM r WHERE rk <= 3""".stripMargin)
 }

@@ -1226,4 +1226,142 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("SortExec"),
       s"corpus trigrams must never be sorted:\n$plan")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("weighted sample: equals the driver-side lottery; weight<1 never drawn") {
+    val rows = (0L until 120L).map(i => (i, 1L + i % 5))
+    val d = spark.createDataFrame(rows).toDF("id", "w")
+      // id 7 gets weight 0: zero tickets, must never be sampled
+      .withColumn("w", when(col("id") === 7L, lit(0L)).otherwise(col("w")))
+    val got = operators.Sampling.weightedSample(d, "id", "w", k = 30, salt = "t1")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    // Driver mirror: max of w salted md5 draws, top 30 by (ticket desc, id).
+    val want = rows.map { case (i, w0) =>
+      val w = if (i == 7L) 0L else w0
+      val t = (0L until w).map(j => md5hex(s"t1:$i:$j")).sorted.lastOption.orNull
+      (i, t)
+    }.filter(_._2 != null).sortBy { case (i, t) => (t, i) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)).take(30)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(!got.exists(_._1 == 7L))
+    // Heavier weights are sampled more: mean weight of the sample must
+    // exceed the population mean (deterministic given the fixed salt).
+    val sampleMeanW = got.map(i => 1L + i._1 % 5).sum.toDouble / got.length
+    val popMeanW = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMeanW > popMeanW, s"$sampleMeanW <= $popMeanW")
+  }
+
+  test("weighted sample plan: TakeOrdered, no global sort exchange") {
+    val d = spark.createDataFrame((0L until 50L).map(i => (i, 1L + i % 3)))
+      .toDF("id", "w")
+    val q = operators.Sampling.weightedSample(d, "id", "w", k = 5, salt = "t2")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global range-partitioned sort allowed:\n$plan")
+  }
+
+  test("weightedKeepExpected: kept set equals the driver mirror, size near k") {
+    val rows = (0L until 1000L).map(i => (i, 1L + i % 8))
+    val d = spark.createDataFrame(rows).toDF("id", "w")
+    val k = 150L
+    val got = operators.Sampling.weightedKeepExpected(d, "id", "w", k, "ke1")
+      .collect().map(_.getLong(0)).toSet
+    val total = rows.map(_._2).sum
+    val want = rows.filter { case (i, w) =>
+      val u = java.lang.Long.parseLong(md5hex(s"ke1:$i").take(8), 16).toDouble / 4294967296.0
+      u < k.toDouble * w.toDouble / total.toDouble
+    }.map(_._1).toSet
+    assert(got == want)
+    // Expected size k, sd < sqrt(k) ≈ 12; 5 sigma.
+    assert(math.abs(got.size - k) < 62, s"sample size ${got.size} far from $k")
+    // Keep rate rises with weight.
+    val rateByW = rows.groupBy(_._2).view.mapValues { g =>
+      g.count(r => got.contains(r._1)).toDouble / g.size
+    }.toMap
+    assert(rateByW(8L) > rateByW(1L))
+  }
+
+  test("weightedSamplePerKey: kept set equals the per-key driver mirror") {
+    val rows = (0L until 150L).map(i => (i, s"k${i % 3}", 1L + i % 4))
+    val d = spark.createDataFrame(rows).toDF("id", "k", "w")
+    val n = 12
+    val got = operators.Sampling.weightedSamplePerKey(d, "k", "id", "w", n, "wc1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      grp.map { case (i, k, w) =>
+        (i, k, (0L until w).map(j => md5hex(s"wc1:$i:$j")).max)
+      }.sortBy { case (i, _, t) => (t, i) }(
+        Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)).take(n)
+    }.map(e => (e._1, e._2)).toSet
+    assert(got == want)
+    assert(got.groupBy(_._2).values.forall(_.size == n))
+    // A cap above the group size keeps everything.
+    assert(operators.Sampling.weightedSamplePerKey(d, "k", "id", "w", 100, "wc1")
+      .count() == 150)
+  }
+
+  test("shardByBudget equals the global-cumsum mirror; shards are contiguous") {
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 7) % 40)) // varied token counts
+    val d = spark.createDataFrame(rows).toDF("id", "tok")
+    val budget = 300L
+    val got = operators.Sampling.shardByBudget(d, "id", col("tok"), budget, "sh1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Driver mirror: exclusive prefix sum over the md5 line div budget.
+    val line = rows.map { case (i, t) => (md5hex(s"sh1:$i"), i, t) }.sorted
+    var cum = 0L
+    val want = line.map { case (_, i, t) => val s = cum / budget; cum += t; (i, t, s) }
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1), "shard assignment mismatch")
+    // Contiguity: along the md5 line, shard ids are non-decreasing, no
+    // shard index is skipped, and the cumulative token total through each
+    // shard k reaches past (k+1)*budget (the boundary rule; an individual
+    // shard's own span may be shorter when a long row straddles its start).
+    val byLine = want
+    assert(byLine.map(_._3) == byLine.map(_._3).sorted)
+    val last = byLine.map(_._3).max
+    assert(byLine.map(_._3).distinct == (0L to last).toSeq)
+    val cumThrough = byLine.scanLeft(0L)(_ + _._2).tail.zip(byLine.map(_._3))
+    (0L until last).foreach { k =>
+      val end = cumThrough.filter(_._2 == k).map(_._1).max
+      assert(end >= (k + 1) * budget, s"shard $k ends at $end")
+    }
+  }
+
+  test("space-saving foldCounts: exact under capacity, guarantees when bounded") {
+    import graft.streaming.{HitterCounter, StreamingTopK}
+    val rnd = new scala.util.Random(11)
+    // Zipf-ish stream over 40 keys, summarized with m=8.
+    val stream = (0 until 2000).map(_ => s"k${(math.pow(rnd.nextDouble(), 2.0) * 40).toInt}")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // Fold in 7 arbitrary chunks (order within the summary is by key).
+    var entries: Seq[HitterCounter] = Nil
+    stream.grouped(300).foreach { chunk =>
+      val adds = chunk.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      entries = StreamingTopK.foldCounts(entries, adds, m = 8)
+    }
+    assert(entries.size <= 8)
+    val n = stream.size.toLong
+    entries.foreach { e =>
+      val t = truth.getOrElse(e.key, 0L)
+      assert(e.count >= t, s"${e.key}: est ${e.count} < true $t")        // never under
+      assert(e.count - e.err <= t, s"${e.key}: est-err > true")          // error bound
+    }
+    // Any key with true count > N/m must be resident.
+    val resident = entries.map(_.key).toSet
+    truth.filter(_._2 > n / 8).keys.foreach(k =>
+      assert(resident.contains(k), s"heavy key $k evicted"))
+    // Exact regime: capacity above cardinality reproduces true counts, err 0.
+    var exact: Seq[HitterCounter] = Nil
+    stream.grouped(117).foreach { chunk =>
+      val adds = chunk.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      exact = StreamingTopK.foldCounts(exact, adds, m = 64)
+    }
+    assert(exact.map(e => e.key -> e.count).toMap == truth)
+    assert(exact.forall(_.err == 0L))
+  }
 }

@@ -290,4 +290,38 @@ class StreamFuzzSpec extends SparkSpec {
         s"stream $got vs oracle $want")
     }
   }
+
+  test(s"$N heavy-hitter chunkings equal the batch window counts (exact regime)") {
+    import spark.implicits._
+    val rnd = new Random(Seed + 6)
+    (0 until N).foreach { i =>
+      implicit val sqlCtx = spark.sqlContext
+      // Zipf-ish keys over random cardinality; capacity (64) above it, so
+      // Space-Saving must degenerate to EXACT counting whatever the
+      // micro-batch boundaries and however many hash buckets split the
+      // window's key space (bucket summaries partition keys — their union
+      // must be merge-free).
+      val nKeys = 5 + rnd.nextInt(40)
+      val winUs = 3600000000L
+      val rows = (0 until 300 + rnd.nextInt(300)).map(_ =>
+        (s"k${(math.pow(rnd.nextDouble(), 2.0) * nKeys).toInt}",
+          epoch + rnd.nextInt(7200).toLong))
+      val in = MemoryStream[(String, Long)]
+      val hh = graft.streaming.StreamingTopK.heavyHitters(
+        in.toDF().toDF("key0", "sec").withColumn("ts", timestamp_seconds(col("sec"))),
+        "ts", "key0", "1 hour", "90 days", m = 64, buckets = 1 + rnd.nextInt(4))
+      val sunk = runStreamSteps(hh.toDF(), s"sfz_topk_$i", "update",
+        chunks(rows, rnd).map(c => () => { in.addData(c); () }))
+      val got = sunk.groupBy(col("windowUs"), col("key"))
+        .agg(max(col("count")).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy { case (k, sec) =>
+        (sec * 1000000L / winUs * winUs, k)
+      }.view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"case $i (keys=$nKeys): stream ${got.size} vs " +
+        s"batch ${want.size} entries; diff ${(got.toSet diff want.toSet).take(5)}")
+      // In the exact regime every emitted error term must be zero.
+      assert(sunk.where(col("err") =!= 0L).isEmpty, s"case $i: nonzero err emitted")
+    }
+  }
 }
