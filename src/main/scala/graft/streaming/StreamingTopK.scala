@@ -51,8 +51,13 @@ final case class HitterUpdate(windowUs: Long, key: String, count: Long, err: Lon
  * rate) would otherwise serialize through ONE state partition's task.
  * Each key lives in exactly one bucket, so per-window summaries across
  * buckets partition the key space and their union is merge-free; state is
- * O(active windows × buckets × m), independent of stream length and key
- * cardinality. Per-batch work per group is one hash-map fold over the
+ * O(ACTIVE windows × buckets × m), independent of stream length and key
+ * cardinality: each summary arms an event-time timeout at
+ * windowEnd + delay, and once the watermark proves no non-late event can
+ * touch the window again the summary is REMOVED (its final counts were
+ * already emitted as updates; a beyond-lateness straggler can only
+ * recreate a partial summary whose lower counts the max-per-key post-pass
+ * ignores). Per-batch work per group is one hash-map fold over the
  * batch's pre-counted keys (sorted fold order + lexicographic min-victim
  * rule ⇒ deterministic under any batching, which is what lets
  * StreamFuzzSpec pin batching-invariance in the exact regime).
@@ -100,6 +105,10 @@ object StreamingTopK {
     require(windowUs.months == 0 && windowUs.days == 0,
       "tumbling window must be a sub-day duration")
     val wUs = windowUs.microseconds
+    val delayUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(delayUs.months == 0, "watermark delay must be month-free")
+    val delayMs = delayUs.days * 86400000L + delayUs.microseconds / 1000L
     events.withWatermark(eventTimeCol, delay)
       .select(
         // Integer floor-to-window (event times are post-1970 here; a
@@ -110,17 +119,38 @@ object StreamingTopK {
         col(eventTimeCol).as("et")) // bare attribute: watermark metadata survives
       .as[WindowedKey]
       .groupByKey(e => (e.windowUs, e.bucket))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (wk: (Long, Int), it: Iterator[WindowedKey], state: GroupState[HitterState]) => {
-          val prev = state.getOption.getOrElse(HitterState(Nil))
-          val batchCounts = mutable.Map.empty[String, Long]
-          it.foreach(e => batchCounts.update(e.key, batchCounts.getOrElse(e.key, 0L) + 1L))
-          val next = foldCounts(prev.entries, batchCounts.toSeq, m)
-          state.update(HitterState(next))
-          val before = prev.entries.map(e => e.key -> (e.count, e.err)).toMap
-          next.iterator
-            .filter(e => !before.get(e.key).contains((e.count, e.err)))
-            .map(e => HitterUpdate(wk._1, e.key, e.count, e.err))
+          if (state.hasTimedOut) {
+            // Watermark passed windowEnd + delay: no non-late event can
+            // touch this window again. Final counts were already emitted.
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(HitterState(Nil))
+            val batchCounts = mutable.Map.empty[String, Long]
+            it.foreach(e => batchCounts.update(e.key, batchCounts.getOrElse(e.key, 0L) + 1L))
+            val next = foldCounts(prev.entries, batchCounts.toSeq, m)
+            state.update(HitterState(next))
+            // Arm the seal. The timestamp must sit above the current
+            // watermark (Spark rejects already-passed timeouts); a
+            // straggler arriving with the watermark already past the seal
+            // point re-arms one watermark tick ahead. Batch execution has
+            // neither watermark nor timeouts — skip silently (exact there
+            // anyway: one "batch" sees everything).
+            try {
+              val wm = try state.getCurrentWatermarkMs()
+                       catch { case _: UnsupportedOperationException => Long.MinValue }
+              val seal = Math.addExact(Math.floorDiv(wk._1 + wUs, 1000L), delayMs)
+              state.setTimeoutTimestamp(math.max(seal, wm + 1))
+            } catch {
+              case _: UnsupportedOperationException | _: ArithmeticException => ()
+            }
+            val before = prev.entries.map(e => e.key -> (e.count, e.err)).toMap
+            next.iterator
+              .filter(e => !before.get(e.key).contains((e.count, e.err)))
+              .map(e => HitterUpdate(wk._1, e.key, e.count, e.err))
+          }
         })
   }
 }
