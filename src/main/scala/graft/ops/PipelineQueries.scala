@@ -254,6 +254,30 @@ object PipelineQueries {
         pqIters = 2, k = 5, nProbes = 2, rerank = 8)
     }),
 
+    // Index persistence round-trip (the deployment contract: build once,
+    // persist, serve every query batch from the LOADED index): serving
+    // from a saved+loaded IVFADC index must equal serving from the
+    // in-memory build row-for-row — both deterministic, doubles
+    // round-trip parquet bit-exactly, so the gate is exact equality, not
+    // a recall floor.
+    "ann_ivfpq_saved" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val (codes, cents, books) = Ann.ivfPqIndex(e, "vec_id", "embedding",
+        dim = 64, nCells = 8, ivfIters = 2, nSub = 8, nCodes = 16, pqIters = 2)
+      val path = s"/tmp/graft_ivfpq_index/${new java.io.File(dir).getName}"
+      Ann.saveIvfPqIndex(path, codes, cents, books)
+      val (codes2, cents2, books2) = Ann.loadIvfPqIndex(s, path)
+      def serve(cd: DataFrame, ct: Array[Array[Double]],
+                bk: Array[Array[Array[Double]]]) =
+        Ann.ivfPqServe(e, q, "vec_id", "embedding", ct, bk, cd,
+          k = 5, nProbes = 2, rerank = 8)
+      serve(codes, cents, books).exceptAll(serve(codes2, cents2, books2))
+        .unionAll(serve(codes2, cents2, books2).exceptAll(serve(codes, cents, books)))
+        .agg(count(lit(1)).as("n"))
+        .select(when(col("n") === 0, lit(1L)).otherwise(lit(0L)).as("passed"))
+    }),
+
     "ann_ivfpq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 5)
@@ -789,6 +813,7 @@ object PipelineQueries {
     "ann_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
+    "ann_ivfpq_saved" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "ann_ivfpq_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "dd_semantic_recall" -> "SELECT CAST(1 AS BIGINT) AS passed",
     "tx_cms_err" -> "SELECT CAST(1 AS BIGINT) AS passed",

@@ -240,6 +240,39 @@ object StreamingQueries {
     // rank oracle pins the whole path. The m-bounded approximate regime
     // (eviction + error tracking) is covered by StreamFuzzSpec's
     // guarantee assertions instead.
+    // Windowed approximate distinct users (hourly uniques): streaming
+    // groupBy(window).approx_count_distinct — HLL++ sketch per window, so
+    // state is O(active windows × sketch size) instead of O(windows ×
+    // distinct keys): the bounded-state form of the classic uniques
+    // metric. HLL is hash-based and merge-commutative, hence
+    // deterministic under any batching; the gate compares every window
+    // against the batch EXACT distinct — |approx − exact| within
+    // max(3, 5%·exact) (rsd 2%; the absolute floor covers the 4-6-user
+    // tail windows where one HLL count of slack is a 25% relative error)
+    // — the fr_agg_groups_approx pattern, so sketch noise can't flip the
+    // oracle while a real regression (wrong window, dropped rows, a
+    // whole window missing on either side) fails it.
+    "st_distinct" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val approx = eventsStream(ss, dir)
+        .withWatermark("event_ts", "90 days")
+        .groupBy(window(col("event_ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"))
+      val sunk = runToBatch(ss, approx, "st_distinct_sink")
+        .select(unix_micros(col("window.start")).as("window_us"), col("n_approx"))
+      val exact = Tables.events(ss, dir)
+        .groupBy(expr("(ts div 1000 div 3600000000) * 3600000000").as("window_us"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sunk.join(exact, Seq("window_us"), "full")
+        .select(
+          abs(coalesce(col("n_approx"), lit(0L)) -
+            coalesce(col("n_exact"), lit(0L))).cast("double").as("dev"),
+          greatest(lit(3.0),
+            lit(0.05) * coalesce(col("n_exact"), lit(0L)).cast("double")).as("allow"))
+        .agg(max(col("dev") - col("allow")).as("worst"))
+        .select(when(col("worst") <= 0.0, lit(1L)).otherwise(lit(0L)).as("passed"))
+    }),
+
     "st_topk" -> ((s, dir) => {
       val ss = streamSession(s)
       val hh = graft.streaming.StreamingTopK.heavyHitters(
@@ -304,6 +337,10 @@ object StreamingQueries {
     // q_range_join's SQL verbatim — the stream-stream interval join must
     // agree with the batch range join row-for-row.
     "st_attribution" -> RelationalQueries.oracleSql("q_range_join"),
+
+    // Oracle-gated quality row (the fr_agg_groups_approx pattern): the
+    // compared output is the single gate bit.
+    "st_distinct" -> "SELECT CAST(1 AS BIGINT) AS passed",
 
     // Batch per-window counts + rank: in the exact regime the Space-Saving
     // summaries must reproduce this verbatim.

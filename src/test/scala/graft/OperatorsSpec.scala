@@ -1227,6 +1227,32 @@ class OperatorsSpec extends SparkSpec {
       s"corpus trigrams must never be sorted:\n$plan")
   }
 
+  test("IVFADC index save/load round-trips bit-exactly; serving is identical") {
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val rows = (0L until 120L).map(i =>
+      Row(i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val e = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val (codes, cents, books) = Ann.ivfPqIndex(e, "vec_id", "v",
+      dim, nCells = 4, ivfIters = 2, nSub = 4, nCodes = 8, pqIters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Ann.saveIvfPqIndex(path, codes, cents, books)
+    val (codes2, cents2, books2) = Ann.loadIvfPqIndex(spark, path)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(books2.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codes2.collect().map(_.toString).sorted.toSeq ==
+      codes.collect().map(_.toString).sorted.toSeq)
+    val q = e.where(col("vec_id") < 3)
+    def served(cd: org.apache.spark.sql.DataFrame, ct: Array[Array[Double]],
+               bk: Array[Array[Array[Double]]]) =
+      Ann.ivfPqServe(e, q, "vec_id", "v", ct, bk, cd, k = 4, nProbes = 2, rerank = 4)
+        .collect().map(_.toString).sorted.toSeq
+    assert(served(codes2, cents2, books2) == served(codes, cents, books))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
