@@ -143,6 +143,26 @@ object Sampling {
    * Shard assignment itself never depends on where the boundaries fall
    * (offsets absorb them); persistence only pins the two jobs together.
    */
+  /**
+   * Deterministic global training order for one epoch: every row's 0-based
+   * position on the salted md5 line (`md5("<salt>:e<epoch>:<id>")`, id
+   * tie-break) — the "shuffle the corpus between epochs" pass, as a pure
+   * function of (id, salt, epoch): any engine, and any re-run, assigns the
+   * same position to every row, and bumping `epoch` re-rolls the whole
+   * permutation without touching the data. Output: (`idCol`, `pos`).
+   *
+   * Implemented AS [[shardByBudget]] with unit weights and budget 1 — the
+   * exclusive prefix COUNT along the line is exactly the rank — so it
+   * inherits the two-phase range-partition + P-row offset fold shape: no
+   * global single-partition window anywhere in the plan, the property a
+   * 100 TB corpus permutation needs (a naive row_number over one ordering
+   * serializes the corpus through one task).
+   */
+  def globalOrder(df: DataFrame, idCol: String, salt: String,
+                  epoch: Int): DataFrame =
+    shardByBudget(df, idCol, lit(1L), budget = 1L, salt = s"$salt:e$epoch")
+      .select(col(idCol), col("shard").as("pos"))
+
   def shardByBudget(df: DataFrame, idCol: String, tokensCol: Column,
                     budget: Long, salt: String): DataFrame = {
     require(budget > 0, "token budget must be positive")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, LmScore, Multimodal, Sampling, TextAnalysis}
+import graft.operators.{Ann, Dedup, Dsir, LmScore, Multimodal, Sampling, TextAnalysis}
 
 /**
  * Driver-contract queries for the training-data pipeline operators
@@ -36,6 +36,14 @@ object PipelineQueries {
     * property Verify records before dumping oracle_sql.json). */
   private def lmOracleGlob: String =
     s"/tmp/graft_lm_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
+
+  /** DSIR importance-model fixture (same SF-keyed contract as the LM
+    * fixture above). */
+  private def dsirFixturePath(dir: String): String =
+    s"/tmp/graft_dsir_fixture/${new java.io.File(dir).getName}/model"
+
+  private def dsirOracleGlob: String =
+    s"/tmp/graft_dsir_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
 
   /** Recall gate for an approximate ANN result vs the exact one: single
     * row `passed = 1` iff |approx ∩ exact| / |exact| >= floor, computed
@@ -624,7 +632,42 @@ object PipelineQueries {
     // the two-phase decomposition equals the global prefix exactly.
     "pipeline_shard" -> ((s, dir) =>
       Sampling.shardByBudget(docs(s, dir), "doc_id",
-        TextAnalysis.tokenCount(col("text")), budget = 2000L, salt = "shard1"))
+        TextAnalysis.tokenCount(col("text")), budget = 2000L, salt = "shard1")),
+
+    // Epoch-seeded global permutation (the between-epochs corpus shuffle):
+    // every doc's 0-based position on the md5 line for epoch 1 — the
+    // two-phase prefix-count form of shardByBudget, so no global
+    // single-partition window exists in the plan. The oracle is the naive
+    // single-window row_number — green certifies the distributed rank
+    // equals the global one exactly.
+    "pipeline_order" -> ((s, dir) =>
+      Sampling.globalOrder(docs(s, dir), "doc_id", salt = "ord", epoch = 1)),
+
+    // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    // models over a trusted target slice (every 5th doc) vs the raw pool,
+    // per-doc integer log-weight from the materialized (bucket, lr_micro)
+    // fixture, hard top-100 by weight. Integer sums + integer compares —
+    // exact in any engine; the fixture read-back is what removes ln from
+    // the cross-engine surface (LmScore's contract).
+    "pipeline_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.selectTopK(
+        Dsir.trainAndScore(s, d, d.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", nBuckets = 256, salt = "dsir",
+          dsirFixturePath(dir)), k = 100)
+    }),
+
+    // DSIR Gumbel resampling (the paper's main form): same scored frame,
+    // selection key = logw_micro + quantized Gumbel noise on the salted
+    // md5 uniform — inclusion tilted by exp(logw), still integer-compared
+    // (see Dsir scaladoc for the 1e-10/row quantization-boundary caveat).
+    "pipeline_dsir_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.resampleGumbel(
+        Dsir.trainAndScore(s, d, d.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", nBuckets = 256, salt = "dsir",
+          dsirFixturePath(dir)), "doc_id", k = 100, salt = "dsirg")
+    })
   )
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
@@ -1111,6 +1154,53 @@ object PipelineQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
         |       AS BIGINT) AS shard
         |FROM d""".stripMargin,
+
+    // Mirrors Sampling.globalOrder as ONE window row_number over the
+    // global md5 line.
+    "pipeline_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('ord:e1:' || CAST(doc_id AS VARCHAR)),
+        |                          doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
+    // Mirrors Dsir.score + selectTopK: same unigram+bigram stream, same
+    // md5 bucket, the SAME on-disk lr_micro integers — the decision is an
+    // integer sum + integer compare with doc_id tie-break.
+    "pipeline_dsir" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |uni AS (SELECT doc_id, unnest(ts) AS gram FROM t),
+         |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+         |       FROM t, generate_series(1, 4000) s(i) WHERE i <= len(ts) - 1),
+         |g AS (SELECT doc_id,
+         |        ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 256 AS bucket
+         |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |m AS (SELECT bucket, lr_micro FROM read_parquet('${dsirOracleGlob}')),
+         |sc AS (SELECT g.doc_id, count(*) AS n_grams,
+         |         CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+         |       FROM g JOIN m USING (bucket) GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, logw_micro FROM sc
+         |ORDER BY logw_micro DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Mirrors Dsir.resampleGumbel: the identical scored frame plus
+    // floor-quantized Gumbel micros on the (n+0.5)/2^32 open-interval
+    // uniform — integer key compare, doc_id tie-break.
+    "pipeline_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |uni AS (SELECT doc_id, unnest(ts) AS gram FROM t),
+         |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+         |       FROM t, generate_series(1, 4000) s(i) WHERE i <= len(ts) - 1),
+         |g AS (SELECT doc_id,
+         |        ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 256 AS bucket
+         |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |m AS (SELECT bucket, lr_micro FROM read_parquet('${dsirOracleGlob}')),
+         |sc AS (SELECT g.doc_id, count(*) AS n_grams,
+         |         CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+         |       FROM g JOIN m USING (bucket) GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, logw_micro,
+         |  logw_micro + CAST(floor(1e6 * -ln(-ln(
+         |    ((('0x' || substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+         |     + 0.5) / 4294967296.0))) AS BIGINT) AS key_micro
+         |FROM sc ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     // Single-division IEEE arithmetic over exact integer counts — the
     // reason diversity uses Gini-Simpson, not Shannon (log() ulps differ

@@ -335,6 +335,36 @@ object RelationalQueries {
           count(lit(1)).as("n_purchases_hit"),
           sum(col("nc")).as("n_attributed"),
           max(col("nc")).as("max_clicks"))
+    }),
+
+    // One-pass column profiler (operators.Profile): per-column null/
+    // distinct/min/max/sum over a mixed-type lineitem slice — exact mode
+    // (multi-distinct Expand; the audit path). Decimal-cast sums keep the
+    // numbers order-independent; timestamp min/max go through the string
+    // cast both engines format identically.
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate"))),
+
+    // HLL gate for the profiler's scale mode: approx_count_distinct within
+    // max(3, 5%) of the exact distinct for every profiled column — the
+    // same oracle-gated-quality pattern as fr_agg_groups_approx_err. The
+    // approx plan has NO Expand (one scan, mergeable sketches); this row
+    // pins its error so the 100 TB default stays honest.
+    "q_profile_approx_err" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate")
+      val li = t(s, dir, "lineitem")
+      val exact = graft.operators.Profile.profile(li, cols)
+        .select(col("column"), col("n_distinct").as("nd_exact"))
+      val approx = graft.operators.Profile
+        .profile(li, cols, approxDistinct = true, rsd = 0.02)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      exact.join(approx, Seq("column"))
+        .agg(min(when(abs(col("nd_approx") - col("nd_exact")) <=
+          greatest(lit(3.0), col("nd_exact") * 0.05), 1L).otherwise(0L))
+          .as("passed"))
     })
   )
 
@@ -543,6 +573,44 @@ object RelationalQueries {
         |per AS (SELECT user_id, p_id, count(*) AS nc FROM j GROUP BY user_id, p_id)
         |SELECT user_id, count(*) AS n_purchases_hit,
         |       CAST(sum(nc) AS BIGINT) AS n_attributed, max(nc) AS max_clicks
-        |FROM per GROUP BY user_id""".stripMargin
+        |FROM per GROUP BY user_id""".stripMargin,
+
+    // Mirrors Profile.profile in long form — one UNION ALL arm per column
+    // class (numeric / string / string-cast timestamp); decimal-cast sums.
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(l_orderkey) AS n_nonnull,
+        |  count(*) - count(l_orderkey) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(sum(CAST(l_orderkey AS DECIMAL(20,4))) AS DOUBLE) AS sum_num,
+        |  CAST(NULL AS BIGINT) AS sum_len FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', count(l_linenumber), count(*) - count(l_linenumber),
+        |  count(DISTINCT l_linenumber), NULL, NULL,
+        |  CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE),
+        |  CAST(sum(CAST(l_linenumber AS DECIMAL(20,4))) AS DOUBLE), NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity), NULL, NULL,
+        |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice), count(*) - count(l_extendedprice),
+        |  count(DISTINCT l_extendedprice), NULL, NULL,
+        |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(l_returnflag), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag),
+        |  NULL, NULL, NULL, CAST(sum(len(l_returnflag)) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(l_shipdate), count(*) - count(l_shipdate),
+        |  count(DISTINCT l_shipdate),
+        |  min(CAST(l_shipdate AS VARCHAR)), max(CAST(l_shipdate AS VARCHAR)),
+        |  NULL, NULL, NULL, NULL FROM lineitem""".stripMargin,
+
+    "q_profile_approx_err" -> "SELECT CAST(1 AS BIGINT) AS passed"
   )
 }

@@ -1390,4 +1390,157 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.map(e => e.key -> e.count).toMap == truth)
     assert(exact.forall(_.err == 0L))
   }
+
+  // --- DSIR importance resampling ---------------------------------------
+
+  private def dsirBucket(gram: String, nBuckets: Int, salt: String): Long =
+    java.lang.Long.parseLong(md5hex(s"$salt:$gram").take(8), 16) % nBuckets
+
+  private def dsirGrams(text: String): Seq[String] = {
+    val ts = text.split(" ", -1).toSeq
+    ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  test("DSIR: model and scores equal the driver-side hashed-ngram mirror") {
+    import graft.operators.Dsir
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "stock prices rallied on tuesday",
+      3L -> "the dog sat on the rug",
+      4L -> "buy cheap pills online now",
+      5L -> "a cat and a dog sat together",
+      6L -> "click here to win money now")
+    val target = corpus.where(col("doc_id") <= 3L) // the "trusted" slice
+    val B = 64
+    val model = Dsir.trainLogRatios(target, corpus, "doc_id", "text", B, "ds")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(model.size == B, "model must cover every bucket")
+
+    // Driver mirror of the training formula.
+    val tGrams = Seq(1L, 2L, 3L).flatMap(i =>
+      dsirGrams(corpus.collect().find(_.getLong(0) == i).get.getString(1)))
+    val rGrams = corpus.collect().toSeq.flatMap(r => dsirGrams(r.getString(1)))
+    val ctM = tGrams.groupBy(g => dsirBucket(g, B, "ds")).view.mapValues(_.size.toLong).toMap
+    val crM = rGrams.groupBy(g => dsirBucket(g, B, "ds")).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (tGrams.size.toLong, rGrams.size.toLong)
+    (0L until B).foreach { b =>
+      val want = math.floor(1e6 * math.log(
+        ((ctM.getOrElse(b, 0L) + 1) * (tr + B)).toDouble /
+        ((crM.getOrElse(b, 0L) + 1) * (tt + B)).toDouble)).toLong
+      assert(model(b) == want, s"bucket $b: ${model(b)} != $want")
+    }
+
+    // Scores: integer fold of the model over each doc's grams.
+    val modelDf = spark.createDataFrame(model.toSeq).toDF("bucket", "lr_micro")
+    val scored = Dsir.score(corpus, modelDf, "doc_id", "text", B, "ds")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    corpus.collect().foreach { r =>
+      val gs = dsirGrams(r.getString(1))
+      val want = (gs.size.toLong, gs.map(g => model(dsirBucket(g, B, "ds"))).sum)
+      assert(scored(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+    // Target-like docs (cat/dog/sat vocabulary) must outscore spam.
+    val avg = (ids: Seq[Long]) => ids.map(i => scored(i)._2.toDouble / scored(i)._1).sum / ids.size
+    assert(avg(Seq(1L, 3L, 5L)) > avg(Seq(4L, 6L)),
+      "target-vocabulary docs must carry higher importance weights")
+  }
+
+  test("DSIR selection: top-k integer-exact; resample reproducible and salt-sensitive") {
+    import graft.operators.Dsir
+    val corpus = docs((1L to 40L).map(i =>
+      i -> (if (i % 4 == 0) "the cat sat on the mat" else s"junk spam text $i")): _*)
+    val target = corpus.where(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val scored = Dsir.trainAndScore(spark, corpus, target, "doc_id", "text",
+      nBuckets = 64, salt = "dk", fixturePath = s"$dir/model")
+    val top = Dsir.selectTopK(scored, k = 10).collect().map(_.getLong(0))
+    // All 10 slots go to the target-like docs (10 of them, max weight).
+    assert(top.toSet == (1L to 40L).filter(_ % 4 == 0).toSet)
+    // Plan: top-k must be TakeOrderedAndProject, no global sort exchange.
+    val q = Dsir.selectTopK(scored, k = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"plan:\n$plan")
+
+    // Resample: driver mirror of the quantized-Gumbel key.
+    val sc = scored.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    def key(id: Long, salt: String): Long = {
+      val u = (java.lang.Long.parseLong(md5hex(s"$salt:$id").take(8), 16) + 0.5) / 4294967296.0
+      sc(id) + math.floor(1e6 * -math.log(-math.log(u))).toLong
+    }
+    val gotA = Dsir.resampleGumbel(scored, "doc_id", k = 12, salt = "g1")
+      .collect().map(_.getLong(0)).toSeq
+    val wantA = sc.keys.toSeq.sortBy(i => (-key(i, "g1"), i)).take(12)
+    assert(gotA == wantA, s"got $gotA\nwant $wantA")
+    // Reproducible under the same salt; re-rolled under another.
+    val gotA2 = Dsir.resampleGumbel(scored, "doc_id", k = 12, salt = "g1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotA2 == gotA)
+    val gotB = Dsir.resampleGumbel(scored, "doc_id", k = 12, salt = "g2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotB == sc.keys.toSeq.sortBy(i => (-key(i, "g2"), i)).take(12))
+    assert(gotB != gotA, "independent salts should re-roll the draw")
+  }
+
+  // --- One-pass column profiler -----------------------------------------
+
+  test("profile: metrics equal hand-computed values; nulls and types covered") {
+    import graft.operators.Profile
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("x", DoubleType),
+      StructField("s", StringType)))
+    val d = frame(schema, Seq(
+      Map("k" -> 1L, "x" -> 2.5, "s" -> "bb"),
+      Map("k" -> 2L, "x" -> null, "s" -> "a"),
+      Map("k" -> 3L, "x" -> 2.5, "s" -> null),
+      Map("k" -> 3L, "x" -> -1.25, "s" -> "cccc")))
+    val rows = Profile.profile(d, Seq("k", "x", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) == ((4L, 0L, 3L)))
+    assert((k.getDouble(6), k.getDouble(7), k.getDouble(8)) == ((1.0, 3.0, 9.0)))
+    assert(k.isNullAt(4) && k.isNullAt(5) && k.isNullAt(9))
+    val x = rows("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3)) == ((3L, 1L, 2L)))
+    assert((x.getDouble(6), x.getDouble(7), x.getDouble(8)) == ((-1.25, 2.5, 3.75)))
+    val s = rows("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((3L, 1L, 3L)))
+    assert((s.getString(4), s.getString(5), s.getLong(9)) == (("a", "cccc", 7L)))
+    assert(s.isNullAt(6) && s.isNullAt(7) && s.isNullAt(8))
+  }
+
+  test("profile: exact mode pays Expand, approx mode does not; gate holds") {
+    import graft.operators.Profile
+    val d = spark.createDataFrame((0L until 500L).map(i => (i, i % 37, s"v${i % 11}")))
+      .toDF("a", "b", "c")
+    val exact = Profile.profile(d, Seq("a", "b", "c"))
+    val approx = Profile.profile(d, Seq("a", "b", "c"), approxDistinct = true)
+    exact.collect(); approx.collect()
+    val pe = exact.queryExecution.executedPlan.toString
+    val pa = approx.queryExecution.executedPlan.toString
+    assert(pe.contains("Expand"), s"exact multi-distinct should Expand:\n$pe")
+    assert(!pa.contains("Expand"), s"approx mode must not Expand:\n$pa")
+    val nd = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(nd("a") - 500) <= math.max(3, 25), nd.toString)
+    assert(math.abs(nd("b") - 37) <= math.max(3, 2), nd.toString)
+    assert(math.abs(nd("c") - 11) <= 3, nd.toString)
+  }
+
+  // --- Epoch-seeded global permutation ----------------------------------
+
+  test("globalOrder: exact md5-line permutation; epochs independent") {
+    import graft.operators.Sampling
+    val d = spark.createDataFrame((0L until 300L).map(i => Tuple1(i))).toDF("id")
+    val got = Sampling.globalOrder(d, "id", salt = "ord", epoch = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 300L).sortBy(i => (md5hex(s"ord:e0:$i"), i))
+      .zipWithIndex.map { case (i, p) => i -> p.toLong }.toMap
+    assert(got == want)
+    val e1 = Sampling.globalOrder(d, "id", salt = "ord", epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == (0L until 300L).sortBy(i => (md5hex(s"ord:e1:$i"), i))
+      .zipWithIndex.map { case (i, p) => i -> p.toLong }.toMap)
+    assert(e1 != got, "epoch bump must re-roll the permutation")
+  }
 }
