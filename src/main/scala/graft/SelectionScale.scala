@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale probe for DSIR importance selection (operators.Dsir): verifies the
+ * operator's 100 TB claims by measurement rather than plan shape —
+ *
+ *  1. the model stays `nBuckets` rows no matter the corpus size (train
+ *     wall grows linearly with gram volume, the output does not);
+ *  2. scoring's only data-sized exchange carries ~one partial-aggregate
+ *     row per document, NOT per gram: the probe reports shuffle bytes per
+ *     document, which must stay flat (and small) from 2M to 10M docs
+ *     while each doc explodes to ~23 grams;
+ *  3. hard top-k (TakeOrderedAndProject) and the map-only threshold form
+ *     cost the same scan — the threshold form is the path for selections
+ *     too large for a driver-side k-row merge.
+ *
+ * Corpus is synthetic: 12 pseudo-random vocabulary words per doc drawn
+ * from Zipf-ish pools, target slice = every 17th doc.
+ */
+object SelectionScale {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(2000000L, 10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val b = 10000
+
+    // Untimed warmup at 1M docs with the REAL text shape: whole-stage
+    // codegen compilation, md5/agg JIT warm-in and the first parquet
+    // writer init otherwise land inside the first size's timings (the
+    // Bench warmup contract; measured: the first full-occupancy train run
+    // in a cold JVM costs up to 3x its steady state).
+    {
+      val wWords = (0 until 12).map { j =>
+        val pool = Seq(50000, 5000, 500, 50)(j % 4)
+        concat(lit("w"), pmod(col("doc_id") * lit(2654435761L + j * 40503L), lit(pool)))
+      }
+      val w = spark.range(1000000L).select(col("id").as("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", wWords: _*).as("text"))
+      val fixW = "/tmp/graft_selscale_model/warmup"
+      operators.Dsir.trainLogRatios(w.where(pmod(col("doc_id"), lit(17)) === 0),
+        w, "doc_id", "text", b, "sc")
+        .coalesce(1).write.mode("overwrite").parquet(fixW)
+      operators.Dsir.selectTopK(operators.Dsir.score(
+        w, spark.read.parquet(fixW), "doc_id", "text", b, "sc"), 1000)
+        .agg(sum(col("doc_id"))).head()
+    }
+
+    sizes.foreach { n =>
+      // 12 words/doc from pools of shrinking cardinality (Zipf-ish mix).
+      val words = (0 until 12).map { j =>
+        val pool = Seq(50000, 5000, 500, 50)(j % 4)
+        concat(lit("w"), pmod(col("doc_id") * lit(2654435761L + j * 40503L), lit(pool)))
+      }
+      val corpus = graft.util.Caches.retain(spark.range(n)
+        .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text")))
+      corpus.count() // materialize outside the timings
+      val target = corpus.where(pmod(col("doc_id"), lit(17)) === 0)
+      val fix = s"/tmp/graft_selscale_model/$n"
+
+      // Min of 2 per stage (the Bench steady-state convention): even after
+      // the warmup, the first full-occupancy pass at a new size carries
+      // residual JIT/page-cache warm-in on this VM (measured up to 2.5x).
+      def minOf2[T](body: => (T, graft.result.JobStats.Snapshot)) = {
+        val a = body; val c = body
+        if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
+      }
+      val (_, train) = minOf2(graft.result.JobStats.measure(spark) {
+        operators.Dsir.trainLogRatios(target, corpus, "doc_id", "text", b, "sc")
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+      })
+      val model = spark.read.parquet(fix)
+      require(model.count() == b, "model must be exactly nBuckets rows")
+
+      val (topSum, score) = minOf2(graft.result.JobStats.measure(spark) {
+        operators.Dsir.selectTopK(
+          operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc"), 1000)
+          .agg(sum(col("doc_id"))).head().getLong(0)
+      })
+      val (thrCount, thr) = minOf2(graft.result.JobStats.measure(spark) {
+        operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc")
+          .where(col("logw_micro") > 0L).count()
+      })
+      graft.util.Caches.drain()
+      println(f"SELECTIONSCALE n=$n topk_check=$topSum thr_kept=$thrCount " +
+        f"train_wall=${train.wallTimeMs / 1000.0}%.1f " +
+        f"score_wall=${score.wallTimeMs / 1000.0}%.1f " +
+        f"score_shuffle_b_per_doc=${score.shuffleBytesWritten.toDouble / n}%.1f " +
+        f"score_docs_per_s_core=${n / score.coreSecs}%.0f " +
+        f"threshold_wall=${thr.wallTimeMs / 1000.0}%.1f")
+    }
+    spark.stop()
+  }
+}
