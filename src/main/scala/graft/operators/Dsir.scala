@@ -114,6 +114,31 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("logw_micro"))
 
+  /** Row-local scoring against a DRIVER-HELD model — the serving path: a
+    * stream (or any map-only stage) scores each document inside its own
+    * row via a higher-order fold over the gram array, with the model
+    * inlined as a literal map. No explode, no join, no shuffle, no state
+    * — trivially batching-invariant in a stream. Returns
+    * `struct(n_grams, logw_micro)`; MUST produce bit-identical integers
+    * to [[score]] (the battery gates the two implementations against the
+    * same oracle). Intended for models that fit a literal comfortably
+    * (≤ ~10k buckets — the paper's shape); beyond that use [[score]]'s
+    * broadcast join. */
+  def rowScore(textCol: Column, model: Map[Long, Long], nBuckets: Int,
+               salt: String): Column = {
+    require(model.size == nBuckets, "model must cover every bucket")
+    val ts = split(textCol, " ")
+    val bis = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(ts, bis)
+    val m = typedLit(model)
+    val logw = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(m, hashBucket(g, nBuckets, salt)))
+    struct(size(grams).cast("long").as("n_grams"), logw.as("logw_micro"))
+  }
+
   /** Hard top-k by importance weight (the paper's "top-k selection"
     * ablation): integer compare, id tie-break — exact in any engine.
     * Plans as TakeOrderedAndProject. */

@@ -28,6 +28,15 @@ import graft.streaming.{StreamingSessions, WindowedRates}
 object StreamingQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** DSIR model fixture for st_dsir, SF-keyed like the LM/DSIR batch
+    * fixtures (separate path from pipeline_dsir's so neither clobbers the
+    * other between dump and oracle compare). */
+  private def dsirStreamFixturePath(dir: String): String =
+    s"/tmp/graft_dsir_stream_fixture/${new java.io.File(dir).getName}/model"
+
+  private def dsirStreamOracleGlob: String =
+    s"/tmp/graft_dsir_stream_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
+
   /** Run a (bounded) streaming frame to completion into a memory sink and
     * return the sink's contents as a batch frame. Aggregations run in
     * `complete` mode (every window emits regardless of watermark progress);
@@ -273,6 +282,34 @@ object StreamingQueries {
         .select(when(col("worst") <= 0.0, lit(1L)).otherwise(lit(0L)).as("passed"))
     }),
 
+    // Streaming DSIR scoring — the serving deployment: train the hashed
+    // n-gram model ONCE on the static corpus (same params as
+    // pipeline_dsir), ship it to the stream as a driver-held literal, and
+    // score each arriving document row-locally (Dsir.rowScore: HOF fold,
+    // no explode/join/shuffle/state — trivially batching-invariant). The
+    // oracle is the batch scoring SQL verbatim minus the top-k cut, so
+    // green certifies the row-local fold and the batch explode+broadcast
+    // +aggregate pipeline produce bit-identical integers.
+    "st_dsir" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val d = Tables.documents(ss, dir)
+      val fix = dsirStreamFixturePath(dir)
+      graft.operators.Dsir.trainLogRatios(
+        d.where(col("doc_id") % 5 === 0), d, "doc_id", "text", 256, "dsir")
+        .coalesce(1).write.mode("overwrite").parquet(fix)
+      // Bounded driver state (256 rows — the centroids/sketch class).
+      val model = ss.read.parquet(fix).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val schema = Tables.loadRaw(ss, dir, "documents").schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val scored = stream.select(col("doc_id"),
+        graft.operators.Dsir.rowScore(col("text"), model, 256, "dsir").as("s"))
+        .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+          col("s.logw_micro").as("logw_micro"))
+      runToBatch(ss, scored, "st_dsir_sink", mode = "append")
+    }),
+
     "st_topk" -> ((s, dir) => {
       val ss = streamSession(s)
       val hh = graft.streaming.StreamingTopK.heavyHitters(
@@ -294,7 +331,23 @@ object StreamingQueries {
     * where the gap to the previous event is >= 30 min, mirroring
     * session_window's half-open [ts, ts+gap) merge rule; session_end =
     * last event + gap. */
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: st_dsir's SQL embeds the SF-keyed model fixture path,
+  // resolved from the property Verify sets before dumping oracle_sql.json
+  // (same contract as PipelineQueries.oracleSql).
+  def oracleSql: Map[String, String] = Map(
+    "st_dsir" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |uni AS (SELECT doc_id, unnest(ts) AS gram FROM t),
+         |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+         |       FROM t, generate_series(1, 4000) s(i) WHERE i <= len(ts) - 1),
+         |g AS (SELECT doc_id,
+         |        ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 256 AS bucket
+         |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |m AS (SELECT bucket, lr_micro FROM read_parquet('${dsirStreamOracleGlob}'))
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |       CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+         |FROM g JOIN m USING (bucket) GROUP BY g.doc_id""".stripMargin,
+
     "st_rates" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_us,
         |       event_type,

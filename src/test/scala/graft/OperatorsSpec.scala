@@ -1483,6 +1483,29 @@ class OperatorsSpec extends SparkSpec {
     assert(gotB != gotA, "independent salts should re-roll the draw")
   }
 
+  test("DSIR rowScore: the HOF serving path equals the explode+join scorer") {
+    import graft.operators.Dsir
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "x",
+      3L -> "stock prices rallied on tuesday while the cat slept",
+      4L -> "buy cheap pills online now click here",
+      5L -> "a")
+    val B = 64
+    val modelDf = Dsir.trainLogRatios(
+      corpus.where(col("doc_id") % 2 === 1), corpus, "doc_id", "text", B, "rs")
+    val model = modelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dsir.score(corpus, modelDf, "doc_id", "text", B, "rs")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val local = corpus.select(col("doc_id"),
+      Dsir.rowScore(col("text"), model, B, "rs").as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.logw_micro"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(local == batch, s"local $local\nbatch $batch")
+    // Single-token docs exercise the empty-bigram branch.
+    assert(local(2L)._1 == 1L && local(5L)._1 == 1L)
+  }
+
   // --- One-pass column profiler -----------------------------------------
 
   test("profile: metrics equal hand-computed values; nulls and types covered") {
