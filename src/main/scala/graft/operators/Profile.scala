@@ -99,4 +99,50 @@ object Profile {
     }
     row.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Snapshot drift: join two profiles of the same columns (yesterday's
+   * corpus vs today's, raw vs cleaned) and emit per-column deltas — the
+   * alarm input every scheduled pipeline wants ("null rate jumped",
+   * "distinct cardinality halved", "value range shifted"). Pure
+   * arithmetic over the two bounded profile rows per column; the heavy
+   * lifting is the two one-pass profiles themselves.
+   *
+   * Output per column: row counts and distinct counts side by side with
+   * deltas, the null-RATE change in parts-per-million (integer — one
+   * exact division each side at micro resolution, engine-identical), and
+   * whether the [min,max] range moved (numeric and string ranges
+   * compared in their own domains).
+   */
+  def drift(before: DataFrame, after: DataFrame, cols: Seq[String],
+            approxDistinct: Boolean = false): DataFrame = {
+    val b = profile(before, cols, approxDistinct)
+      .select(col("column"),
+        (col("n_nonnull") + col("n_null")).as("b_rows"),
+        col("n_null").as("b_null"), col("n_distinct").as("b_distinct"),
+        col("min_str").as("b_min_str"), col("max_str").as("b_max_str"),
+        col("min_num").as("b_min_num"), col("max_num").as("b_max_num"))
+    val a = profile(after, cols, approxDistinct)
+      .select(col("column"),
+        (col("n_nonnull") + col("n_null")).as("a_rows"),
+        col("n_null").as("a_null"), col("n_distinct").as("a_distinct"),
+        col("min_str").as("a_min_str"), col("max_str").as("a_max_str"),
+        col("min_num").as("a_min_num"), col("max_num").as("a_max_num"))
+    def ppm(n: Column, d: Column): Column =
+      when(d > 0, floor(n.cast("double") * 1000000.0 / d.cast("double"))
+        .cast("long")).otherwise(lit(0L))
+    b.join(a, Seq("column"))
+      .select(col("column"),
+        col("b_rows"), col("a_rows"),
+        (col("a_rows") - col("b_rows")).as("d_rows"),
+        col("b_distinct"), col("a_distinct"),
+        (col("a_distinct") - col("b_distinct")).as("d_distinct"),
+        (ppm(col("a_null"), col("a_rows")) -
+          ppm(col("b_null"), col("b_rows"))).as("d_null_ppm"),
+        (coalesce(col("a_min_num") =!= col("b_min_num"), lit(false)) ||
+         coalesce(col("a_max_num") =!= col("b_max_num"), lit(false)) ||
+         coalesce(col("a_min_str") =!= col("b_min_str"), lit(false)) ||
+         coalesce(col("a_max_str") =!= col("b_max_str"), lit(false)))
+          .cast("long").as("range_moved"))
+  }
 }

@@ -347,6 +347,17 @@ object RelationalQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate"))),
 
+    // Snapshot drift (Profile.drift): the full lineitem vs a "cleaned"
+    // slice (quantity < 30) — per-column row/distinct deltas, the exact
+    // null-rate change in ppm, and range movement. Two one-pass profiles
+    // + bounded per-column arithmetic.
+    "q_profile_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Profile.drift(li, li.where(col("l_quantity") < 30),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+          "l_shipdate"))
+    }),
+
     // HLL gate for the profiler's scale mode: approx_count_distinct within
     // max(3, 5%) of the exact distinct for every profiled column — the
     // same oracle-gated-quality pattern as fr_agg_groups_approx_err. The
@@ -611,6 +622,44 @@ object RelationalQueries {
         |  min(CAST(l_shipdate AS VARCHAR)), max(CAST(l_shipdate AS VARCHAR)),
         |  NULL, NULL, NULL, NULL FROM lineitem""".stripMargin,
 
-    "q_profile_approx_err" -> "SELECT CAST(1 AS BIGINT) AS passed"
+    "q_profile_approx_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
+
+    // Mirrors Profile.drift: two UNION ALL profile stacks (full lineitem
+    // vs the quantity<30 slice) joined per column, identical delta/ppm/
+    // range arithmetic.
+    "q_profile_drift" -> {
+      def arms(filter: String): String = {
+        def num(c: String) =
+          s"""SELECT '$c' AS c, count(*) AS rows_, count(*) - count($c) AS nulls_,
+             |  count(DISTINCT $c) AS nd,
+             |  CAST(min($c) AS DOUBLE) AS mn_num, CAST(max($c) AS DOUBLE) AS mx_num,
+             |  CAST(NULL AS VARCHAR) AS mn_str, CAST(NULL AS VARCHAR) AS mx_str
+             |FROM lineitem $filter""".stripMargin
+        def str(c: String, cast: Boolean) = {
+          val e = if (cast) s"CAST($c AS VARCHAR)" else c
+          s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($e), max($e)
+             |FROM lineitem $filter""".stripMargin
+        }
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag", cast = false), str("l_shipdate", cast = true))
+          .mkString("\nUNION ALL\n")
+      }
+      val ppmA = "CASE WHEN a.rows_ > 0 THEN CAST(floor(CAST(a.nulls_ AS DOUBLE) " +
+        "* 1000000.0 / CAST(a.rows_ AS DOUBLE)) AS BIGINT) ELSE 0 END"
+      val ppmB = "CASE WHEN b.rows_ > 0 THEN CAST(floor(CAST(b.nulls_ AS DOUBLE) " +
+        "* 1000000.0 / CAST(b.rows_ AS DOUBLE)) AS BIGINT) ELSE 0 END"
+      s"""WITH b AS (${arms("")}),
+         |a AS (${arms("WHERE l_quantity < 30")})
+         |SELECT b.c AS "column", b.rows_ AS b_rows, a.rows_ AS a_rows,
+         |  a.rows_ - b.rows_ AS d_rows,
+         |  b.nd AS b_distinct, a.nd AS a_distinct, a.nd - b.nd AS d_distinct,
+         |  ($ppmA) - ($ppmB) AS d_null_ppm,
+         |  CAST(coalesce(a.mn_num <> b.mn_num, false)
+         |    OR coalesce(a.mx_num <> b.mx_num, false)
+         |    OR coalesce(a.mn_str <> b.mn_str, false)
+         |    OR coalesce(a.mx_str <> b.mx_str, false) AS BIGINT) AS range_moved
+         |FROM b JOIN a ON b.c = a.c""".stripMargin
+    }
   )
 }

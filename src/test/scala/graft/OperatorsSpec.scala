@@ -1550,6 +1550,31 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(nd("c") - 11) <= 3, nd.toString)
   }
 
+  test("profile drift: deltas, null-rate ppm, and range movement") {
+    import graft.operators.Profile
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val before = frame(schema, Seq(
+      Map("k" -> 1L, "s" -> "a"), Map("k" -> 2L, "s" -> "b"),
+      Map("k" -> 3L, "s" -> "c"), Map("k" -> 4L, "s" -> null)))
+    val after = frame(schema, Seq(
+      Map("k" -> 1L, "s" -> "a"), Map("k" -> 5L, "s" -> null),
+      Map("k" -> null, "s" -> null)))
+    val rows = Profile.drift(before, after, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    // rows 4→3, distinct 4→2, nulls 0/4→1/3, max 4→5 (range moved)
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) == ((4L, 3L, -1L)))
+    assert((k.getLong(4), k.getLong(5), k.getLong(6)) == ((4L, 2L, -2L)))
+    assert(k.getLong(7) == math.floor(1e6 / 3).toLong)
+    assert(k.getLong(8) == 1L)
+    val s = rows("s")
+    // distinct 3→1, nulls 1/4→2/3, range [a,c]→[a,a] moved
+    assert((s.getLong(4), s.getLong(5), s.getLong(6)) == ((3L, 1L, -2L)))
+    assert(s.getLong(7) == math.floor(2e6 / 3).toLong - 250000L)
+    assert(s.getLong(8) == 1L)
+  }
+
   // --- Epoch-seeded global permutation ----------------------------------
 
   test("globalOrder: exact md5-line permutation; epochs independent") {
