@@ -634,6 +634,21 @@ object PipelineQueries {
       Sampling.shardByBudget(docs(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 2000L, salt = "shard1")),
 
+    // Size-targeted export (sources.DatasetExporter): pilot-measured
+    // compressed bytes/row → file count → deterministic md5-hash
+    // distribution. The compared output is the lossless round-trip
+    // (count + id checksum + text-length checksum of the re-read export);
+    // file sizing itself is pinned by the OperatorsSpec assertions.
+    "pipeline_export" -> ((s, dir) => {
+      val out = s"/tmp/graft_export/${new java.io.File(dir).getName}/docs"
+      graft.sources.DatasetExporter.export(docs(s, dir), "doc_id", out,
+        targetFileBytes = 64L * 1024L, salt = "exp")
+      s.read.parquet(out).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).cast("long").as("text_len_sum"))
+    }),
+
     // Epoch-seeded global permutation (the between-epochs corpus shuffle):
     // every doc's 0-based position on the md5 line for epoch 1 — the
     // two-phase prefix-count form of shardByBudget, so no global
@@ -1154,6 +1169,12 @@ object PipelineQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
         |       AS BIGINT) AS shard
         |FROM d""".stripMargin,
+
+    // Mirrors pipeline_export's round-trip checksums against the SOURCE
+    // table — green certifies the export lost and altered nothing.
+    "pipeline_export" ->
+      """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(len(text)) AS BIGINT) AS text_len_sum FROM documents""".stripMargin,
 
     // Mirrors Sampling.globalOrder as ONE window row_number over the
     // global md5 line.

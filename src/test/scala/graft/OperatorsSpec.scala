@@ -1575,6 +1575,35 @@ class OperatorsSpec extends SparkSpec {
     assert(s.getLong(8) == 1L)
   }
 
+  test("dataset export: pilot-sized files, lossless round-trip") {
+    import graft.sources.DatasetExporter
+    val n = 2000
+    val d = docs((1L to n.toLong).map(i =>
+      i -> (s"doc $i " + ("lorem ipsum dolor sit amet " * (5 + (i % 7).toInt)))): _*)
+    val out = java.nio.file.Files.createTempDirectory("export").toString + "/ds"
+    val target = 32L * 1024L
+    val st = DatasetExporter.export(d, "doc_id", out, target, salt = "t")
+    assert(st.rows == n.toLong)
+    assert(st.files >= 2, s"expected multiple files, got ${st.files}")
+    // Round trip is lossless.
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+    // Every data file within loose bounds of the target (parquet footer /
+    // dictionary noise dominates at this tiny scale, hence 4x / /8).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    assert(sizes.length.toLong == st.files)
+    assert(sizes.forall(_ <= 4 * target), s"oversized: ${sizes.mkString(",")}")
+    assert(sizes.forall(_ >= target / 8), s"undersized: ${sizes.mkString(",")}")
+    // Determinism: same salt reproduces the same file count.
+    val st2 = DatasetExporter.export(d, "doc_id", out, target, salt = "t")
+    assert(st2.files == st.files)
+  }
+
   // --- Epoch-seeded global permutation ----------------------------------
 
   test("globalOrder: exact md5-line permutation; epochs independent") {
