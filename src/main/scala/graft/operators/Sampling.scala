@@ -144,6 +144,45 @@ object Sampling {
    * (offsets absorb them); persistence only pins the two jobs together.
    */
   /**
+   * Weight-proportional corpus interleaving (stride scheduling): assign
+   * every row a sort key such that reading the corpus in `mix_key` order
+   * delivers each key's rows at a rate proportional to its weight — every
+   * training window sees the target source/language mix, not whatever
+   * order the files happened to land in. Classic stride schedule: the
+   * r-th row of key k (r = 1.., in salted-md5 order within the key, so
+   * the within-key sequence is itself content-random) is released at
+   * `mix_key = (r − 0.5) / w_k`. For any threshold T, key k has
+   * contributed min(n_k, floor(T·w_k + ½)) rows — prefix proportions
+   * track the weights within one row per key, the tightest deterministic
+   * guarantee there is. Output: input columns + (`mix_rank`, `mix_key`);
+   * consumers sort / range-partition by (`mix_key`, `keyCol`, `idCol`)
+   * (the documented total-order tie-break — distinct keys can produce
+   * equal strides, e.g. r=1,w=1 and r=2,w=3).
+   *
+   * Determinism: the within-key rank is a pure (id, salt) hash order, and
+   * the stride is ONE IEEE division of exact integers — engine-identical.
+   * `weightCol` must be a positive integral weight, constant within each
+   * key (it scales the key's release rate).
+   *
+   * Scale shape: one window exchange partitioned by key (same class as
+   * capPerKey — fine for source/language/domain keys with bounded
+   * per-key volume; a billion-row hot key needs capPerKeyApprox-style
+   * treatment first). Sorting by `mix_key` downstream is a range
+   * partition, not a global single-task sort.
+   */
+  def interleaveOrder(df: DataFrame, keyCol: String, idCol: String,
+                      weightCol: String, salt: String): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("mix_rank", "mix_key"))
+    require(clash.isEmpty,
+      s"columns collide with interleaveOrder outputs: ${clash.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(TextAnalysis.saltedMd5(col(idCol), salt), col(idCol))
+    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_key",
+        (col("mix_rank").cast("double") - lit(0.5)) / col(weightCol).cast("double"))
+  }
+
+  /**
    * Deterministic global training order for one epoch: every row's 0-based
    * position on the salted md5 line (`md5("<salt>:e<epoch>:<id>")`, id
    * tie-break) — the "shuffle the corpus between epochs" pass, as a pure

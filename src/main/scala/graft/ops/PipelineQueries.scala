@@ -658,6 +658,19 @@ object PipelineQueries {
     "pipeline_order" -> ((s, dir) =>
       Sampling.globalOrder(docs(s, dir), "doc_id", salt = "ord", epoch = 1)),
 
+    // Stride-scheduled corpus interleaving: language weights en:4 zh:2
+    // rest:1 — reading in mix_key order delivers every training window at
+    // the target mix (per-key prefix counts track weights within one
+    // row). One window exchange by key; the stride is a single IEEE
+    // division of exact integers.
+    "pipeline_interleave" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w",
+        when(col("lang") === "en", lit(4L))
+          .when(col("lang") === "zh", lit(2L)).otherwise(lit(1L)))
+      Sampling.interleaveOrder(d, "lang", "doc_id", "w", salt = "mix1")
+        .select(col("doc_id"), col("lang"), col("mix_rank"), col("mix_key"))
+    }),
+
     // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
     // models over a trusted target slice (every 5th doc) vs the raw pool,
     // per-doc integer log-weight from the materialized (bucket, lr_micro)
@@ -1169,6 +1182,20 @@ object PipelineQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
         |       AS BIGINT) AS shard
         |FROM d""".stripMargin,
+
+    // Mirrors Sampling.interleaveOrder: per-key md5 rank + the identical
+    // (r - 0.5)/w stride division.
+    "pipeline_interleave" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, w, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('mix1:' || CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
+        |  FROM d)
+        |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank,
+        |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
+        |FROM r""".stripMargin,
 
     // Mirrors pipeline_export's round-trip checksums against the SOURCE
     // table — green certifies the export lost and altered nothing.

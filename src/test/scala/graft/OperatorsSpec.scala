@@ -1604,6 +1604,38 @@ class OperatorsSpec extends SparkSpec {
     assert(st2.files == st.files)
   }
 
+  test("interleaveOrder: stride schedule keeps every prefix near the mix") {
+    import graft.operators.Sampling
+    // 3 sources, 120 docs each, weights 1/2/4.
+    val rows = for (s <- 0 until 3; i <- 0 until 120)
+      yield (s * 1000L + i, s"src$s", Seq(1L, 2L, 4L)(s))
+    val d = spark.createDataFrame(rows).toDF("id", "src", "w")
+    val out = Sampling.interleaveOrder(d, "src", "id", "w", "il")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    // Formula: mix_key = (rank - 0.5)/w with rank = salted-md5 order.
+    out.foreach { case (_, src, rank, key) =>
+      val w = Seq(1L, 2L, 4L)(src.drop(3).toInt)
+      assert(key == (rank - 0.5) / w)
+    }
+    // Prefix mix: at every prefix of the (mix_key, src, id) order, each
+    // source's count stays within 1 of its stride allocation until it
+    // saturates (floor(T*w + 0.5) rows released by threshold T).
+    val ordered = out.sortBy { case (id, src, _, key) => (key, src, id) }
+    val counts = collection.mutable.Map("src0" -> 0L, "src1" -> 0L, "src2" -> 0L)
+    ordered.foreach { case (_, src, _, key) =>
+      counts(src) += 1
+      counts.foreach { case (s, c) =>
+        val w = Seq(1L, 2L, 4L)(s.drop(3).toInt)
+        val due = math.min(120L, math.floor(key * w + 0.5).toLong)
+        assert(math.abs(c - due) <= 1, s"prefix@$key: $s has $c vs due $due")
+      }
+    }
+    // Overall: first 70 rows ≈ 10/20/40.
+    val head = ordered.take(70).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(head("src0") - 10) <= 2 && math.abs(head("src1") - 20) <= 2 &&
+      math.abs(head("src2") - 40) <= 2, head.toString)
+  }
+
   // --- Epoch-seeded global permutation ----------------------------------
 
   test("globalOrder: exact md5-line permutation; epochs independent") {
