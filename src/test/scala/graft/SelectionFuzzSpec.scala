@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
  *    accounting, distinct counts, decimal-cast sums, typed min/max.
  *  - globalOrder: the two-phase distributed prefix-count rank vs the
  *    naive single-window row_number, across subsets × epochs.
+ *  - interleaveOrder: per-key md5 rank + the (r − 0.5)/w stride across
+ *    random subsets × weight formulas.
  *
  * Mirror-verification: the oracles were checked against deliberately
  * broken variants during development (dsir scoring mirror pointed at a
  * wrong-salt bucket hash → MISMATCH on every dsir/resample case;
  * globalOrder mirror with the epoch dropped from the salt → MISMATCH on
- * every order case) — agreement is not same-bug-same-code.
+ * every order case; interleave mirror ranking by a wrong-salt md5 line →
+ * MISMATCH on every interleave case) — agreement is not
+ * same-bug-same-code.
  */
 class SelectionFuzzSpec extends SparkSpec {
 
@@ -164,7 +168,30 @@ class SelectionFuzzSpec extends SparkSpec {
            |                          doc_id) - 1 AS BIGINT) AS pos
            |FROM read_parquet(${sqlStr(docsParquet)}) WHERE doc_id % $om = $or""".stripMargin
 
+      // interleaveOrder over a random subset × weight formula (weights
+      // constant per key: a function of the key's length band).
+      val im = 1 + rnd.nextInt(3); val ir = rnd.nextInt(im)
+      val iw = 1 + rnd.nextInt(5)
+      val ilSql =
+        s"""WITH d AS (SELECT doc_id, source,
+           |    1 + (len(source) * $iw) % 7 AS w
+           |  FROM read_parquet(${sqlStr(docsParquet)}) WHERE doc_id % $im = $ir),
+           |r AS (SELECT doc_id, source, w, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY md5('il$salt:' || CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
+           |  FROM d)
+           |SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank,
+           |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
+           |FROM r""".stripMargin
+
       Seq(
+        (s"il_$i", s"interleave m=$im/$ir iw=$iw", ilSql, () =>
+          graft.operators.Sampling.interleaveOrder(
+            graft.ops.Tables.documents(spark, sfDir)
+              .where(pmod(col("doc_id"), lit(im)) === ir)
+              .withColumn("w", lit(1L) + (length(col("source")) * iw) % 7),
+            "source", "doc_id", "w", s"il$salt")
+            .select(col("doc_id"), col("source"), col("mix_rank"), col("mix_key"))),
         (s"dsir_$i", s"dsir top-k b=$b k=$k m=$m/$r tgt=$tm/$tr", topSql, () =>
           graft.operators.Dsir.selectTopK(
             graft.operators.Dsir.score(sub, spark.read.parquet(fix),
