@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
  */
 object SelectionScale {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(2000000L, 10000000L)
+    // --fast switches the hash family to xxhash64 (the Dedup fast-family
+    // precedent) for a like-for-like cost comparison against md5.
+    val fast = args.contains("--fast")
+    val sizes0 = args.toSeq.filterNot(_ == "--fast")
+    val sizes = if (sizes0.nonEmpty) sizes0.map(_.toLong) else Seq(2000000L, 10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,10 +51,10 @@ object SelectionScale {
         .select(col("doc_id"), concat_ws(" ", wWords: _*).as("text"))
       val fixW = "/tmp/graft_selscale_model/warmup"
       operators.Dsir.trainLogRatios(w.where(pmod(col("doc_id"), lit(17)) === 0),
-        w, "doc_id", "text", b, "sc")
+        w, "doc_id", "text", b, "sc", fast)
         .coalesce(1).write.mode("overwrite").parquet(fixW)
       operators.Dsir.selectTopK(operators.Dsir.score(
-        w, spark.read.parquet(fixW), "doc_id", "text", b, "sc"), 1000)
+        w, spark.read.parquet(fixW), "doc_id", "text", b, "sc", fast), 1000)
         .agg(sum(col("doc_id"))).head()
     }
 
@@ -74,7 +78,7 @@ object SelectionScale {
         if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
       }
       val (_, train) = minOf2(graft.result.JobStats.measure(spark) {
-        operators.Dsir.trainLogRatios(target, corpus, "doc_id", "text", b, "sc")
+        operators.Dsir.trainLogRatios(target, corpus, "doc_id", "text", b, "sc", fast)
           .coalesce(1).write.mode("overwrite").parquet(fix)
       })
       val model = spark.read.parquet(fix)
@@ -82,15 +86,15 @@ object SelectionScale {
 
       val (topSum, score) = minOf2(graft.result.JobStats.measure(spark) {
         operators.Dsir.selectTopK(
-          operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc"), 1000)
+          operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc", fast), 1000)
           .agg(sum(col("doc_id"))).head().getLong(0)
       })
       val (thrCount, thr) = minOf2(graft.result.JobStats.measure(spark) {
-        operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc")
+        operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc", fast)
           .where(col("logw_micro") > 0L).count()
       })
       graft.util.Caches.drain()
-      println(f"SELECTIONSCALE n=$n topk_check=$topSum thr_kept=$thrCount " +
+      println(f"SELECTIONSCALE fast=$fast n=$n topk_check=$topSum thr_kept=$thrCount " +
         f"train_wall=${train.wallTimeMs / 1000.0}%.1f " +
         f"score_wall=${score.wallTimeMs / 1000.0}%.1f " +
         f"score_shuffle_b_per_doc=${score.shuffleBytesWritten.toDouble / n}%.1f " +

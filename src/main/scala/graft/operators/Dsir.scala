@@ -53,9 +53,17 @@ object Dsir {
 
   /** Hashed feature id in [0, nBuckets): first 8 md5 hex chars of the
     * salted gram read as an int (< 2³², so the mod is non-negative in
-    * any engine). */
-  def hashBucket(gramCol: Column, nBuckets: Int, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(s"$salt:"), gramCol)), 1, 8), 16, 10)
+    * any engine). `fastHash` switches to `xxhash64(salt, gram)` — the
+    * Dedup precedent: measured ~3× cheaper on the scoring paths and the
+    * family a production deployment should run, but NOT cross-engine-
+    * stable (DuckDB cannot reproduce Spark's xxhash64), so every
+    * oracle-gated battery row keeps md5. The two families induce
+    * different bucketings: a model must be trained and served with the
+    * SAME family. */
+  def hashBucket(gramCol: Column, nBuckets: Int, salt: String,
+                 fastHash: Boolean = false): Column =
+    if (fastHash) pmod(xxhash64(lit(salt), gramCol), lit(nBuckets.toLong))
+    else pmod(conv(substring(md5(concat(lit(s"$salt:"), gramCol)), 1, 8), 16, 10)
       .cast("long"), lit(nBuckets.toLong))
 
   /** One row per gram occurrence: (doc_id, gram) — word unigrams plus
@@ -79,10 +87,11 @@ object Dsir {
     * Totals enter via one-row frames joined in — no driver collection;
     * `ln` runs distributed exactly once per bucket. */
   def trainLogRatios(target: DataFrame, raw: DataFrame, idCol: String,
-                     textCol: String, nBuckets: Int, salt: String): DataFrame = {
+                     textCol: String, nBuckets: Int, salt: String,
+                     fastHash: Boolean = false): DataFrame = {
     def bucketCounts(df: DataFrame): DataFrame =
       grams(df, idCol, textCol)
-        .groupBy(hashBucket(col("gram"), nBuckets, salt).as("bucket"))
+        .groupBy(hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))
         .agg(count(lit(1)).as("c"))
     val spark = target.sparkSession
     val all = spark.range(nBuckets).select(col("id").as("bucket"))
@@ -107,9 +116,11 @@ object Dsir {
     * grams). Broadcast join — the model is nBuckets rows at any corpus
     * size. */
   def score(docs: DataFrame, model: DataFrame, idCol: String,
-            textCol: String, nBuckets: Int, salt: String): DataFrame =
+            textCol: String, nBuckets: Int, salt: String,
+            fastHash: Boolean = false): DataFrame =
     grams(docs, idCol, textCol)
-      .select(col("doc_id"), hashBucket(col("gram"), nBuckets, salt).as("bucket"))
+      .select(col("doc_id"),
+        hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("logw_micro"))
@@ -125,7 +136,7 @@ object Dsir {
     * (≤ ~10k buckets — the paper's shape); beyond that use [[score]]'s
     * broadcast join. */
   def rowScore(textCol: Column, model: Map[Long, Long], nBuckets: Int,
-               salt: String): Column = {
+               salt: String, fastHash: Boolean = false): Column = {
     require(model.size == nBuckets, "model must cover every bucket")
     val ts = split(textCol, " ")
     val bis = when(size(ts) >= 2,
@@ -135,7 +146,7 @@ object Dsir {
     val grams = concat(ts, bis)
     val m = typedLit(model)
     val logw = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(m, hashBucket(g, nBuckets, salt)))
+      (acc, g) => acc + element_at(m, hashBucket(g, nBuckets, salt, fastHash)))
     struct(size(grams).cast("long").as("n_grams"), logw.as("logw_micro"))
   }
 

@@ -1504,6 +1504,23 @@ class OperatorsSpec extends SparkSpec {
     assert(local == batch, s"local $local\nbatch $batch")
     // Single-token docs exercise the empty-bigram branch.
     assert(local(2L)._1 == 1L && local(5L)._1 == 1L)
+
+    // Fast family (xxhash64): self-consistent across the same three
+    // implementations — model covers every bucket, rowScore == score.
+    val fmDf = Dsir.trainLogRatios(corpus.where(col("doc_id") % 2 === 1),
+      corpus, "doc_id", "text", B, "rs", fastHash = true)
+    val fm = fmDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fm.size == B)
+    assert(fm != model, "families must induce different bucketings")
+    val fBatch = Dsir.score(corpus, fmDf, "doc_id", "text", B, "rs", fastHash = true)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val fLocal = corpus.select(col("doc_id"),
+      Dsir.rowScore(col("text"), fm, B, "rs", fastHash = true).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.logw_micro"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fLocal == fBatch)
+    // n_grams is family-independent.
+    assert(fBatch.view.mapValues(_._1).toMap == batch.view.mapValues(_._1).toMap)
   }
 
   // --- One-pass column profiler -----------------------------------------
