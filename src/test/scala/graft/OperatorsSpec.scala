@@ -1653,6 +1653,29 @@ class OperatorsSpec extends SparkSpec {
       math.abs(head("src2") - 40) <= 2, head.toString)
   }
 
+  test("selection/profiling operators reject bad inputs loudly") {
+    import graft.operators.{Dsir, Profile, Sampling}
+    import graft.sources.DatasetExporter
+    val d = spark.createDataFrame(Seq((1L, "a"))).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Profile.profile(d, Seq("id", "nope"))
+    }
+    intercept[IllegalArgumentException] { Profile.profile(d, Nil) }
+    intercept[IllegalArgumentException] {
+      Dsir.selectTopK(d.withColumnRenamed("text", "logw_micro"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.rowScore(col("text"), Map(0L -> 1L), nBuckets = 2, salt = "x")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveOrder(d.withColumn("mix_key", lit(1)),
+        "text", "id", "id", "x")
+    }
+    intercept[IllegalArgumentException] {
+      DatasetExporter.export(d.where(lit(false)), "id", "/tmp/never", 1024L)
+    }
+  }
+
   // --- Epoch-seeded global permutation ----------------------------------
 
   test("globalOrder: exact md5-line permutation; epochs independent") {
