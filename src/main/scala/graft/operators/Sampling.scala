@@ -183,6 +183,41 @@ object Sampling {
   }
 
   /**
+   * Map-only approximate form of [[interleaveOrder]] for billion-row hot
+   * keys (capPerKeyApprox's regime — a per-key `row_number` window would
+   * sort every hot key's rows in one task group): the exact within-key
+   * rank is replaced by `floor(u·n_k) + 1` on the salted md5 uniform,
+   * where `n_k` comes from ONE count aggregate (null-safe joined back —
+   * AQE broadcasts it while the key cardinality fits, exactly like
+   * capPerKeyApprox). No window, no per-key sort anywhere: count + join +
+   * map. Still a pure function of (id, salt, counts), so any engine — and
+   * any re-run — produces the identical order.
+   *
+   * The trade: approximate ranks collide (two rows of a key can release
+   * at the same stride time), so [[interleaveOrder]]'s within-ONE-row
+   * prefix bound relaxes to binomial concentration — a prefix of P rows
+   * holds P·w_k/W ± O(√P) of key k. For training-order purposes (windows
+   * of thousands of rows) that noise is immaterial; use the exact form
+   * when per-window guarantees matter and keys are bounded.
+   */
+  def interleaveOrderApprox(df: DataFrame, keyCol: String, idCol: String,
+                            weightCol: String, salt: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("mix_rank", "mix_key", "__key_k", "__key_n"))
+    require(clash.isEmpty,
+      s"columns collide with interleaveOrderApprox names: ${clash.mkString(", ")}")
+    val counts = df.groupBy(col(keyCol).as("__key_k"))
+      .agg(count(lit(1)).as("__key_n"))
+    df.join(counts, col(keyCol) <=> col("__key_k"))
+      .withColumn("mix_rank",
+        (floor(TextAnalysis.hashUniform(col(idCol), salt) *
+          col("__key_n").cast("double")) + lit(1L)).cast("long"))
+      .withColumn("mix_key",
+        (col("mix_rank").cast("double") - lit(0.5)) / col(weightCol).cast("double"))
+      .drop("__key_k", "__key_n")
+  }
+
+  /**
    * Deterministic global training order for one epoch: every row's 0-based
    * position on the salted md5 line (`md5("<salt>:e<epoch>:<id>")`, id
    * tie-break) — the "shuffle the corpus between epochs" pass, as a pure

@@ -671,6 +671,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("mix_rank"), col("mix_key"))
     }),
 
+    // Map-only approximate interleave (the billion-row hot-key form): the
+    // within-key rank is floor(u·n_k)+1 from one count aggregate — no
+    // window, no per-key sort; the assignment still hash-checks exactly.
+    "pipeline_interleave_approx" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w",
+        when(col("lang") === "en", lit(4L))
+          .when(col("lang") === "zh", lit(2L)).otherwise(lit(1L)))
+      Sampling.interleaveOrderApprox(d, "lang", "doc_id", "w", salt = "mixa")
+        .select(col("doc_id"), col("lang"), col("mix_rank"), col("mix_key"))
+    }),
+
     // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
     // models over a trusted target slice (every 5th doc) vs the raw pool,
     // per-doc integer log-weight from the materialized (bucket, lr_micro)
@@ -1194,6 +1205,21 @@ object PipelineQueries {
         |    ORDER BY md5('mix1:' || CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
         |  FROM d)
         |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank,
+        |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
+        |FROM r""".stripMargin,
+
+    // Mirrors Sampling.interleaveOrderApprox: per-key counts + the
+    // identical divide-then-multiply-then-floor rank and stride.
+    "pipeline_interleave_approx" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS kn FROM d GROUP BY lang),
+        |r AS (SELECT doc_id, d.lang AS lang, w,
+        |    CAST(floor((('0x' || substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         / 4294967296.0) * CAST(kn AS DOUBLE)) + 1 AS BIGINT) AS mix_rank
+        |  FROM d JOIN n USING (lang))
+        |SELECT doc_id, lang, mix_rank,
         |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
         |FROM r""".stripMargin,
 

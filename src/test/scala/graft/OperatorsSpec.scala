@@ -1676,6 +1676,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("interleaveOrderApprox: map-only plan, driver-mirror ranks, concentration") {
+    import graft.operators.Sampling
+    val rows = for (s <- 0 until 3; i <- 0 until 400)
+      yield (s * 10000L + i, s"k$s", Seq(1L, 2L, 4L)(s))
+    val d = spark.createDataFrame(rows).toDF("id", "src", "w")
+    val q = Sampling.interleaveOrderApprox(d, "src", "id", "w", "ia")
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    // Driver mirror of floor(u*n)+1 and the stride.
+    out.foreach { case (id, src, rank, key) =>
+      val u = java.lang.Long.parseLong(md5hex(s"ia:$id").take(8), 16) / 4294967296.0
+      val w = Seq(1L, 2L, 4L)(src.drop(1).toInt)
+      assert(rank == math.floor(u * 400.0).toLong + 1, s"$id rank")
+      assert(key == (rank - 0.5) / w, s"$id key")
+    }
+    // Plan: no Window and no per-key Sort anywhere (the hot-key claim).
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"plan must not window:\n$plan")
+    assert(!plan.toLowerCase.contains("sortexec"), s"plan must not sort:\n$plan")
+    // Concentration: a 350-row prefix tracks the 1/2/4 mix within O(sqrt).
+    val prefix = out.sortBy { case (id, src, _, key) => (key, src, id) }.take(350)
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(prefix("k0") - 50) <= 40 && math.abs(prefix("k1") - 100) <= 40 &&
+      math.abs(prefix("k2") - 200) <= 40, prefix.toString)
+  }
+
   // --- Epoch-seeded global permutation ----------------------------------
 
   test("globalOrder: exact md5-line permutation; epochs independent") {
