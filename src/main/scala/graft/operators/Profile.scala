@@ -114,6 +114,31 @@ object Profile {
    * whether the [min,max] range moved (numeric and string ranges
    * compared in their own domains).
    */
+  /**
+   * Schema-level drift between two snapshots: added / removed /
+   * type-changed columns, one row each — the check that runs BEFORE
+   * [[drift]] (statistics only make sense over columns both sides
+   * share). Pure metadata (two parquet footers at any data size); a
+   * DataFrame for uniformity with the other profile outputs.
+   */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val b = before.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (a.keySet -- b.keySet).toSeq.sorted.map(c => Row(c, "added", null, a(c))) ++
+      (b.keySet -- a.keySet).toSeq.sorted.map(c => Row(c, "removed", b(c), null)) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if a(c) != b(c) => Row(c, "type_changed", b(c), a(c))
+      }
+    val schema = T.StructType(Seq(
+      T.StructField("column", T.StringType), T.StructField("status", T.StringType),
+      T.StructField("before_type", T.StringType), T.StructField("after_type", T.StringType)))
+    before.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
   def drift(before: DataFrame, after: DataFrame, cols: Seq[String],
             approxDistinct: Boolean = false): DataFrame = {
     val b = profile(before, cols, approxDistinct)

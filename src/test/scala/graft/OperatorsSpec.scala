@@ -1653,6 +1653,19 @@ class OperatorsSpec extends SparkSpec {
       math.abs(head("src2") - 40) <= 2, head.toString)
   }
 
+  test("schemaDrift: added/removed/type-changed columns; empty when identical") {
+    import graft.operators.Profile
+    val before = spark.createDataFrame(Seq((1L, "a", 2.0))).toDF("id", "s", "x")
+    val after = spark.createDataFrame(Seq((1, "a", true))).toDF("id", "s", "b")
+    val rows = Profile.schemaDrift(before, after).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("b", "added", null, "boolean"),
+      ("x", "removed", "double", null),
+      ("id", "type_changed", "bigint", "int")))
+    assert(Profile.schemaDrift(before, before).count() == 0L)
+  }
+
   test("selection/profiling operators reject bad inputs loudly") {
     import graft.operators.{Dsir, Profile, Sampling}
     import graft.sources.DatasetExporter
