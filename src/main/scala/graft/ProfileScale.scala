@@ -44,10 +44,7 @@ object ProfileScale {
     sizes.foreach { n =>
       val corpus = corpusAt(n)
       corpus.count()
-      def minOf2[T](body: => (T, graft.result.JobStats.Snapshot)) = {
-        val a = body; val c = body
-        if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
-      }
+      import graft.result.JobStats.minOf2
       val (exactRows, ex) = minOf2(graft.result.JobStats.measure(spark) {
         graft.operators.Profile.profile(corpus, cols).collect()
       })

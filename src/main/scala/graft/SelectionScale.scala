@@ -70,13 +70,7 @@ object SelectionScale {
       val target = corpus.where(pmod(col("doc_id"), lit(17)) === 0)
       val fix = s"/tmp/graft_selscale_model/$n"
 
-      // Min of 2 per stage (the Bench steady-state convention): even after
-      // the warmup, the first full-occupancy pass at a new size carries
-      // residual JIT/page-cache warm-in on this VM (measured up to 2.5x).
-      def minOf2[T](body: => (T, graft.result.JobStats.Snapshot)) = {
-        val a = body; val c = body
-        if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
-      }
+      import graft.result.JobStats.minOf2
       val (_, train) = minOf2(graft.result.JobStats.measure(spark) {
         operators.Dsir.trainLogRatios(target, corpus, "doc_id", "text", b, "sc", fast)
           .coalesce(1).write.mode("overwrite").parquet(fix)

@@ -103,11 +103,18 @@ object Dsir {
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
     val totals = joined.agg(sum(col("ct")).as("__tt"), sum(col("cr")).as("__tr"))
+    // Factors cast to double BEFORE the multiply: at the operator's target
+    // scale (raw pools of ~1e13 gram occurrences) the long product
+    // (ct+1)·(Tr+B) exceeds 2^63 and would wrap silently under non-ANSI
+    // semantics; double·double only rounds. At battery scale the products
+    // are < 2^53, so both forms are bit-identical there.
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
         floor(lit(1e6) * log(
-          ((col("ct") + lit(1)) * (col("__tr") + lit(nBuckets.toLong))).cast("double") /
-          ((col("cr") + lit(1)) * (col("__tt") + lit(nBuckets.toLong))).cast("double")))
+          ((col("ct") + lit(1)).cast("double") *
+            (col("__tr") + lit(nBuckets.toLong)).cast("double")) /
+          ((col("cr") + lit(1)).cast("double") *
+            (col("__tt") + lit(nBuckets.toLong)).cast("double"))))
           .cast("long").as("lr_micro"))
   }
 
@@ -137,7 +144,9 @@ object Dsir {
     * broadcast join. */
   def rowScore(textCol: Column, model: Map[Long, Long], nBuckets: Int,
                salt: String, fastHash: Boolean = false): Column = {
-    require(model.size == nBuckets, "model must cover every bucket")
+    require(model.size == nBuckets &&
+      (0L until nBuckets.toLong).forall(model.contains),
+      "model must cover buckets 0..nBuckets-1 exactly")
     val ts = split(textCol, " ")
     val bis = when(size(ts) >= 2,
       transform(sequence(lit(1), size(ts) - 1),
@@ -147,7 +156,12 @@ object Dsir {
     val m = typedLit(model)
     val logw = aggregate(grams, lit(0L),
       (acc, g) => acc + element_at(m, hashBucket(g, nBuckets, salt, fastHash)))
-    struct(size(grams).cast("long").as("n_grams"), logw.as("logw_micro"))
+    // Null text yields a NULL struct (callers filter it), matching
+    // [[score]]'s behavior of omitting such documents — without this, a
+    // stream would emit a (doc_id, null, null) row the batch path and the
+    // oracle both lack.
+    when(textCol.isNotNull,
+      struct(size(grams).cast("long").as("n_grams"), logw.as("logw_micro")))
   }
 
   /** Hard top-k by importance weight (the paper's "top-k selection"

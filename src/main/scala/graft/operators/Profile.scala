@@ -101,20 +101,6 @@ object Profile {
   }
 
   /**
-   * Snapshot drift: join two profiles of the same columns (yesterday's
-   * corpus vs today's, raw vs cleaned) and emit per-column deltas — the
-   * alarm input every scheduled pipeline wants ("null rate jumped",
-   * "distinct cardinality halved", "value range shifted"). Pure
-   * arithmetic over the two bounded profile rows per column; the heavy
-   * lifting is the two one-pass profiles themselves.
-   *
-   * Output per column: row counts and distinct counts side by side with
-   * deltas, the null-RATE change in parts-per-million (integer — one
-   * exact division each side at micro resolution, engine-identical), and
-   * whether the [min,max] range moved (numeric and string ranges
-   * compared in their own domains).
-   */
-  /**
    * Schema-level drift between two snapshots: added / removed /
    * type-changed columns, one row each — the check that runs BEFORE
    * [[drift]] (statistics only make sense over columns both sides
@@ -139,6 +125,20 @@ object Profile {
         .SeqHasAsJava(rows).asJava), schema)
   }
 
+  /**
+   * Snapshot drift: join two profiles of the same columns (yesterday's
+   * corpus vs today's, raw vs cleaned) and emit per-column deltas — the
+   * alarm input every scheduled pipeline wants ("null rate jumped",
+   * "distinct cardinality halved", "value range shifted"). Pure
+   * arithmetic over the two bounded profile rows per column; the heavy
+   * lifting is the two one-pass profiles themselves.
+   *
+   * Output per column: row counts and distinct counts side by side with
+   * deltas, the null-RATE change in parts-per-million (integer — one
+   * exact division each side at micro resolution, engine-identical), and
+   * whether the [min,max] range moved (numeric and string ranges
+   * compared in their own domains).
+   */
   def drift(before: DataFrame, after: DataFrame, cols: Seq[String],
             approxDistinct: Boolean = false): DataFrame = {
     val b = profile(before, cols, approxDistinct)

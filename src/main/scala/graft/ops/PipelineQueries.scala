@@ -696,7 +696,12 @@ object PipelineQueries {
           dsirFixturePath(dir)), k = 100)
     }),
 
-    // DSIR Gumbel resampling (the paper's main form): same scored frame,
+    // DSIR Gumbel resampling (the paper's main form): same scored frame.
+    // Deliberately retrains the same fixture pipeline_dsir writes: battery
+    // rows must be self-contained (graft.Bench can run any subset), and
+    // the per-run materialization contract is the documented cost shape
+    // (the tx_lm_score convention) — correctness never depends on row
+    // ordering.
     // selection key = logw_micro + quantized Gumbel noise on the salted
     // md5 uniform — inclusion tilted by exp(logw), still integer-compared
     // (see Dsir scaladoc for the 1e-10/row quantization-boundary caveat).
@@ -1208,17 +1213,19 @@ object PipelineQueries {
         |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
         |FROM r""".stripMargin,
 
-    // Mirrors Sampling.interleaveOrderApprox: per-key counts + the
-    // identical divide-then-multiply-then-floor rank and stride.
+    // Mirrors Sampling.interleaveOrderApprox: per-key counts via a window
+    // (so NULL keys count and match the operator's null-safe <=> join —
+    // the pipeline_cap_approx convention) + the identical
+    // divide-then-multiply-then-floor rank and stride.
     "pipeline_interleave_approx" ->
       """WITH d AS (SELECT doc_id, lang,
-        |    CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w
+        |    CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w,
+        |    count(*) OVER (PARTITION BY lang) AS kn
         |  FROM documents),
-        |n AS (SELECT lang, count(*) AS kn FROM d GROUP BY lang),
-        |r AS (SELECT doc_id, d.lang AS lang, w,
+        |r AS (SELECT doc_id, lang, w,
         |    CAST(floor((('0x' || substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |         / 4294967296.0) * CAST(kn AS DOUBLE)) + 1 AS BIGINT) AS mix_rank
-        |  FROM d JOIN n USING (lang))
+        |  FROM d)
         |SELECT doc_id, lang, mix_rank,
         |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
         |FROM r""".stripMargin,

@@ -305,6 +305,7 @@ object StreamingQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val scored = stream.select(col("doc_id"),
         graft.operators.Dsir.rowScore(col("text"), model, 256, "dsir").as("s"))
+        .where(col("s").isNotNull) // null-text docs: score() omits them too
         .select(col("doc_id"), col("s.n_grams").as("n_grams"),
           col("s.logw_micro").as("logw_micro"))
       runToBatch(ss, scored, "st_dsir_sink", mode = "append")

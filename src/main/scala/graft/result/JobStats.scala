@@ -39,6 +39,16 @@ object JobStats {
     * aggregated task metrics of everything executed inside. The driver
     * serializes query execution, so global task accumulation is the query's
     * own (same trade-off as the reference's per-job metric bags). */
+  /** The scale probes' steady-state convention: run `body` twice and keep
+    * the faster run's (result, snapshot) — even after a warmup, the first
+    * full-occupancy pass at a new input size carries residual
+    * JIT/page-cache warm-in on ambient-noisy hosts (measured up to 2.5×).
+    */
+  def minOf2[T](body: => (T, Snapshot)): (T, Snapshot) = {
+    val a = body; val c = body
+    if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
+  }
+
   def measure[T](spark: SparkSession)(body: => T): (T, Snapshot) = {
     val tasks = new AtomicInteger
     val rows = new AtomicLong

@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
  *  3. WRITE: `repartition(files, md5(salt:id))` — deterministic hash
  *     boundaries (no sampling, unlike repartitionByRange) on a
  *     content-random key, so file sizes concentrate tightly regardless of
- *     input skew or order; `maxRecordsPerFile` at 2× the per-file row
- *     budget is the belt against a pilot underestimate.
+ *     input skew or order. `maxRecordsPerFile` at 2× the per-file row
+ *     budget guards against duplicate-id hash skew piling rows into one
+ *     partition; it bounds ROWS, not bytes, so a systematic pilot
+ *     underestimate scales every file proportionally instead — compare
+ *     the returned stats (`bytes / files` vs the target) and re-export
+ *     with a larger `sampleRows` if the pilot drifted.
  *
  * Scale shape: the pilot is O(sample) work, the count is one
  * column-pruned aggregate (or free if the caller already knows it), and

@@ -1425,8 +1425,8 @@ class OperatorsSpec extends SparkSpec {
     val (tt, tr) = (tGrams.size.toLong, rGrams.size.toLong)
     (0L until B).foreach { b =>
       val want = math.floor(1e6 * math.log(
-        ((ctM.getOrElse(b, 0L) + 1) * (tr + B)).toDouble /
-        ((crM.getOrElse(b, 0L) + 1) * (tt + B)).toDouble)).toLong
+        ((ctM.getOrElse(b, 0L) + 1).toDouble * (tr + B).toDouble) /
+        ((crM.getOrElse(b, 0L) + 1).toDouble * (tt + B).toDouble))).toLong
       assert(model(b) == want, s"bucket $b: ${model(b)} != $want")
     }
 

@@ -72,8 +72,8 @@ class SelectionFuzzSpec extends SparkSpec {
     val (tt, tr) = (tg.size.toLong, rg.size.toLong)
     (0L until b).map { k =>
       k -> math.floor(1e6 * math.log(
-        ((ct.getOrElse(k, 0L) + 1) * (tr + b)).toDouble /
-        ((cr.getOrElse(k, 0L) + 1) * (tt + b)).toDouble)).toLong
+        ((ct.getOrElse(k, 0L) + 1).toDouble * (tr + b).toDouble) /
+        ((cr.getOrElse(k, 0L) + 1).toDouble * (tt + b).toDouble))).toLong
     }.toMap
   }
 
