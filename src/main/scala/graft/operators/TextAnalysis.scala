@@ -188,6 +188,62 @@ object TextAnalysis {
       .where(col("n_hits") > 0)
   }
 
+  /** Span-level decontamination (the C4-style scrub): instead of DROPPING
+    * every document that shares an `n`-token window with the eval set
+    * ([[contamination]] + anti-join — wasteful when one boilerplate
+    * sentence taints a long document), remove only the tokens covered by
+    * a contaminated window and rebuild the text from the survivors.
+    * Output: one row per corpus document — (doc_id, n_tokens, n_removed,
+    * clean_text) — with `clean_text` byte-identical to the input when
+    * nothing matched (the literal space split/join round-trips exactly,
+    * including runs of spaces).
+    *
+    * Same hashing/codegen contract as [[contamination]]: window hashes
+    * are top-level md5 over the joined token slice (engine-exact, and
+    * outside any lambda so codegen applies); the eval set's distinct
+    * window hashes broadcast. Shape at scale: window starts explode
+    * map-side, candidates come from a broadcast semi-join, covered
+    * positions explode from matched starts only (|matches|·n rows), and
+    * the rebuild is one groupBy(doc) over kept tokens — the only
+    * data-sized exchange carries the corpus token stream once, like
+    * [[Dedup.dedupSpans]]. */
+  def scrubSpans(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                 textCol: String, n: Int): DataFrame = {
+    require(n > 0, "window width must be positive")
+    def toks(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    // (doc_id, start, window-hash); the CASE guards sequence() from
+    // descending through 0 on short docs (contamination's guard).
+    def starts(df: DataFrame) = toks(df)
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__toks"), explode(expr(
+        s"CASE WHEN size(__toks) >= $n THEN sequence(1, size(__toks) - ${n - 1}) " +
+        "ELSE array() END")).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(expr(s"array_join(slice(__toks, s, $n), ' ')")).as("gh"))
+    val ev = starts(evalSet).select(col("gh")).distinct()
+    val covered = starts(corpus)
+      .join(broadcast(ev), Seq("gh"), "leftsemi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(s, s + ${n - 1})")).as("p"))
+      .distinct()
+    val tokens = toks(corpus)
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(p, tok))), s -> s.tok)"),
+          " ").as("__clean"))
+    toks(corpus)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Blocklist filtering with a Bloom pre-probe — the URL/content-hash
     * scrub a corpus runs against blocklists too large to broadcast as an
     * exact set (abuse-domain lists, previously-served training hashes).

@@ -658,6 +658,17 @@ object PipelineQueries {
     "pipeline_order" -> ((s, dir) =>
       Sampling.globalOrder(docs(s, dir), "doc_id", salt = "ord", epoch = 1)),
 
+    // Span-level decontamination: remove only the 13-token windows shared
+    // with the eval slice (doc_id < 20) and rebuild — clean_text is
+    // byte-compared, so the split/scrub/rebuild round-trip is pinned
+    // exactly, including untouched documents.
+    "tx_scrub_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.scrubSpans(
+        d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+        "doc_id", "text", n = 13)
+    }),
+
     // Stride-scheduled corpus interleaving: language weights en:4 zh:2
     // rest:1 — reading in mix_key order delivers every training window at
     // the target mix (per-key prefix counts track weights within one
@@ -1235,6 +1246,32 @@ object PipelineQueries {
     "pipeline_export" ->
       """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(len(text)) AS BIGINT) AS text_len_sum FROM documents""".stripMargin,
+
+    // Mirrors TextAnalysis.scrubSpans: same 13-token window hashes, same
+    // covered-position set, string_agg rebuild in position order.
+    "tx_scrub_spans" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT DISTINCT md5(array_to_string(ts[i : i+12], ' ')) AS gh
+        |       FROM (SELECT string_split(text, ' ') AS ts
+        |             FROM documents WHERE doc_id < 20) e,
+        |            generate_series(1, 4000) s(i)
+        |       WHERE i <= len(ts) - 12),
+        |st AS (SELECT doc_id, i AS s FROM ct, generate_series(1, 4000) q(i)
+        |       WHERE i <= len(ts) - 12
+        |         AND md5(array_to_string(ts[i : i+12], ' ')) IN (SELECT gh FROM ev)),
+        |cov AS (SELECT DISTINCT doc_id, s + j AS p
+        |        FROM st, generate_series(0, 12) r(j)),
+        |tok AS (SELECT doc_id, i AS p, ts[i] AS tok
+        |        FROM ct, generate_series(1, 4000) u(i) WHERE i <= len(ts)),
+        |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+        |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        |         WHERE c.p IS NULL)
+        |SELECT ct.doc_id, CAST(len(ct.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ct.ts) - count(k.p) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+        |FROM ct LEFT JOIN kept k USING (doc_id)
+        |GROUP BY ct.doc_id, len(ct.ts)""".stripMargin,
 
     // Mirrors Sampling.globalOrder as ONE window row_number over the
     // global md5 line.

@@ -1653,6 +1653,26 @@ class OperatorsSpec extends SparkSpec {
       math.abs(head("src2") - 40) <= 2, head.toString)
   }
 
+  test("scrubSpans: removes only covered windows, round-trips untouched text") {
+    import graft.operators.TextAnalysis
+    val evalSet = docs(100L -> "the quick brown fox")
+    val corpus = docs(
+      1L -> "intro words the quick brown fox outro words",  // middle hit
+      2L -> "totally clean  document with   spaces",        // untouched (multi-space)
+      3L -> "the quick brown fox",                          // fully scrubbed
+      4L -> "the quick brown cat",                          // near miss
+      5L -> "x the quick brown fox the quick brown fox y")  // overlapping hits
+    val out = TextAnalysis.scrubSpans(corpus, evalSet, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, 4L, "intro words outro words")))
+    // 8 tokens: the space runs contribute empty tokens that must survive
+    // the round-trip byte-for-byte.
+    assert(out(2L) == ((8L, 0L, "totally clean  document with   spaces")))
+    assert(out(3L) == ((4L, 4L, "")))
+    assert(out(4L) == ((4L, 0L, "the quick brown cat")))
+    assert(out(5L) == ((10L, 8L, "x y")))
+  }
+
   test("schemaDrift: added/removed/type-changed columns; empty when identical") {
     import graft.operators.Profile
     val before = spark.createDataFrame(Seq((1L, "a", 2.0))).toDF("id", "s", "x")
