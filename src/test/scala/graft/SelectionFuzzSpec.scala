@@ -31,13 +31,22 @@ import org.apache.spark.sql.functions._
  *    naive single-window row_number, across subsets × epochs.
  *  - interleaveOrder: per-key md5 rank + the (r − 0.5)/w stride across
  *    random subsets × weight formulas.
+ *  - scrubSpans: the covered-position set and byte-exact rebuild across
+ *    window widths n ∈ {2..13} × random eval/corpus splits — the widths
+ *    where off-by-one window or coverage arithmetic would diverge.
+ *  - Profile.drift: the delta/ppm/range arithmetic over random
+ *    before/after slice pairs vs a two-stack mirror.
  *
  * Mirror-verification: the oracles were checked against deliberately
  * broken variants during development (dsir scoring mirror pointed at a
  * wrong-salt bucket hash → MISMATCH on every dsir/resample case;
  * globalOrder mirror with the epoch dropped from the salt → MISMATCH on
  * every order case; interleave mirror ranking by a wrong-salt md5 line →
- * MISMATCH on every interleave case) — agreement is not
+ * MISMATCH on every interleave case; scrub mirror covering one position
+ * short per window → MISMATCH on every scrub case; drift ppm mirror with
+ * a perturbed scale constant → MISMATCH once NULLIF injects real nulls —
+ * which is WHY the drift case nulls out a flag value: on the null-free
+ * raw table the ppm arithmetic is unfalsifiable) — agreement is not
  * same-bug-same-code.
  */
 class SelectionFuzzSpec extends SparkSpec {
@@ -184,7 +193,86 @@ class SelectionFuzzSpec extends SparkSpec {
            |  (CAST(mix_rank AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS mix_key
            |FROM r""".stripMargin
 
+      // scrubSpans over a random window width × eval/corpus split.
+      val sn = Seq(2, 3, 5, 8, 13)(rnd.nextInt(5))
+      val em = 7 + rnd.nextInt(13); val er = rnd.nextInt(em)
+      val scrubSql =
+        s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |           FROM read_parquet(${sqlStr(docsParquet)}) WHERE doc_id % $em <> $er),
+           |ev AS (SELECT DISTINCT md5(array_to_string(ts[i : i+${sn - 1}], ' ')) AS gh
+           |       FROM (SELECT string_split(text, ' ') AS ts
+           |             FROM read_parquet(${sqlStr(docsParquet)}) WHERE doc_id % $em = $er) e,
+           |            generate_series(1, 4000) s(i)
+           |       WHERE i <= len(ts) - ${sn - 1}),
+           |st AS (SELECT doc_id, i AS s FROM ct, generate_series(1, 4000) q(i)
+           |       WHERE i <= len(ts) - ${sn - 1}
+           |         AND md5(array_to_string(ts[i : i+${sn - 1}], ' ')) IN (SELECT gh FROM ev)),
+           |cov AS (SELECT DISTINCT doc_id, s + j AS p
+           |        FROM st, generate_series(0, ${sn - 1}) r(j)),
+           |tok AS (SELECT doc_id, i AS p, ts[i] AS tok
+           |        FROM ct, generate_series(1, 4000) u(i) WHERE i <= len(ts)),
+           |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+           |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+           |         WHERE c.p IS NULL)
+           |SELECT ct.doc_id, CAST(len(ct.ts) AS BIGINT) AS n_tokens,
+           |  CAST(len(ct.ts) - count(k.p) AS BIGINT) AS n_removed,
+           |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+           |FROM ct LEFT JOIN kept k USING (doc_id)
+           |GROUP BY ct.doc_id, len(ct.ts)""".stripMargin
+
+      // Profile.drift over a random before/after slice pair (numeric +
+      // string + cast columns fixed — the arithmetic is what varies).
+      val dm = 2 + rnd.nextInt(3); val dr = rnd.nextInt(dm)
+      val dArms = Seq("l_orderkey" -> "num", "l_quantity" -> "num",
+        "l_returnflag" -> "str", "l_shipdate" -> "cast")
+      def dStack(filter: String): String = dArms.map { case (c, cls) =>
+        val mm = cls match {
+          case "num" => s"CAST(min($c) AS DOUBLE) AS mn_num, CAST(max($c) AS DOUBLE) AS mx_num, " +
+            "CAST(NULL AS VARCHAR) AS mn_str, CAST(NULL AS VARCHAR) AS mx_str"
+          case "str" => s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)"
+          case _ => s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+            s"min(CAST($c AS VARCHAR)), max(CAST($c AS VARCHAR))"
+        }
+        s"SELECT '$c' AS c, count(*) AS rows_, count(*) - count($c) AS nulls_, " +
+          s"count(DISTINCT $c) AS nd, $mm FROM (SELECT * REPLACE " +
+          s"(NULLIF(l_returnflag, 'R') AS l_returnflag) " +
+          s"FROM read_parquet(${sqlStr(liParquet)})) $filter"
+      }.mkString("\nUNION ALL\n")
+      val ppmA = "CASE WHEN a.rows_ > 0 THEN CAST(floor(CAST(a.nulls_ AS DOUBLE) " +
+        "* 1000000.0 / CAST(a.rows_ AS DOUBLE)) AS BIGINT) ELSE 0 END"
+      val ppmB = "CASE WHEN b.rows_ > 0 THEN CAST(floor(CAST(b.nulls_ AS DOUBLE) " +
+        "* 1000000.0 / CAST(b.rows_ AS DOUBLE)) AS BIGINT) ELSE 0 END"
+      val driftSql =
+        s"""WITH b AS (${dStack("")}),
+           |a AS (${dStack(s"WHERE l_orderkey % $dm = $dr")})
+           |SELECT b.c AS "column", b.rows_ AS b_rows, a.rows_ AS a_rows,
+           |  a.rows_ - b.rows_ AS d_rows,
+           |  b.nd AS b_distinct, a.nd AS a_distinct, a.nd - b.nd AS d_distinct,
+           |  ($ppmA) - ($ppmB) AS d_null_ppm,
+           |  CAST(coalesce(a.mn_num <> b.mn_num, false)
+           |    OR coalesce(a.mx_num <> b.mx_num, false)
+           |    OR coalesce(a.mn_str <> b.mn_str, false)
+           |    OR coalesce(a.mx_str <> b.mx_str, false) AS BIGINT) AS range_moved
+           |FROM b JOIN a ON b.c = a.c""".stripMargin
+
       Seq(
+        (s"scrub_$i", s"scrubSpans n=$sn em=$em/$er", scrubSql, () =>
+          graft.operators.TextAnalysis.scrubSpans(
+            graft.ops.Tables.documents(spark, sfDir)
+              .where(pmod(col("doc_id"), lit(em)) =!= er),
+            graft.ops.Tables.documents(spark, sfDir)
+              .where(pmod(col("doc_id"), lit(em)) === er),
+            "doc_id", "text", sn)),
+        (s"drift_$i", s"profile drift dm=$dm/$dr", driftSql, () => {
+          // NULLIF injects real nulls so the ppm arithmetic is falsifiable
+          // (lineitem itself is null-free; without this a broken ppm
+          // mirror cannot be detected).
+          val li = graft.ops.Tables.load(spark, sfDir, "lineitem")
+            .withColumn("l_returnflag", expr("nullif(l_returnflag, 'R')"))
+          graft.operators.Profile.drift(li,
+            li.where(pmod(col("l_orderkey"), lit(dm)) === dr),
+            dArms.map(_._1))
+        }),
         (s"il_$i", s"interleave m=$im/$ir iw=$iw", ilSql, () =>
           graft.operators.Sampling.interleaveOrder(
             graft.ops.Tables.documents(spark, sfDir)
