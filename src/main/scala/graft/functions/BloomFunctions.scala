@@ -46,16 +46,24 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 object BloomFunctions {
   private val counter = new AtomicInteger()
 
-  /** `might_contain(bloom, keyExpr)` as a Column. Column→Expression
-    * wrapping is private[sql] in Spark 4 classic, so the expression is
-    * registered as a uniquely-named temp function (the filter captured in
-    * the builder closure) and invoked via the public `call_function` —
-    * same codegen result, public API only. */
-  def mightContain(spark: SparkSession, bloom: BloomFilter,
-                   key: Column): Column = {
+  /** Build a frame with a `might_contain(bloom, keyExpr)` probe available
+    * as a Column. Column→Expression wrapping is private[sql] in Spark 4
+    * classic, so the expression is registered as a uniquely-named temp
+    * function (the filter captured in the builder closure) and invoked via
+    * the public `call_function` — same codegen result, public API only.
+    *
+    * The registration is SCOPED to `build`: DataFrames analyze eagerly, so
+    * by the time the builder returns, `call_function` has resolved into
+    * the plan and the registry entry is dead weight — holding it would
+    * strongly retain the filter (~1.2 GB at 1B items / 1% fpp) in the
+    * session registry FOREVER, an unbounded leak in a long-lived server.
+    * The finally-deregistration caps registry growth at zero. */
+  def withMightContain[T](spark: SparkSession, bloom: BloomFilter,
+                          key: Column)(build: Column => T): T = {
     val name = s"graft_bloom_mc_${counter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, children => BloomMightContain(children.head, bloom), "built-in")
-    call_function(name, key)
+    try build(call_function(name, key))
+    finally spark.sessionState.catalog.dropTempFunction(name, ignoreIfNotExists = true)
   }
 }

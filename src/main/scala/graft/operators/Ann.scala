@@ -144,6 +144,28 @@ object Ann {
     slice(array_sort(array(dists: _*)), 1, nProbes)
   }
 
+  /** Exact cosine re-rank of a per-query shortlist — the serving tail
+    * shared by [[pqScoreTopK]] and [[ivfPqServe]]: the approximate stage
+    * prunes |corpus| → k·rerank candidates, exact cosine touches ONLY
+    * those full vectors (a query-bounded equi-join, broadcast at any
+    * corpus size), ties to the lower neighbor id. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+                          shortlist: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
+    val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val qfull = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", expr("vec_norm(qv)"))
+    full.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
+      .join(broadcast(qfull), Seq("qid"))
+      .withColumn("cosx",
+        expr("vec_dot(qv, nv)") / (col("qn") * expr("vec_norm(nv)")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cosx"), asc("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank"))
+  }
+
   /** IVF (inverted-file) cell assignment: Lloyd's k-means over the corpus,
     * deterministically initialized from the lowest-id vectors. Centroids
     * live driver-side (nCells × dim doubles — the standard k-means shape,
@@ -342,16 +364,25 @@ object Ann {
     val init = corpus.orderBy(col(idCol)).limit(nCodes)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // A corpus smaller than nCodes yields SHORTER books (k < nCodes) — the
+    // Lloyd arrays must be sized to k, not nCodes, or the rebuild indexes
+    // past the initialized codes.
+    val k = init.length
+    require(k > 0, "cannot train PQ codebooks on an empty corpus")
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(s =>
       init.map(_.slice(s * subDim, (s + 1) * subDim)))
-    val vecs = corpus.select(col(vecCol).cast("array<float>"))
+    // One projected, retained frame: each Lloyd iteration (plus the later
+    // code pass) would otherwise re-execute the full corpus lineage
+    // (ivfAssign's documented rationale).
+    val vecs = graft.util.Caches.retain(
+      corpus.select(col(vecCol).cast("array<float>")))
       .as[Array[Float]].rdd
     for (_ <- 0 until iters) {
       val bb = spark.sparkContext.broadcast(books)
       val (sums, cnts) = vecs.mapPartitions { it =>
         val b = bb.value
-        val s0 = Array.ofDim[Double](nSub, nCodes, subDim)
-        val c0 = Array.ofDim[Long](nSub, nCodes)
+        val s0 = Array.ofDim[Double](nSub, k, subDim)
+        val c0 = Array.ofDim[Long](nSub, k)
         it.foreach { v =>
           var s = 0
           while (s < nSub) {
@@ -364,14 +395,14 @@ object Ann {
         }
         Iterator.single((s0, c0))
       }.treeReduce { case ((sa, ca), (sb, cb)) =>
-        for (s <- 0 until nSub; c <- 0 until nCodes) {
+        for (s <- 0 until nSub; c <- 0 until k) {
           ca(s)(c) += cb(s)(c)
           val x = sa(s)(c); val y = sb(s)(c)
           var j = 0; while (j < subDim) { x(j) += y(j); j += 1 }
         }
         (sa, ca)
       }
-      books = Array.tabulate(nSub)(s => Array.tabulate(nCodes)(c =>
+      books = Array.tabulate(nSub)(s => Array.tabulate(k)(c =>
         if (cnts(s)(c) > 0) sums(s)(c).map(_ / cnts(s)(c))
         else books(s)(c)))
       bb.destroy()
@@ -509,18 +540,7 @@ object Ann {
       // cosine touches ONLY those full vectors (a per-query k·rerank-row
       // equi-join, broadcast at any corpus size since the shortlist is
       // query-bounded).
-      val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      val qfull = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-        .withColumn("qn", expr("vec_norm(qv)"))
-      full.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
-        .join(broadcast(qfull), Seq("qid"))
-        .withColumn("cosx",
-          expr("vec_dot(qv, nv)") / (col("qn") * expr("vec_norm(nv)")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(desc("cosx"), asc("nid"))))
-        .where(col("rank") <= k)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rank"))
+      exactRerank(corpus, queries, shortlist, idCol, vecCol, k)
     }
   }
 
@@ -724,10 +744,15 @@ object Ann {
             }
             s += 1
           }
-          // Probe ORDERING uses the float-cast centroid (mirroring
-          // probeCellsCol); the exact term qc = dot(q, centroid) uses the
-          // DOUBLE centroid — the same one the residuals subtract, so the
-          // dot(q,c) + dot(q,r) decomposition stays exact up to PQ error.
+          // Probe ORDERING mirrors probeCellsCol TERM FOR TERM — the
+          // float-cast centroid in the dot (vec_dot's double·double over
+          // float values), ||v||² as sqrt-then-square (vec_norm(v) *
+          // vec_norm(v)), and the DOUBLE centroid's norm — so a query
+          // near-equidistant between cells probes the same cell the
+          // assignment side would; the exact term qc = dot(q, centroid)
+          // uses the DOUBLE centroid — the same one the residuals
+          // subtract, so dot(q,c) + dot(q,r) stays exact up to PQ error.
+          val vn2 = qn * qn
           cs.indices.map { cell =>
             val cd = cs(cell)
             val cf = cd.map(_.toFloat)
@@ -737,7 +762,7 @@ object Ann {
               dotd += v(i).toDouble * cd(i)
               i += 1
             }
-            (nrm - 2.0 * dotf + cf.map(x => x.toDouble * x).sum, cell, dotd)
+            (vn2 - 2.0 * dotf + cd.map(x => x * x).sum, cell, dotd)
           }.sortBy { case (d, cell, _) => (d, cell) }.take(nProbes)
             .map { case (_, cell, dotd) => (qid, cell, dotd, qn, lut) }
         }
@@ -761,18 +786,7 @@ object Ann {
       shortlist.select(col("qid").as("query_id"),
         col("nid").as("neighbor_id"), col("rank"))
     else {
-      val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      val qfull = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-        .withColumn("qn", expr("vec_norm(qv)"))
-      full.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
-        .join(broadcast(qfull), Seq("qid"))
-        .withColumn("cosx",
-          expr("vec_dot(qv, nv)") / (col("qn") * expr("vec_norm(nv)")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(desc("cosx"), asc("nid"))))
-        .where(col("rank") <= k)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rank"))
+      exactRerank(corpus, queries, shortlist, idCol, vecCol, k)
     }
   }
 

@@ -38,9 +38,17 @@ object Sampling {
    */
   def lotteryTicket(idCol: Column, weightCol: Column, salt: String): Column = {
     val w = weightCol.cast("long")
+    // The documented ~32-ticket intent, enforced at 64: a caller passing a
+    // raw score or token count as the weight would otherwise silently do
+    // O(w) md5 calls per row (50k-element arrays for w = 50k). raise_error
+    // fails the first offending row loudly instead.
+    val bounded = when(w <= lit(64L), w - lit(1L))
+      .otherwise(raise_error(concat(
+        lit("lotteryTicket weight exceeds 64 (band the weights, or use " +
+          "weightedKeepExpected for real-valued rates): "), w)).cast("long"))
     when(w >= 1,
       array_max(transform(
-        sequence(lit(0L), w - lit(1L)),
+        sequence(lit(0L), bounded),
         j => md5(concat(lit(s"$salt:"), idCol.cast("string"), lit(":"),
           j.cast("string"))))))
   }
@@ -86,8 +94,10 @@ object Sampling {
   def weightedKeepExpected(df: DataFrame, idCol: String, weightCol: String,
                            k: Long, salt: String): DataFrame = {
     require(k > 0, "expected sample size must be positive")
-    val total = df.agg(sum(col(weightCol).cast("long")).as("w")).head().getLong(0)
-    require(total > 0, "total weight must be positive")
+    val totalRow = df.agg(sum(col(weightCol).cast("long")).as("w")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "total weight must be positive (empty input or all-null weights?)")
+    val total = totalRow.getLong(0)
     df.where(TextAnalysis.hashUniform(col(idCol), salt) <
       lit(k.toDouble) * col(weightCol).cast("double") / lit(total.toDouble))
   }
@@ -120,8 +130,15 @@ object Sampling {
    * every shard is an unbiased corpus slice), then cut the line into
    * contiguous shards of `budget` tokens: a row whose EXCLUSIVE running
    * token total is c lands in shard `c div budget`. Output:
-   * (`idCol`, `n_tokens`, `shard`). Every shard except the last spans
-   * at least `budget` tokens; a row never splits.
+   * (`idCol`, `n_tokens`, `shard`). A row never splits.
+   *
+   * Contract: shards are contiguous, non-overlapping RANGES of the token
+   * prefix line — shard k covers [k·budget, …) of the running total, and
+   * the cumulative tokens through shard k always reach (k+1)·budget (the
+   * walkthrough spec pins this). A single shard's OWN token sum can dip
+   * below budget when a large row straddles its lower boundary (the row
+   * belongs to the earlier shard); do not size downstream work from a
+   * per-shard minimum.
    *
    * This is the distributed prefix-sum shape, kept declarative:
    *  1. range-partition + sort by the md5 line (ONE exchange; each

@@ -265,14 +265,15 @@ object TextAnalysis {
                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = blocklist.stat.bloomFilter(
       xxhash64(col(blockKeyCol)), expectedItems, fpp)
-    val might = graft.functions.BloomFunctions.mightContain(
-      corpus.sparkSession, bloom, xxhash64(col(keyCol)))
-    val clean = corpus.where(!coalesce(might, lit(false)))
-    val maybe = corpus.where(coalesce(might, lit(false)))
-    val confirmedClean = maybe.join(
-      blocklist.select(col(blockKeyCol).as("__bk")).distinct(),
-      col(keyCol) === col("__bk"), "left_anti")
-    clean.unionByName(confirmedClean)
+    graft.functions.BloomFunctions.withMightContain(
+      corpus.sparkSession, bloom, xxhash64(col(keyCol))) { might =>
+      val clean = corpus.where(!coalesce(might, lit(false)))
+      val maybe = corpus.where(coalesce(might, lit(false)))
+      val confirmedClean = maybe.join(
+        blocklist.select(col(blockKeyCol).as("__bk")).distinct(),
+        col(keyCol) === col("__bk"), "left_anti")
+      clean.unionByName(confirmedClean)
+    }
   }
 
   /** Text normalization — the canonicalization pass that precedes every

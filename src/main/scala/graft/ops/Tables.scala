@@ -34,6 +34,10 @@ object Tables {
     * LongType (UTC interpretation for naive timestamps — enforced via the
     * session timezone set in [[loadRaw]]). No-op for already-numeric ts. */
   def tsToNanos(df: DataFrame): DataFrame = {
+    // Wherever normalization happens, the pushdown rule must too — the
+    // Catalog/CLI/ApiServer sessions don't go through loadRaw, and without
+    // the rule every timeframe over a TIMESTAMP-typed source full-scans.
+    installPushdown(df.sparkSession)
     val tsCols = df.schema.fields.collect {
       case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
     }

@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
  */
 object TimeframePushdown extends Rule[LogicalPlan] {
 
-  private def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
+  /** Overflow-safe ceil division: `a + b - 1` wraps for `a` within `b-1`
+    * of Long.MaxValue (an "unbounded" sentinel bound a client can pass),
+    * and a wrapped bound conjuncted into the Filter would silently drop
+    * every row. floorDiv + remainder-carry never overflows. */
+  private def ceilDiv(a: Long, b: Long): Long =
+    Math.floorDiv(a, b) + (if (Math.floorMod(a, b) != 0) 1L else 0L)
 
   private def utcLike(z: String): Boolean =
     z == "UTC" || z == "Etc/UTC" || z == "Z" || z == "+00:00" || z == "GMT"

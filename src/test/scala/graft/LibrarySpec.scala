@@ -327,6 +327,18 @@ class LibrarySpec extends SparkSpec {
     // 200 in-frame rows (101..300 inclusive: +1ns excludes row 100, includes
     // row 300), all 20 users have a view among any 200 consecutive rows.
     assert(row.getLong(1) == 200L, row.toString)
+
+    // Review regression: an "unbounded" sentinel to = Long.MaxValue used to
+    // overflow the rewrite's ceil division (a+b-1 wraps negative), and the
+    // wrapped bound — conjuncted into the Filter — dropped EVERY row.
+    val qOpen = GraftQuery(Some(Timeframe(Some(fromNs), Some(Long.MaxValue))),
+      Seq(Condition.Filters(None, Seq(RowFilter("etype", FilterOp.Eq,
+        Scalar.Str("view"))), Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      None, Nil, None)
+    val openRow = engine.run(loaded, qOpen).summary.collect()(0)
+    // rows 101..399 inclusive = 299 (the wrapped bound would yield 0).
+    assert(openRow.getLong(1) == 299L,
+      s"open-ended timeframe dropped rows: $openRow")
   }
 
   test("an unrelated DATE column named dt is NOT used for pruning unless declared") {

@@ -1144,13 +1144,33 @@ class OperatorsSpec extends SparkSpec {
     assert(keptIds.size == 161)
   }
 
+  test("pqTrain: corpus smaller than nCodes trains short books, no crash") {
+    import graft.operators.Ann
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", ArrayType(FloatType))))
+    val d = frame(schema, (0L until 10L).map(i =>
+      Map[String, Any]("id" -> i, "v" -> Seq.tabulate(8)(j => (i + j).toFloat))))
+    // Review regression: iters >= 1 used to AIOOBE on the Lloyd rebuild
+    // (accumulators sized to nCodes while books held only |corpus| codes).
+    val books = Ann.pqTrain(d, "id", "v", dim = 8, nSub = 2, nCodes = 16, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 10),
+      "books must be sized to the actual corpus, not nCodes")
+    graft.util.Caches.drain()
+  }
+
   test("bloom might_contain: no false negatives; codegen and interpreted agree") {
     import org.apache.spark.util.sketch.BloomFilter
     val bloom = BloomFilter.create(100, 0.03)
     (0L until 100L).foreach(i => bloom.putLong(i * 7919L))
     val d = spark.range(200).select((col("id") * 7919L).as("h"))
-    val c = graft.functions.BloomFunctions.mightContain(spark, bloom, col("h"))
-    val got = d.select(col("h"), c.as("m")).collect()
+    val probed = graft.functions.BloomFunctions.withMightContain(
+      spark, bloom, col("h"))(c => d.select(col("h"), c.as("m")))
+    // The registration is scoped: after the builder returns, the temp
+    // function is gone from the registry (the leak the scoping prevents)
+    // while the already-analyzed frame still executes.
+    assert(!spark.sessionState.functionRegistry.listFunction()
+      .exists(_.funcName.startsWith("graft_bloom_mc")))
+    val got = probed.collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toMap
     // Every inserted value MUST probe true (bloom guarantee).
     (0L until 100L).foreach(i => assert(got(i * 7919L), s"false negative at $i"))
