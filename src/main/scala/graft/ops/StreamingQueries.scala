@@ -303,12 +303,19 @@ object StreamingQueries {
       val schema = Tables.loadRaw(ss, dir, "documents").schema
       val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val scored = stream.select(col("doc_id"),
-        graft.operators.Dsir.rowScore(col("text"), model, 256, "dsir").as("s"))
-        .where(col("s").isNotNull) // null-text docs: score() omits them too
-        .select(col("doc_id"), col("s.n_grams").as("n_grams"),
-          col("s.logw_micro").as("logw_micro"))
-      runToBatch(ss, scored, "st_dsir_sink", mode = "append")
+      // Native codegen'd scorer (functions.DsirRowScore): O(1) array
+      // lookups per gram vs the HOF fold's interpreted lambda + LINEAR
+      // literal-map scan — measured ~4s off this row at sf0.1. rowScore
+      // remains the reference implementation; the spec pins all three
+      // paths bit-identical.
+      graft.functions.DsirFunctions.withRowScore(ss, model, 256, "dsir",
+        fastHash = false, col("text")) { sc =>
+        val scored = stream.select(col("doc_id"), sc.as("s"))
+          .where(col("s").isNotNull) // null-text docs: score() omits them too
+          .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+            col("s.logw_micro").as("logw_micro"))
+        runToBatch(ss, scored, "st_dsir_sink", mode = "append")
+      }
     }),
 
     "st_topk" -> ((s, dir) => {

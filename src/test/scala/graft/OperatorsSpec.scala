@@ -1543,6 +1543,46 @@ class OperatorsSpec extends SparkSpec {
     assert(fBatch.view.mapValues(_._1).toMap == batch.view.mapValues(_._1).toMap)
   }
 
+  test("DSIR native scorer: bit-identical to the HOF fold, both families") {
+    import graft.operators.Dsir
+    import graft.functions.DsirFunctions
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "x",
+      3L -> "",
+      4L -> "stock  prices   rallied", // space runs → empty tokens
+      5L -> "buy cheap pills online now click here")
+    val B = 64
+    for (fast <- Seq(false, true)) {
+      val model = Dsir.trainLogRatios(corpus.where(col("doc_id") % 2 === 1),
+        corpus, "doc_id", "text", B, "nv", fastHash = fast)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = corpus.select(col("doc_id"),
+        Dsir.rowScore(col("text"), model, B, "nv", fastHash = fast).as("s"))
+        .select(col("doc_id"), col("s.n_grams"), col("s.logw_micro"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val native = DsirFunctions.withRowScore(spark, model, B, "nv", fast,
+        col("text")) { c =>
+        corpus.select(col("doc_id"), c.as("s"))
+          .select(col("doc_id"), col("s.n_grams"), col("s.logw_micro"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      }
+      assert(native == hof, s"fast=$fast\nnative $native\nhof $hof")
+    }
+    // Null text: both paths yield a null struct (omitted after a filter).
+    val withNull = frame(docSchema, Seq(
+      Map[String, Any]("doc_id" -> 9L, "text" -> null),
+      Map[String, Any]("doc_id" -> 10L, "text" -> "a b")))
+    val model1 = Dsir.trainLogRatios(withNull, withNull, "doc_id", "text", B, "nv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = DsirFunctions.withRowScore(spark, model1, B, "nv", fastHash = false,
+      col("text")) { c =>
+      withNull.select(col("doc_id"), c.as("s"))
+        .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    }
+    assert(nn == Map(9L -> true, 10L -> false))
+  }
+
   // --- One-pass column profiler -----------------------------------------
 
   test("profile: metrics equal hand-computed values; nulls and types covered") {
