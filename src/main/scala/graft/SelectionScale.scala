@@ -87,13 +87,34 @@ object SelectionScale {
         operators.Dsir.score(corpus, model, "doc_id", "text", b, "sc", fast)
           .where(col("logw_micro") > 0L).count()
       })
+      // The native row-local serving path (functions.DsirRowScore): the
+      // same integers with zero shuffle — what a stream pays per batch.
+      // Parity is asserted at full size: the corpus-wide logw sum from the
+      // row-local fold must equal the explode+join pipeline's bit-for-bit.
+      val modelMap = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (rsSum, rs) = minOf2(graft.result.JobStats.measure(spark) {
+        graft.functions.DsirFunctions.withRowScore(spark, modelMap, b, "sc",
+          fast, col("text")) { c =>
+          corpus.select(c.getField("logw_micro").as("lw"))
+            .agg(sum(col("lw"))).head().getLong(0)
+        }
+      })
       graft.util.Caches.drain()
       println(f"SELECTIONSCALE fast=$fast n=$n topk_check=$topSum thr_kept=$thrCount " +
         f"train_wall=${train.wallTimeMs / 1000.0}%.1f " +
         f"score_wall=${score.wallTimeMs / 1000.0}%.1f " +
         f"score_shuffle_b_per_doc=${score.shuffleBytesWritten.toDouble / n}%.1f " +
         f"score_docs_per_s_core=${n / score.coreSecs}%.0f " +
-        f"threshold_wall=${thr.wallTimeMs / 1000.0}%.1f")
+        f"threshold_wall=${thr.wallTimeMs / 1000.0}%.1f " +
+        f"rowscore_wall=${rs.wallTimeMs / 1000.0}%.1f " +
+        f"rowscore_docs_per_s_core=${n / rs.coreSecs}%.0f " +
+        f"rowscore_shuffle_b_per_doc=${rs.shuffleBytesWritten.toDouble / n}%.2f " +
+        f"rowscore_check=$rsSum")
+      val scoreSum = operators.Dsir
+        .score(corpus, model, "doc_id", "text", b, "sc", fast)
+        .agg(sum(col("logw_micro"))).head().getLong(0)
+      require(scoreSum == rsSum,
+        s"native/batch scorer divergence at n=$n: $rsSum vs $scoreSum")
     }
     spark.stop()
   }
