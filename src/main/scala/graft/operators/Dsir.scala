@@ -48,6 +48,16 @@ import org.apache.spark.sql.functions._
  * first (Skew.saltedTopN's two-phase trick), or use the threshold form
  * directly: `scored.where($"logw_micro" > t)` is map-only and shuffles
  * nothing.
+ *
+ * Which scorer to run: the native row-local expression
+ * ([[graft.functions.DsirFunctions.withRowScore]]) computes the same
+ * integers with ZERO shuffle at 7-8× the throughput of [[score]]
+ * (BENCH.md §SelectionScale: 119k-135k docs/s/core) — at DSIR's model
+ * sizes (≤ ~100k buckets ⇒ ≤ ~1 MB array) it is the serving AND batch
+ * path of choice. [[score]] is the SQL-expressible reference pipeline —
+ * the form the DuckDB oracle mirrors and the probe pins the native fold
+ * against bit-for-bit; [[rowScore]] is its HOF twin kept as the
+ * pure-Column reference implementation.
  */
 object Dsir {
 
