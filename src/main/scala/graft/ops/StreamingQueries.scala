@@ -37,6 +37,14 @@ object StreamingQueries {
   private def dsirStreamOracleGlob: String =
     s"/tmp/graft_dsir_stream_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
 
+  /** LM model fixture for st_lm (separate from tx_lm_score's, same
+    * SF-keyed contract). */
+  private def lmStreamFixturePath(dir: String): String =
+    s"/tmp/graft_lm_stream_fixture/${new java.io.File(dir).getName}/model"
+
+  private def lmStreamOracleGlob: String =
+    s"/tmp/graft_lm_stream_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
+
   /** Run a (bounded) streaming frame to completion into a memory sink and
     * return the sink's contents as a batch frame. Aggregations run in
     * `complete` mode (every window emits regardless of watermark progress);
@@ -318,6 +326,36 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming LM quality scoring — the CCNet-style perplexity filter in
+    // a stream: the trigram model trains once on the static reference
+    // slice, the dense 27^3 score table ships driver-held, and every
+    // arriving document is scored row-locally by the native lm_row_score
+    // expression (one codegen'd call, O(1) lookups, zero shuffle/state —
+    // trivially batching-invariant). Gated on the batch scorer's SQL
+    // verbatim over this fixture, so green certifies the native fold and
+    // the explode+join pipeline produce identical integers.
+    "st_lm" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val d = Tables.documents(ss, dir)
+      val fix = lmStreamFixturePath(dir)
+      graft.operators.LmScore.trainModel(
+        d.where(col("doc_id") % 10 === 0), "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(fix)
+      // Bounded driver state: 19,683 longs.
+      val scores = graft.functions.LmFunctions.denseScores(ss.read.parquet(fix))
+      val schema = Tables.loadRaw(ss, dir, "documents").schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.functions.LmFunctions.withRowScore(ss, scores, col("text")) { sc =>
+        val scored = stream.select(col("doc_id"), sc.as("s"))
+          .where(col("s").isNotNull) // sub-trigram docs: score() omits them
+          .select(col("doc_id"), col("s.n_tri").as("n_tri"),
+            (col("s.sum_micro").cast("double") / col("s.n_tri").cast("double"))
+              .as("avg_logp_micro"))
+        runToBatch(ss, scored, "st_lm_sink", mode = "append")
+      }
+    }),
+
     "st_topk" -> ((s, dir) => {
       val ss = streamSession(s)
       val hh = graft.streaming.StreamingTopK.heavyHitters(
@@ -355,6 +393,23 @@ object StreamingQueries {
          |SELECT g.doc_id, count(*) AS n_grams,
          |       CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
          |FROM g JOIN m USING (bucket) GROUP BY g.doc_id""".stripMargin,
+
+    "st_lm" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')),
+         |                        ' +', ' ', 'g')) AS nt FROM documents),
+         |g AS (SELECT doc_id, nt[i : i+2] AS tri
+         |      FROM t, generate_series(1, 800) s(i)
+         |      WHERE i <= len(nt) - 2),
+         |m AS (SELECT tri, score_micro
+         |      FROM read_parquet('${lmStreamOracleGlob}') WHERE tri <> '__OOV__'),
+         |o AS (SELECT score_micro AS oov
+         |      FROM read_parquet('${lmStreamOracleGlob}') WHERE tri = '__OOV__')
+         |SELECT g.doc_id, count(*) AS n_tri,
+         |       CAST(sum(coalesce(m.score_micro, o.oov)) AS DOUBLE) / count(*)
+         |         AS avg_logp_micro
+         |FROM g LEFT JOIN m USING (tri), o
+         |GROUP BY g.doc_id""".stripMargin,
 
     "st_rates" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_us,

@@ -1543,6 +1543,36 @@ class OperatorsSpec extends SparkSpec {
     assert(fBatch.view.mapValues(_._1).toMap == batch.view.mapValues(_._1).toMap)
   }
 
+  test("LM native scorer: bit-identical to the explode+join scorer") {
+    import graft.operators.LmScore
+    import graft.functions.LmFunctions
+    // Mixed charsets (canonicalization edge), sub-trigram docs (dropped),
+    // pure-OOV docs, reference slice id % 10 == 0.
+    val d = docs(
+      0L -> "The CAT sat on the mat, the cat sat!",
+      1L -> "ZZZZ qqqq xxxx jjjj",
+      2L -> "ab",
+      3L -> "Íñtërnâtiônàl tëxt with æccents 123",
+      4L -> "the mat the cat   the bat",
+      10L -> "the cat and the bat sat")
+    val dir = java.nio.file.Files.createTempDirectory("lmnative").toString
+    LmScore.trainModel(d.where(col("doc_id") % 10 === 0), "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+    val batch = LmScore.score(d, model, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val scores = LmFunctions.denseScores(model)
+    val native = LmFunctions.withRowScore(spark, scores, col("text")) { c =>
+      d.select(col("doc_id"), c.as("s"))
+        .where(col("s").isNotNull)
+        .select(col("doc_id"), col("s.n_tri"),
+          (col("s.sum_micro").cast("double") / col("s.n_tri").cast("double")))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    }
+    assert(native == batch, s"native $native\nbatch $batch")
+    assert(!native.contains(2L), "sub-trigram docs must be omitted")
+  }
+
   test("DSIR native scorer: bit-identical to the HOF fold, both families") {
     import graft.operators.Dsir
     import graft.functions.DsirFunctions
