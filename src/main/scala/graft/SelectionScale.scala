@@ -99,6 +99,14 @@ object SelectionScale {
             .agg(sum(col("lw"))).head().getLong(0)
         }
       })
+      // Parity BEFORE drain: the corpus is still cached, so the batch
+      // scoring pipeline runs once more from memory rather than
+      // regenerating the lineage from scratch.
+      val scoreSum = operators.Dsir
+        .score(corpus, model, "doc_id", "text", b, "sc", fast)
+        .agg(sum(col("logw_micro"))).head().getLong(0)
+      require(scoreSum == rsSum,
+        s"native/batch scorer divergence at n=$n: $rsSum vs $scoreSum")
       graft.util.Caches.drain()
       println(f"SELECTIONSCALE fast=$fast n=$n topk_check=$topSum thr_kept=$thrCount " +
         f"train_wall=${train.wallTimeMs / 1000.0}%.1f " +
@@ -110,11 +118,6 @@ object SelectionScale {
         f"rowscore_docs_per_s_core=${n / rs.coreSecs}%.0f " +
         f"rowscore_shuffle_b_per_doc=${rs.shuffleBytesWritten.toDouble / n}%.2f " +
         f"rowscore_check=$rsSum")
-      val scoreSum = operators.Dsir
-        .score(corpus, model, "doc_id", "text", b, "sc", fast)
-        .agg(sum(col("logw_micro"))).head().getLong(0)
-      require(scoreSum == rsSum,
-        s"native/batch scorer divergence at n=$n: $rsSum vs $scoreSum")
     }
     spark.stop()
   }

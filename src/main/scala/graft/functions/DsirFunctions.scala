@@ -47,14 +47,16 @@ case class DsirRowScore(child: Expression, model: Array[Long], nBuckets: Int,
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
-  private def bucket(g: String): Int =
+  /** One digest instance per compute() call (digest() resets it between
+    * grams) — a getInstance per gram would put a JCA provider lookup +
+    * allocation inside the hot loop this expression exists to tighten. */
+  private def bucket(g: String, md: MessageDigest): Int =
     if (fastHash) {
       val u = UTF8String.fromString(g)
       java.lang.Math.floorMod(
         XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, saltSeed),
         nBuckets.toLong).toInt
     } else {
-      val md = MessageDigest.getInstance("MD5")
       md.update(saltColonBytes)
       md.update(g.getBytes("UTF-8"))
       val d = md.digest()
@@ -66,13 +68,14 @@ case class DsirRowScore(child: Expression, model: Array[Long], nBuckets: Int,
 
   /** Called from both interpreted eval and generated code. */
   def compute(text: UTF8String): InternalRow = {
+    val md = if (fastHash) null else MessageDigest.getInstance("MD5")
     val toks = text.toString.split(" ", -1)
     var n = 0L; var sum = 0L
     var i = 0
-    while (i < toks.length) { sum += model(bucket(toks(i))); n += 1; i += 1 }
+    while (i < toks.length) { sum += model(bucket(toks(i), md)); n += 1; i += 1 }
     i = 0
     while (i < toks.length - 1) {
-      sum += model(bucket(toks(i) + " " + toks(i + 1))); n += 1; i += 1
+      sum += model(bucket(toks(i) + " " + toks(i + 1), md)); n += 1; i += 1
     }
     InternalRow(n, sum)
   }

@@ -39,6 +39,11 @@ case class LmRowScore(child: Expression, scores: Array[Long])
   override def dataType: DataType = StructType(Seq(
     StructField("n_tri", LongType, nullable = false),
     StructField("sum_micro", LongType, nullable = false)))
+  // Returns null for NON-null sub-trigram input, so nullability must not
+  // follow the child: with a non-nullable text column the default would
+  // let NullPropagation fold the caller's isNotNull filter away AND make
+  // doGenCode assign to a FalseLiteral isNull (a Janino compile error).
+  override def nullable: Boolean = true
   override def prettyName: String = "lm_row_score"
 
   /** Mirrors LmScore.canonical: Spark regexp_replace/lower/trim are the

@@ -361,7 +361,14 @@ object Ann {
     import spark.implicits._
     val subDim = dim / nSub
     require(subDim * nSub == dim, s"dim $dim must divide into $nSub subspaces")
-    val init = corpus.orderBy(col(idCol)).limit(nCodes)
+    // One retained (id, vec) projection feeds the init scan AND every
+    // Lloyd iteration — otherwise each pass re-executes the full corpus
+    // lineage (ivfAssign's documented rationale). The projection keeps
+    // idCol so derived selects are fragments of the cached plan; callers
+    // doing a separate pqCodes pass still pay their own scan.
+    val base = graft.util.Caches.retain(corpus.select(
+      col(idCol), col(vecCol).cast("array<float>").as(vecCol)))
+    val init = base.orderBy(col(idCol)).limit(nCodes)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // A corpus smaller than nCodes yields SHORTER books (k < nCodes) — the
@@ -371,12 +378,7 @@ object Ann {
     require(k > 0, "cannot train PQ codebooks on an empty corpus")
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(s =>
       init.map(_.slice(s * subDim, (s + 1) * subDim)))
-    // One projected, retained frame: each Lloyd iteration (plus the later
-    // code pass) would otherwise re-execute the full corpus lineage
-    // (ivfAssign's documented rationale).
-    val vecs = graft.util.Caches.retain(
-      corpus.select(col(vecCol).cast("array<float>")))
-      .as[Array[Float]].rdd
+    val vecs = base.select(col(vecCol)).as[Array[Float]].rdd
     for (_ <- 0 until iters) {
       val bb = spark.sparkContext.broadcast(books)
       val (sums, cnts) = vecs.mapPartitions { it =>

@@ -109,6 +109,14 @@ object Profile {
    */
   def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Row, types => T}
+    Seq("before" -> before, "after" -> after).foreach { case (side, df) =>
+      val dup = df.schema.fieldNames.groupBy(identity).collect {
+        case (nm, occ) if occ.length > 1 => nm
+      }
+      require(dup.isEmpty,
+        s"$side frame has duplicated column names (${dup.mkString(", ")}) — " +
+          "a name-keyed drift report would silently collapse them")
+    }
     val b = before.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val a = after.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val rows =

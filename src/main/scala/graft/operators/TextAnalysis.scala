@@ -210,8 +210,12 @@ object TextAnalysis {
   def scrubSpans(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                  textCol: String, n: Int): DataFrame = {
     require(n > 0, "window width must be positive")
+    // Null-text documents are OMITTED (the Dsir score/rowScore contract) —
+    // without the filter the final select would emit a garbage
+    // (doc_id, -1, -1, "") row the oracle lacks.
     def toks(df: DataFrame) =
-      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
     // (doc_id, start, window-hash); the CASE guards sequence() from
     // descending through 0 on short docs (contamination's guard).
     def starts(df: DataFrame) = toks(df)

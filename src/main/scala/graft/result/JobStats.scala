@@ -35,10 +35,6 @@ object JobStats {
       s""""peakExecutionMemory": $peakExecutionMemory, "coreSecs": $coreSecs}"""
   }
 
-  /** Run `body` with a listener attached; returns its result plus the
-    * aggregated task metrics of everything executed inside. The driver
-    * serializes query execution, so global task accumulation is the query's
-    * own (same trade-off as the reference's per-job metric bags). */
   /** The scale probes' steady-state convention: run `body` twice and keep
     * the faster run's (result, snapshot) — even after a warmup, the first
     * full-occupancy pass at a new input size carries residual
@@ -49,6 +45,10 @@ object JobStats {
     if (c._2.wallTimeMs < a._2.wallTimeMs) c else a
   }
 
+  /** Run `body` with a listener attached; returns its result plus the
+    * aggregated task metrics of everything executed inside. The driver
+    * serializes query execution, so global task accumulation is the query's
+    * own (same trade-off as the reference's per-job metric bags). */
   def measure[T](spark: SparkSession)(body: => T): (T, Snapshot) = {
     val tasks = new AtomicInteger
     val rows = new AtomicLong

@@ -1813,10 +1813,19 @@ class OperatorsSpec extends SparkSpec {
       assert(rank == math.floor(u * 400.0).toLong + 1, s"$id rank")
       assert(key == (rank - 0.5) / w, s"$id key")
     }
-    // Plan: no Window and no per-key Sort anywhere (the hot-key claim).
-    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("Window"), s"plan must not window:\n$plan")
-    assert(!plan.toLowerCase.contains("sortexec"), s"plan must not sort:\n$plan")
+    // Plan: no Window and no per-key Sort anywhere (the hot-key claim) —
+    // asserted on the plan TREE: node names print with "Exec" stripped,
+    // so a string match on "SortExec" would pass vacuously.
+    val exec = q.queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(nodes)
+    val all = nodes(exec) ++ nodes(exec).collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    }.flatMap(nodes)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"plan must not window:\n$exec")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"plan must not sort:\n$exec")
     // Concentration: a 350-row prefix tracks the 1/2/4 mix within O(sqrt).
     val prefix = out.sortBy { case (id, src, _, key) => (key, src, id) }.take(350)
       .groupBy(_._2).view.mapValues(_.length).toMap
