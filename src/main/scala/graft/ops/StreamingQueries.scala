@@ -356,6 +356,33 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming span decontamination — scrub documents IN FLIGHT: the
+    // eval slice's distinct 13-token window hashes collect once
+    // (driver-bounded, full 128-bit md5 — membership bit-identical to the
+    // batch equi-join), ship to the stream, and the native scrub_row_spans
+    // expression rebuilds each arriving document row-locally. Zero
+    // shuffle, zero state; gated on tx_scrub_spans' oracle verbatim, so
+    // green certifies the native scrubber equals the batch
+    // explode+semi-join+rebuild pipeline byte-for-byte.
+    "st_scrub" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val d = Tables.documents(ss, dir)
+      val hashes = graft.functions.ScrubFunctions.evalWindowHashes(
+        d.where(col("doc_id") < 20), "text", n = 13)
+      val schema = Tables.loadRaw(ss, dir, "documents").schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") >= 20)
+      graft.functions.ScrubFunctions.withScrub(ss, hashes, 13, col("text")) { sc =>
+        val scrubbed = stream.select(col("doc_id"), sc.as("s"))
+          .where(col("s").isNotNull) // null-text docs: scrubSpans omits them
+          .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+            col("s.n_removed").as("n_removed"),
+            col("s.clean_text").as("clean_text"))
+        runToBatch(ss, scrubbed, "st_scrub_sink", mode = "append")
+      }
+    }),
+
     "st_topk" -> ((s, dir) => {
       val ss = streamSession(s)
       val hh = graft.streaming.StreamingTopK.heavyHitters(
@@ -410,6 +437,8 @@ object StreamingQueries {
          |         AS avg_logp_micro
          |FROM g LEFT JOIN m USING (tri), o
          |GROUP BY g.doc_id""".stripMargin,
+
+    "st_scrub" -> PipelineQueries.oracleSql("tx_scrub_spans"),
 
     "st_rates" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_us,

@@ -1763,6 +1763,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) == ((10L, 8L, "x y")))
   }
 
+  test("native scrubber: byte-identical to batch scrubSpans incl. null text") {
+    import graft.operators.TextAnalysis
+    import graft.functions.ScrubFunctions
+    val evalSet = docs(100L -> "the quick brown fox", 101L -> "lorem ipsum dolor sit")
+    val corpus = frame(docSchema, Seq(
+      Map[String, Any]("doc_id" -> 1L, "text" -> "intro words the quick brown fox outro words"),
+      Map[String, Any]("doc_id" -> 2L, "text" -> "totally clean  document with   spaces"),
+      Map[String, Any]("doc_id" -> 3L, "text" -> "the quick brown fox"),
+      Map[String, Any]("doc_id" -> 4L, "text" -> null),
+      Map[String, Any]("doc_id" -> 5L, "text" -> "x the quick brown fox lorem ipsum dolor sit y"),
+      Map[String, Any]("doc_id" -> 6L, "text" -> "ab")))
+    val batch = TextAnalysis.scrubSpans(corpus, evalSet, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val hashes = ScrubFunctions.evalWindowHashes(evalSet, "text", n = 4)
+    assert(hashes.length == 2 * 2, "two distinct eval windows expected")
+    val native = ScrubFunctions.withScrub(spark, hashes, 4, col("text")) { c =>
+      corpus.select(col("doc_id"), c.as("s")).where(col("s").isNotNull)
+        .select(col("doc_id"), col("s.n_tokens"), col("s.n_removed"), col("s.clean_text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    }
+    assert(native == batch, s"native $native\nbatch $batch")
+    assert(native(5L) == ((10L, 8L, "x y")) && !native.contains(4L))
+  }
+
   test("schemaDrift: added/removed/type-changed columns; empty when identical") {
     import graft.operators.Profile
     val before = spark.createDataFrame(Seq((1L, "a", 2.0))).toDF("id", "s", "x")
