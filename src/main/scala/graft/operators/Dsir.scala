@@ -134,13 +134,26 @@ object Dsir {
     * size. */
   def score(docs: DataFrame, model: DataFrame, idCol: String,
             textCol: String, nBuckets: Int, salt: String,
-            fastHash: Boolean = false): DataFrame =
+            fastHash: Boolean = false): DataFrame = {
+    // The inner join below assumes full 0..nBuckets-1 coverage; a partial
+    // model would silently drop grams and skew n_grams/logw_micro,
+    // breaking the bit-identity contract with rowScore / dsir_row_score
+    // (which require-check coverage). The model is nBuckets rows by
+    // construction, so this count is O(nBuckets) — negligible next to
+    // the broadcast it precedes.
+    val covered = model.where(
+      col("bucket").between(0L, nBuckets.toLong - 1L) &&
+        col("lr_micro").isNotNull).count()
+    require(covered == nBuckets.toLong,
+      s"model must cover buckets 0..${nBuckets - 1} with non-null " +
+        s"lr_micro exactly (found $covered of $nBuckets)")
     grams(docs, idCol, textCol)
       .select(col("doc_id"),
         hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("logw_micro"))
+  }
 
   /** Row-local scoring against a DRIVER-HELD model — the serving path: a
     * stream (or any map-only stage) scores each document inside its own

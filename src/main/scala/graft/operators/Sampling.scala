@@ -71,6 +71,8 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String): DataFrame = {
     require(k > 0, "sample size must be positive")
+    require(!df.columns.contains("ticket"),
+      "input already has a 'ticket' column; rename it before sampling")
     df.withColumn("ticket", lotteryTicket(col(idCol), col(weightCol), salt))
       .where(col("ticket").isNotNull)
       .orderBy(col("ticket").desc, col(idCol))

@@ -72,6 +72,12 @@ object DatasetExporter {
     fs.delete(new org.apache.hadoop.fs.Path(pilotPath), true)
 
     val files = math.max(1L, math.ceil(rows * bytesPerRow / targetFileBytes).toLong)
+    // Guard the Long→Int narrowing below: a degenerate rows/target ratio
+    // (e.g. targetFileBytes = 1) would wrap silently into a garbage
+    // partition count. Int.MaxValue files is far beyond any real layout,
+    // so failing loud is the only sane behavior.
+    require(files <= Int.MaxValue.toLong,
+      s"computed file count $files exceeds Int.MaxValue; raise targetFileBytes")
     val rowsPerFile = math.max(1L, math.ceil(rows.toDouble / files).toLong)
     df.repartition(files.toInt,
         graft.operators.TextAnalysis.saltedMd5Public(col(idCol), salt))

@@ -61,6 +61,29 @@ class TestdataCanarySpec extends SparkSpec {
       s"ragged embedding dims [${r.getInt(2)}, ${r.getInt(3)}]")
   }
 
+  test("documents: length bounds the DuckDB oracles assume still hold") {
+    // Several battery oracles bound position enumeration with
+    // generate_series: token/gram positions up to 4000 (tx_scrub_spans,
+    // pipeline_dsir*, tx_* n-gram rows) and post-canonicalization char
+    // length up to 800 (tx_lm_score / st_lm). The Spark side is unbounded,
+    // so a regenerated testdata doc exceeding these would silently
+    // diverge the oracle, not the engine — pin the invariant here where
+    // the failure names itself.
+    val d = graft.ops.Tables.documents(spark, sfDir)
+    val r = d.selectExpr(
+      "max(size(split(text, ' '))) AS max_tokens",
+      "max(length(trim(regexp_replace(" +
+        "lower(regexp_replace(text, '[^A-Za-z ]', '')), ' +', ' ')))) " +
+        "AS max_canon_chars").head()
+    assert(r.getInt(0) <= 4000,
+      s"documents.text has ${r.getInt(0)} whitespace tokens — oracles " +
+        "enumerate positions only to 4000; raise the generate_series " +
+        "bounds in PipelineQueries")
+    assert(r.getInt(1) <= 800,
+      s"canonicalized text reaches ${r.getInt(1)} chars — tx_lm_score's " +
+        "oracle enumerates trigram starts only to 800")
+  }
+
   test("relational tables: the columns the battery queries name still exist") {
     val need = Map(
       "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice",
