@@ -54,10 +54,17 @@ object Throughput {
     // (fr_funnel's exact shape) at the same scale — the engine's namesake
     // plan, wall-clock-verifying that the bucketed layout's
     // pre-window-exchange-free plan holds at 250M rows, not just in the
-    // sf0.001 plan tests.
+    // sf0.001 plan tests;
+    // "sequence[-bucketed]" / "sequence-fast[-bucketed]" = a 6-step
+    // selective sequence condition via the chained-window plan vs the
+    // SequenceMatch Aggregator — the head-to-head that decides which
+    // implementation to reach for on long funnels (BENCH.md §Sequence
+    // at reference scale).
     val mode = if (args.length > 1) args(1) else "plain"
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
+    val seqMode = mode.startsWith("sequence")
+    val seqFast = mode.startsWith("sequence-fast")
     val df =
       if (!bucketed) spark.read.parquet(target)
       else {
@@ -69,7 +76,48 @@ object Throughput {
       }
     val layout = if (bucketed) "bucketed" else "parquet"
 
-    if (!funnelMode) {
+    if (seqMode) {
+      import query.QueryAst._
+      // 6 steps, every one value-filtered (~12% of rows match any step):
+      // the selective long-funnel shape where the Aggregator's claimed
+      // advantage — shuffle only candidate rows, one pass instead of six
+      // window aggregates — should be largest.
+      def step(t: String, minValue: Double) = SequenceStep(Seq(
+        RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
+        RowFilter("value", FilterOp.Gt, Scalar.Num(minValue))))
+      val steps = Seq(
+        step("signup", 100), step("view", 100), step("click", 100),
+        step("view", 150), step("purchase", 100), step("purchase", 200))
+      val rows = df.count()
+      def run(): (Row, Double) = {
+        val t0 = System.nanoTime()
+        val out =
+          if (seqFast) {
+            // fr_sequence_fast's exact summary shape (semi-join back,
+            // broadcast under AQE — see the FrQueries entry for why this
+            // beats pre-aggregated per-group counts here).
+            val groups = operators.SequenceMatch.matchingGroups(
+              df, "user_id", "ts", steps)
+            df.join(groups, Seq("user_id"), "left_semi").agg(
+              count_distinct(col("user_id")).as("matching_groups"),
+              count(lit(1)).as("matching_group_rows")).head()
+          } else {
+            val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+            eng.run(df, GraftQuery(None,
+              Seq(Condition.Sequence(None, steps, None)),
+              None, Nil, None)).summary.head()
+          }
+        (out, (System.nanoTime() - t0) / 1e9)
+      }
+      run() // warm
+      val (out, sec) = (1 to 2).map(_ => run()).minBy(_._2)
+      val perCore = rows / sec / cpus
+      val plan = if (seqFast) "sequence6-aggregator" else "sequence6-window"
+      println(f"""{"plan": "$plan", "rows": $rows, "sec": $sec%.3f, """ +
+        f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
+        f""""matching_groups": ${out.getLong(0)}, """ +
+        f""""matching_group_rows": ${out.getLong(1)}, "layout": "$layout"}""")
+    } else if (!funnelMode) {
       def run(): (Long, Long, Double) = {
         val t0 = System.nanoTime()
         val r = df.agg(count_distinct(col("user_id")).as("matching_groups"),

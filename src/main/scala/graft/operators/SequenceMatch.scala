@@ -22,6 +22,19 @@ import graft.query.QueryAst.SequenceStep
  * contribute nothing. Trade-off: buffer memory is O(matching rows per
  * group per step); for dense steps the window plan is the better choice —
  * both are exposed, benchmarked, and semantically interchangeable.
+ *
+ * WHEN TO USE WHICH (measured at 250M rows / 3.75M groups, 6 selective
+ * steps, local[32] — BENCH.md §"Sequence at reference scale"): on the
+ * gid-grouped/bucketed layout this aggregator wins 2.2× (10.3s vs the
+ * window stack's 22.8s — the window plan still pays the per-partition
+ * SORT of all 250M rows plus six window passes even when the exchange
+ * disappears, while this path sorts only the ~10% candidate rows). On
+ * plain un-layouted parquet the window plan wins slightly (30.0s vs
+ * 31.9s: one full-data exchange + sort vs typed-aggregation overhead on
+ * the candidates), and at small inputs (sf0.1) its fixed overhead makes
+ * it ~20% slower. Rule: reach for SequenceMatch on grouped layouts with
+ * selective multi-step funnels; default to the window plan otherwise —
+ * it also covers negated steps, which this path rejects.
  */
 object SequenceMatch {
 

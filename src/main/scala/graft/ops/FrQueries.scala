@@ -152,7 +152,13 @@ object FrQueries {
 
     // Same semantics as fr_sequence via the single-pass Aggregator
     // (operators/SequenceMatch) instead of the chained-window plan;
-    // shares fr_sequence's oracle.
+    // shares fr_sequence's oracle. Summary via left-semi join back into
+    // the events: with a selective funnel the matched-gid side is small
+    // enough to broadcast (AQE), so the event rows are scanned but never
+    // shuffled — measured faster at 250M rows than pre-aggregating
+    // per-group counts, whose partial aggregates barely compress when
+    // millions of groups scatter across every input split (BENCH.md
+    // §Sequence at reference scale).
     "fr_sequence_fast" -> ((s, dir) => {
       val e = ev(s, dir)
       val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts", valueSteps)

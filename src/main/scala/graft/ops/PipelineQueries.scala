@@ -722,8 +722,65 @@ object PipelineQueries {
         Dsir.trainAndScore(s, d, d.where(col("doc_id") % 5 === 0),
           "doc_id", "text", nBuckets = 256, salt = "dsir",
           dsirFixturePath(dir)), "doc_id", k = 100, salt = "dsirg")
+    }),
+
+    // Serve-only twins of the materialization-contract rows above: the
+    // contract rows (tx_lm_score, pipeline_dsir, ann_ivfpq_saved) bundle
+    // train + write + read + serve in one timed number, so a regression in
+    // the sub-second serve path would hide inside the multi-second
+    // contract. These rows time ONLY the serve half against the fixture
+    // the contract row materialized (building it on first touch so the
+    // row stays self-contained for restricted `graft.Bench <name>` runs —
+    // the build happens in the untimed warmup, timed runs serve only).
+    // Same oracles as their contract twins: both read identical fixtures.
+    "tx_lm_score_serve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fix = lmFixturePath(dir)
+      if (!fixtureReady(fix))
+        LmScore.trainModel(d.where(col("doc_id") % 10 === 0), "doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+      LmScore.score(d, s.read.parquet(fix), "doc_id", "text")
+    }),
+
+    "pipeline_dsir_serve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fix = dsirFixturePath(dir)
+      if (!fixtureReady(fix))
+        Dsir.trainLogRatios(d.where(col("doc_id") % 5 === 0), d,
+          "doc_id", "text", 256, "dsir")
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+      Dsir.selectTopK(
+        Dsir.score(d, s.read.parquet(fix), "doc_id", "text", 256, "dsir"),
+        k = 100)
+    }),
+
+    // Serve half of ann_ivfpq_saved: load the persisted index, serve the
+    // query batch, gate recall vs brute force (the gate's brute-force leg
+    // costs ~ann_topk, small next to the serve it guards).
+    "ann_ivfpq_saved_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val path = s"/tmp/graft_ivfpq_index/${new java.io.File(dir).getName}"
+      if (!fixtureReady(s"$path/books")) {
+        val (codes, cents, books) = Ann.ivfPqIndex(e, "vec_id", "embedding",
+          dim = 64, nCells = 8, ivfIters = 2, nSub = 8, nCodes = 16,
+          pqIters = 2)
+        Ann.saveIvfPqIndex(path, codes, cents, books)
+      }
+      val (codes, cents, books) = Ann.loadIvfPqIndex(s, path)
+      recallGate(
+        Ann.ivfPqServe(e, q, "vec_id", "embedding", cents, books, codes,
+          k = 5, nProbes = 2, rerank = 8),
+        Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        floor = 0.5)
     })
   )
+
+  /** A parquet fixture directory is complete iff its _SUCCESS marker
+    * landed (a crash mid-write leaves the directory without it, and the
+    * serve rows must then rebuild rather than read a torn fixture). */
+  private def fixtureReady(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
     * (DuckDB can't lateral-join generate_series) — 4000 covers max doc len. */
@@ -779,7 +836,17 @@ object PipelineQueries {
   // def, not val: tx_lm_score's SQL embeds the SF-keyed model fixture path,
   // resolved from the property Verify sets before dumping oracle_sql.json
   // (same contract as RelationalQueries.oracleSql).
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // The serve-only rows read the exact fixtures their contract twins
+    // wrote, so the twins' oracles apply verbatim.
+    base ++ Map(
+      "tx_lm_score_serve" -> base("tx_lm_score"),
+      "pipeline_dsir_serve" -> base("pipeline_dsir"),
+      "ann_ivfpq_saved_serve" -> "SELECT CAST(1 AS BIGINT) AS passed")
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "dd_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
 

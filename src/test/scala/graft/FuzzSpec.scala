@@ -118,7 +118,15 @@ object QueryFuzzer {
         case _ => strFilter(rnd, c, "==", pick(rnd, EventTypes))
       }
     case p if p < 8 =>
-      val c = if (rnd.nextInt(4) == 0) "value_n" else "value"
+      // value_nan: the NaN-injected double (Spark and DuckDB agree on NaN
+      // ordering — NaN greatest, == false / != true vs finite values — so
+      // the oracle needs no special-casing; see DIVERGENCES.md for the
+      // deliberate departure from pandas' all-False NaN comparisons).
+      val c = rnd.nextInt(6) match {
+        case 0     => "value_n"
+        case 1 | 2 => "value_nan"
+        case _     => "value"
+      }
       numFilter(rnd, c, pick(rnd, CmpOps), pick(rnd, NumVals))
     case 8 =>
       numFilter(rnd, "event_id", pick(rnd, CmpOps), pick(rnd, IdVals))
@@ -247,6 +255,8 @@ object QueryFuzzer {
           val (c, pool) = rnd.nextInt(6) match {
             case 0     => ("value_n", SumVals)
             case 1     => ("event_id", IdSumVals)
+            case 2     => ("value_nan", SumVals) // NaN-poisoned sums: both
+            // engines propagate NaN and order it greatest, exactly
             case _     => ("value", SumVals)
           }
           val op = pick(rnd, CmpOps)
@@ -328,9 +338,11 @@ object QueryFuzzer {
             s"FROM $f$w GROUP BY me.$c"))
       case 4 =>
         val c = pv
-        val o = rnd.nextInt(4) match {
+        val o = rnd.nextInt(5) match {
           case 0 => "value_n"
           case 1 => "event_id" // integer measure: exact int64 sum both sides
+          case 2 => "value_nan" // NaN groups agree exactly (NaN-propagating
+          // sums of integer-valued doubles: order-independent both sides)
           case _ => "value"
         }
         (s"""{"column": ${jsonStr(c)}, "type": "sumPerValue", "otherColumn": ${jsonStr(o)}}""",
@@ -338,9 +350,11 @@ object QueryFuzzer {
             s"FROM $f$w GROUP BY me.$c"))
       case _ =>
         val c = pv
-        val o = rnd.nextInt(4) match {
+        val o = rnd.nextInt(5) match {
           case 0 => "value_n"
           case 1 => "event_id" // integer measure: exact int64 sum both sides
+          case 2 => "value_nan" // NaN groups agree exactly (NaN-propagating
+          // sums of integer-valued doubles: order-independent both sides)
           case _ => "value"
         }
         (s"""{"column": ${jsonStr(c)}, "type": "meanPerValue", "otherColumn": ${jsonStr(o)}}""",
@@ -382,7 +396,9 @@ object QueryFuzzer {
          |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(value AS DECIMAL(20,4)) END AS value_n,
          |  CAST(value AS DECIMAL(20,4)) > 150 AS is_big,
          |  CASE WHEN event_id % 3 = 0 THEN NULL
-         |       ELSE CAST(value AS DECIMAL(20,4)) > 150 END AS is_big_n
+         |       ELSE CAST(value AS DECIMAL(20,4)) > 150 END AS is_big_n,
+         |  CASE WHEN event_id % 11 = 0 THEN 'NaN'::DOUBLE
+         |       ELSE CAST(floor(CAST(value AS DECIMAL(20,4))) AS DOUBLE) END AS value_nan
          |  FROM read_parquet(${sqlStr(parquetPath)})$where)""".stripMargin
 
     val nCond = rnd.nextInt(5) // 0..4
@@ -557,6 +573,7 @@ object QueryFuzzer {
     if (s == null) " NULL"
     else if (s == "True" || s == "true") "true"   // python str(bool) vs Scala
     else if (s == "False" || s == "false") "false"
+    else if (s.equalsIgnoreCase("nan")) "NaN"     // python repr vs Java toString
     else if (IntRe.matches(s)) BigInt(s).toString
     else if (NumRe.matches(s)) {
       val bd = new java.math.BigDecimal(s)
@@ -603,6 +620,14 @@ class FuzzSpec extends SparkSpec {
       .withColumn("is_big_n",
         when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("boolean"))
           .otherwise(col("value") > 150))
+      // NaN dimension: a FLOAT measure with real NaNs (testdata carries
+      // nulls, never NaNs). Non-NaN values are floored to integer-valued
+      // doubles so multi-row sums are order-independent (exact < 2^53) in
+      // both engines; a NaN in any summed group poisons the sum to NaN
+      // identically on both sides.
+      .withColumn("value_nan",
+        when(pmod(col("event_id"), lit(11)) === 0, lit(Double.NaN))
+          .otherwise(floor(col("value")).cast("double")))
 
   test(s"$N seeded random queries match generated DuckDB oracles") {
     assume(duckdbOk, "python3 + duckdb unavailable — differential fuzz skipped")
