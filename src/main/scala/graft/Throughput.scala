@@ -60,11 +60,17 @@ object Throughput {
     // SequenceMatch Aggregator — the head-to-head that decides which
     // implementation to reach for on long funnels (BENCH.md §Sequence
     // at reference scale).
+    // "skew" = the fr window stack under a degenerate hot group: remap a
+    // fraction of all rows (3rd arg, percent, default 10) onto ONE user id
+    // and run fr_funnel's 3-step funnel + a C1 count-target condition —
+    // Window.partitionBy(gid) necessarily lands the hot group in a single
+    // task, and this measures that bound (BENCH.md §SkewScale).
     val mode = if (args.length > 1) args(1) else "plain"
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
     val seqMode = mode.startsWith("sequence")
     val seqFast = mode.startsWith("sequence-fast")
+    val skewMode = mode.startsWith("skew")
     val df =
       if (!bucketed) spark.read.parquet(target)
       else {
@@ -76,7 +82,42 @@ object Throughput {
       }
     val layout = if (bucketed) "bucketed" else "parquet"
 
-    if (seqMode) {
+    if (skewMode) {
+      import query.QueryAst._
+      val hotPct = if (args.length > 2) args(2).toInt else 10
+      // Deterministic per-row draw: hotPct% of ALL rows move to user -1
+      // (a "bot" group holding that share of the corpus). hotPct=0 is the
+      // unskewed control on the identical remap-bearing plan.
+      val draw = pmod(xxhash64(col("user_id"), col("event_id")), lit(100L))
+      val skewed = df.withColumn("user_id",
+        when(draw < lit(hotPct.toLong), lit(-1L)).otherwise(col("user_id")))
+      val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+      def fstep(t: String) = SequenceStep(Seq(
+        RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
+        RowFilter("value", FilterOp.Gt, Scalar.Num(100))))
+      val shapes: Seq[(String, GraftQuery)] = Seq(
+        "fr_funnel" -> GraftQuery(None, Nil, None, Nil,
+          Some(Funnel(Seq("view", "click", "purchase").map(fstep), None, Nil, Nil))),
+        "fr_count_target" -> GraftQuery(None, Seq(Condition.Filters(None,
+          Seq(RowFilter("event_type", FilterOp.Eq, Scalar.Str("purchase")),
+            RowFilter("value", FilterOp.Gt, Scalar.Num(100))),
+          Target.Count(CmpOp.Gte, 3), includeZero = false)), None, Nil, None))
+      val rows = df.count()
+      val results = shapes.map { case (name, q) =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          val planned = eng.run(skewed, q)
+          q.funnel.fold(planned.summary.collect()) { _ =>
+            planned.funnel.get.collect() }
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm
+        val sec = (1 to 2).map(_ => run()).min
+        f""""$name": $sec%.3f"""
+      }
+      println(f"""{"plan": "skew", "hot_pct": $hotPct, "rows": $rows, """ +
+        f""""cores": $cpus, ${results.mkString(", ")}, "layout": "$layout"}""")
+    } else if (seqMode) {
       import query.QueryAst._
       // 6 steps, every one value-filtered (~12% of rows match any step):
       // the selective long-funnel shape where the Aggregator's claimed

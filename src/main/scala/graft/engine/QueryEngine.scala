@@ -63,6 +63,14 @@ final case class PlannedQuery(
  * (SURVEY.md §7.4): `!=` and `not contains` are TRUE for nulls; `==`,
  * ordered comparisons, `contains` and `regex` are FALSE for nulls; group sums
  * skip nulls and an all-null matched group sums to 0.0.
+ *
+ * **Hot-group bound** (measured, BENCH.md §SkewScale "fr window stack"):
+ * `Window.partitionBy(gid)` serializes each group into one task, so a bot
+ * user holding p% of the corpus costs ~linear-in-p wall (10% → 2.2×,
+ * 30% → 5.2× at 250M rows, both funnel and C1 shapes). Count/sum targets
+ * are algebraic — a summary-only caller can switch to
+ * `Skew.saltedSumCount`; sequences/funnels are not — pre-filter or
+ * `capPerKeyApprox` known bot groups before sequence analysis.
  */
 final class QueryEngine(spec: DatasetSpec) {
 
