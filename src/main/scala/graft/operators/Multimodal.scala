@@ -25,6 +25,12 @@ final case class ResizedMeta(
 /** One sampled frame of a clip: frame index + luma sum. */
 final case class FrameMeta(doc_id: Long, frame_no: Int, sum_luma: Long)
 
+/** JPEG round-trip verdict: header geometry (exact even under lossy
+  * coding) + the decoded raster's max absolute pixel error vs the
+  * closed-form source raster. */
+final case class JpegMeta(
+    doc_id: Long, width: Int, height: Int, n_px: Long, max_err: Int)
+
 /** Decoded audio metadata + features: format fields read from the WAV
   * header by the codec, then all-integer PCM statistics (engine-exact). */
 final case class AudioMeta(
@@ -156,6 +162,90 @@ object Multimodal {
           }
           ResizedMeta(id, w, h, outW, outH, sum,
             first(0), first(1), first(2), first(3))
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- jpeg
+  //
+  // JPEG is what real crawled corpora actually carry, and ImageIO decodes
+  // it with the same API the PNG path uses — decodeFeatures/resizeFeatures
+  // work on JPEG payloads unchanged (ImageIO sniffs the container). What
+  // JPEG changes is the GATE: the codec is lossy, so the decoded raster is
+  // only close to the source, not equal. The battery row therefore checks
+  // geometry exactly (headers survive lossy coding bit-exact) and bounds
+  // the per-pixel error against the closed-form raster; the bound itself
+  // is measured in OperatorsSpec, not assumed.
+
+  /** Render the synthetic grayscale JPEG payload for doc `id` at maximum
+    * encoder quality (quantization tables ≈ 1, so the per-pixel error is
+    * DCT rounding noise — small even on this noise-like raster). */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var idx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(id, idx)); idx += 1; x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Attach the synthetic JPEG payload as a binary column: (doc_id, payload). */
+  def encodeJpegs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticJpeg(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode a binary JPEG payload with the real ImageIO codec and compare
+    * the raster against the closed-form source ([[pixel]]): geometry +
+    * max absolute pixel error. The FIXTURE-BOUND verification twin of the
+    * format-agnostic [[decodeFeatures]] (which is the production operator
+    * and handles JPEG payloads unchanged) — lossy coding makes exact
+    * equality impossible, so this is where the error gets a measured,
+    * gated bound. */
+  def jpegRoundTrip(df: DataFrame, idCol: String,
+                    payloadCol: String): Dataset[JpegMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var maxErr = 0
+          var idx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val e = math.abs(raster.getSample(x, y, 0) - pixel(id, idx))
+              if (e > maxErr) maxErr = e
+              idx += 1
+              x += 1
+            }
+            y += 1
+          }
+          JpegMeta(id, w, h, w.toLong * h, maxErr)
         }
       }
   }

@@ -579,6 +579,20 @@ object PipelineQueries {
         .select(col("doc_id"),
           col("frame_no").cast("long").as("frame_no"), col("sum_luma"))),
 
+    // JPEG leg — what crawled corpora actually carry. Real ImageIO JPEG
+    // encode (q=1.0) + decode; lossy coding means the gate is geometry
+    // EXACT (headers survive bit-exact, symbolically oracled) plus a
+    // bounded per-pixel error vs the closed-form raster (measured max 1
+    // in OperatorsSpec across all 143 geometries; gated at <= 2).
+    "mm_features_jpeg" -> ((s, dir) =>
+      Multimodal.jpegRoundTrip(
+        Multimodal.encodeJpegs(docs(s, dir), "doc_id"), "doc_id", "payload").toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"),
+          when(col("max_err") <= 2, lit(1L)).otherwise(lit(0L)).as("err_ok"))),
+
     // Audio leg of the multimodal plumbing: real RIFF/WAVE payloads decoded
     // by the JDK audio codec per partition; integer PCM stats keep the
     // oracle symbolic and exact.
@@ -1514,6 +1528,18 @@ object PipelineQueries {
         |  CAST(max(CASE WHEN i = 2 THEN p END) AS BIGINT) AS f2,
         |  CAST(max(CASE WHEN i = 3 THEN p END) AS BIGINT) AS f3
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // JPEG leg: geometry is symbolic-exact (lossy coding never touches the
+    // header); the pixel-error bound is computed Spark-side against the
+    // closed-form raster (DuckDB has no JPEG codec) and compared to the
+    // literal verdict here — same pattern as the ANN recall gates.
+    "mm_features_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(3 + doc_id % 11 AS BIGINT) AS height,
+        |  CAST((4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT) AS n_px,
+        |  CAST(1 AS BIGINT) AS err_ok
+        |FROM documents""".stripMargin,
 
     // Nearest-neighbor 8x6 resample of the synthetic raster: out pixel
     // i = (oy, ox) samples source (oy*h//6)*w + ox*w//8 — integer floor

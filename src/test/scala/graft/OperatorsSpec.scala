@@ -793,6 +793,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real JPEG round-trip — exact geometry, bounded pixel error") {
+    import graft.operators.Multimodal
+    // the payload is a genuine JFIF stream (SOI marker FF D8)
+    val jpg = Multimodal.syntheticJpeg(7L)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+
+    // Measure the codec's actual error across a spread of ids (all 143
+    // distinct dims(id) geometries repeat with period lcm(13,11)=143) —
+    // the battery gate's tolerance is pinned from this measurement.
+    val ids = (0L until 143L).toSeq
+    val d = docs(ids.map(id => (id, "unused")): _*)
+    val got = Multimodal.jpegRoundTrip(
+      Multimodal.encodeJpegs(d, "doc_id"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    val worst = got.values.map(_.max_err).max
+    info(s"max abs pixel error across ${ids.size} docs: $worst")
+    for (id <- ids) {
+      val (w, h) = Multimodal.dims(id)
+      val m = got(id)
+      assert(m.width == w && m.height == h && m.n_px == w.toLong * h,
+        s"doc $id: lossy coding must not touch geometry")
+    }
+    // Measured: 1 (this JDK codec, q=1.0, all 143 geometries). The battery
+    // row gates at <= 2; a codec change pushing past that should fail
+    // HERE first with the measured number in the message.
+    assert(worst <= 2, s"JPEG q=1.0 max pixel error $worst exceeds the gate bound")
+  }
+
   test("multimodal: real WAV encode/decode round-trip recovers exact PCM stats") {
     import graft.operators.Multimodal
     // the payload is a genuine RIFF/WAVE container
