@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end composition probe: the components of the training-data
+ * pipeline are each measured in isolation (DedupScale, SelectionScale,
+ * ShardScale, ExportScale) — this main composes the REAL flow once at
+ * corpus scale and times each stage in sequence, confirming that nothing
+ * surprises at composition: no stage's driver state grows with the
+ * corpus, no shuffle carries more than its own stage's documented volume,
+ * and the stage outputs feed each other through materialized parquet the
+ * way a production pipeline checkpoints between phases.
+ *
+ *   generate (untimed) → clean → MinHash/LSH dedup → DSIR select
+ *                      → pack stats → size-targeted export
+ *
+ * Corpus shape is DedupScale's (40 tokens from a 1024-word vocab, ~20% of
+ * docs in 3-doc exact/near-dup clusters) plus ~3% two-token junk docs for
+ * the clean stage to drop. Hash family is xxhash64 (`--md5` reverts) —
+ * the 100 TB configuration; the md5 family stays on every oracle-gated
+ * battery row.
+ *
+ * Args: doc counts (default 10000000).
+ */
+object PipelineScale {
+  def main(args: Array[String]): Unit = {
+    val fastHash = !args.contains("--md5")
+    val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.result.JobStats
+
+    val vocabSql = (0 until 1024).map(i => s"'w$i'").mkString(", ")
+
+    sizes.foreach { n =>
+      val root = s"/tmp/graft_pipescale/$n"
+      // ---- generate (untimed): 40-token docs; ids %10 in (1,2) duplicate
+      // /near-duplicate their decade head; ids %37 == 3 are 2-token junk.
+      spark.range(n)
+        .select(col("id").as("doc_id"), expr(
+          "CASE WHEN id % 10 IN (1, 2) THEN id - id % 10 ELSE id END").as("__seed"),
+          expr("CASE WHEN id % 10 = 2 THEN ' zz9' ELSE '' END").as("__suffix"),
+          expr("CAST(CASE WHEN id % 37 = 3 THEN 2 ELSE 40 END AS INT)").as("__len"))
+        .select(col("doc_id"), expr(
+          s"concat(concat_ws(' ', transform(sequence(1, __len), " +
+          s"p -> element_at(array($vocabSql), " +
+          s"CAST(pmod(hash(__seed, p), 1024) + 1 AS INT)))), __suffix)").as("text"))
+        .repartition(cpus * 2)
+        .write.mode("overwrite").parquet(s"$root/raw")
+      val raw = spark.read.parquet(s"$root/raw")
+
+      def stage(name: String, outRows: => Long): (String, Long, JobStats.Snapshot) = {
+        val (rows, snap) = JobStats.measure(spark)(outRows)
+        (name, rows, snap)
+      }
+      def writeOut(df: DataFrame, path: String): Long = {
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).count()
+      }
+
+      // ---- 1. clean: language-shaped length/quality gate (map-only).
+      val clean = stage("clean", writeOut(
+        raw.where(operators.TextAnalysis.tokenCount(col("text")) >= 5),
+        s"$root/clean"))
+      val cleanDf = spark.read.parquet(s"$root/clean")
+
+      // ---- 2. MinHash/LSH dedup, keep cluster canonicals.
+      val dedup = stage("dedup_minhash", {
+        val sig = operators.Dedup.minHashSignature(
+          operators.Dedup.charShingles(cleanDf, "doc_id", "text", 5),
+          k = 8, fastHash = fastHash)
+        val pairs = operators.Dedup.lshCandidates(
+          operators.Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4,
+            fastHash = fastHash))
+        writeOut(operators.Dedup.keepCanonical(cleanDf, "doc_id", pairs),
+          s"$root/kept")
+      })
+      val keptDf = spark.read.parquet(s"$root/kept")
+
+      // ---- 3. DSIR importance selection: train on the trusted slice
+      // (every 17th kept doc), score everything, keep the positive-weight
+      // half via the map-only threshold form (the beyond-driver-k path).
+      val select = stage("dsir_select", {
+        val fix = s"$root/dsir_model"
+        operators.Dsir.trainLogRatios(
+          keptDf.where(pmod(col("doc_id"), lit(17)) === 0), keptDf,
+          "doc_id", "text", 10000, "ps", fastHash)
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+        val scored = operators.Dsir.score(keptDf,
+          spark.read.parquet(fix), "doc_id", "text", 10000, "ps", fastHash)
+        writeOut(keptDf.join(
+          scored.where(col("logw_micro") > 0L).select("doc_id"),
+          Seq("doc_id"), "left_semi"), s"$root/selected")
+      })
+      val selectedDf = spark.read.parquet(s"$root/selected")
+
+      // ---- 4. pack: token-budget bin statistics per shard (the layout
+      // plan a sequence-packing writer consumes).
+      val pack = stage("pack", writeOut(
+        operators.TextAnalysis.pack(selectedDf, "doc_id", "text",
+          budget = 2048, nShards = 64, salt = "ps"), s"$root/pack"))
+
+      // ---- 5. export: size-targeted parquet layout (64 MiB files).
+      var exportStats: sources.DatasetExporter.ExportStats = null
+      val export = stage("export", {
+        exportStats = sources.DatasetExporter.export(selectedDf, "doc_id",
+          s"$root/export", targetFileBytes = 64L * 1024 * 1024)
+        exportStats.rows
+      })
+
+      val stages = Seq(clean, dedup, select, pack, export)
+      val total = stages.map(_._3.wallTimeMs).sum / 1000.0
+      val parts = stages.map { case (name, rows, s) =>
+        val inRows = name match {
+          case "clean"              => n
+          case "dedup_minhash"      => clean._2
+          case "dsir_select"        => dedup._2
+          case "pack" | "export"    => select._2
+        }
+        f""""$name": {"wall_s": ${s.wallTimeMs / 1000.0}%.1f, """ +
+          f""""rows_out": $rows, """ +
+          f""""rows_per_s_core": ${inRows / math.max(s.coreSecs, 0.001)}%.0f, """ +
+          f""""shuffle_mb": ${s.shuffleBytesWritten / 1048576.0}%.0f}"""
+      }
+      println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", """ +
+        f""""total_s": $total%.1f, "export_files": ${exportStats.files}, """ +
+        f""""export_mb": ${exportStats.bytes / 1048576.0}%.0f, """ +
+        parts.mkString(", ") + "}")
+    }
+    spark.stop()
+  }
+}
