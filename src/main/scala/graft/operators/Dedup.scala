@@ -70,7 +70,16 @@ object Dedup {
 
   /** LSH banding: signature → (id, band, bucket) with bands of `rowsPerBand`
     * hashes; bucket = md5 of the concatenated band slice (`fastHash`:
-    * xxhash64 over the slice — pair with minHashSignature's fast mode). */
+    * xxhash64 over the slice — pair with minHashSignature's fast mode).
+    *
+    * SCALE THE BANDS WITH THE CORPUS (measured, BENCH.md §PipelineScale):
+    * narrow bands that are fine at thousands of docs glue unrelated
+    * documents at millions — any boilerplate span shared by a large doc
+    * population concentrates the minhash distribution and turns its
+    * band buckets into false-positive mass (10M docs, 4-row bands: keep
+    * rate collapsed 80%→59%; 8-row bands restored it and cut the stage
+    * shuffle 6×). On real crawls, strip boilerplate before shingling
+    * too. */
   def lshBuckets(signature: DataFrame, k: Int, rowsPerBand: Int,
                  fastHash: Boolean = false): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into equal bands")
