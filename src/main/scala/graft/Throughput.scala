@@ -95,20 +95,35 @@ object Throughput {
       def fstep(t: String) = SequenceStep(Seq(
         RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
         RowFilter("value", FilterOp.Gt, Scalar.Num(100))))
-      val shapes: Seq[(String, GraftQuery)] = Seq(
-        "fr_funnel" -> GraftQuery(None, Nil, None, Nil,
-          Some(Funnel(Seq("view", "click", "purchase").map(fstep), None, Nil, Nil))),
-        "fr_count_target" -> GraftQuery(None, Seq(Condition.Filters(None,
-          Seq(RowFilter("event_type", FilterOp.Eq, Scalar.Str("purchase")),
-            RowFilter("value", FilterOp.Gt, Scalar.Num(100))),
-          Target.Count(CmpOp.Gte, 3), includeZero = false)), None, Nil, None))
+      val shapes: Seq[(String, () => Unit)] = Seq(
+        "fr_funnel" -> (() => eng.run(skewed, GraftQuery(None, Nil, None, Nil,
+          Some(Funnel(Seq("view", "click", "purchase").map(fstep), None, Nil, Nil))))
+          .funnel.get.collect()),
+        "fr_count_target" -> (() => eng.run(skewed, GraftQuery(None,
+          Seq(Condition.Filters(None,
+            Seq(RowFilter("event_type", FilterOp.Eq, Scalar.Str("purchase")),
+              RowFilter("value", FilterOp.Gt, Scalar.Num(100))),
+            Target.Count(CmpOp.Gte, 3), includeZero = false)), None, Nil, None))
+          .summary.collect()),
+        // The skew escape hatch for summary-only count targets
+        // (fr_count_target_salted's exact plan): salted two-phase
+        // aggregate, no per-row window — the hot group spreads over
+        // `salts` tasks instead of serializing one.
+        "fr_count_target_salted" -> (() => {
+          operators.Skew.saltedSumCount(skewed.withColumn("__m",
+            when(col("event_type") === lit("purchase") &&
+              col("value") > lit(100), 1L).otherwise(0L)), "user_id", "__m")
+            .where(col("sum") >= 3)
+            .agg(count(lit(1)).as("matching_groups"),
+              coalesce(sum(col("count")), lit(0L)).as("matching_group_rows"))
+            .collect()
+          ()
+        }))
       val rows = df.count()
-      val results = shapes.map { case (name, q) =>
+      val results = shapes.map { case (name, body) =>
         def run(): Double = {
           val t0 = System.nanoTime()
-          val planned = eng.run(skewed, q)
-          q.funnel.fold(planned.summary.collect()) { _ =>
-            planned.funnel.get.collect() }
+          body()
           (System.nanoTime() - t0) / 1e9
         }
         run() // warm

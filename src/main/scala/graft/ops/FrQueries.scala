@@ -62,6 +62,22 @@ object FrQueries {
       Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 15))),
       None, Nil, None)).summary),
 
+    // Skew-safe twin of fr_count_target for SUMMARY-ONLY callers: the
+    // per-group match count and row count come from ONE salted two-phase
+    // aggregate (operators.Skew.saltedSumCount) — no per-row window, so a
+    // bot group holding 30% of the corpus spreads over `salts` tasks
+    // instead of serializing one (the measured 5.2x window bound,
+    // BENCH.md §SkewScale "fr window stack"). Shares fr_count_target's
+    // oracle: identical semantics, different physical plan.
+    "fr_count_target_salted" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("__m",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      graft.operators.Skew.saltedSumCount(e, "user_id", "__m")
+        .where(col("sum") >= 15)
+        .agg(count(lit(1)).as("matching_groups"),
+          coalesce(sum(col("count")), lit(0L)).as("matching_group_rows"))
+    }),
+
     "fr_count_eq_zero" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(cond(filters(eq("event_type", "error"), gt("value", 150)), Target.Count(CmpOp.Eq, 0), includeZero = true)),
       None, Nil, None)).summary),
@@ -174,6 +190,22 @@ object FrQueries {
         SequenceStep(filters(eq("event_type", "purchase")))),
         maxDuration = Some(86400000000000L))), // 1 day in nanos
       None, Nil, None)).summary),
+
+    // The Aggregator path under maxDuration (SequenceMatch resolves the
+    // duration bound at finish time) — previously only unit-tested;
+    // shares fr_seq_maxduration's oracle, same summary shape as
+    // fr_sequence_fast.
+    "fr_seq_maxduration_fast" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts",
+        Seq(SequenceStep(filters(eq("event_type", "view"))),
+          SequenceStep(filters(eq("event_type", "click"))),
+          SequenceStep(filters(eq("event_type", "purchase")))),
+        maxDuration = Some(86400000000000L))
+      e.join(groups, Seq("user_id"), "left_semi").agg(
+        count_distinct(col("user_id")).as("matching_groups"),
+        count(lit(1)).as("matching_group_rows"))
+    }),
 
     "fr_seq_negated" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(Condition.Sequence(None, Seq(
@@ -322,7 +354,16 @@ object FrQueries {
       |       JOIN s1 ON e.user_id = s1.user_id
       |       WHERE e.event_type = 'purchase' AND e.tl > s1.m1 GROUP BY e.user_id)""".stripMargin.format(E)
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // Alternate-plan twins share their reference row's oracle verbatim:
+    // identical semantics, different physical shape.
+    base ++ Map(
+      "fr_count_target_salted" -> base("fr_count_target"),
+      "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // Spark reduces approx-vs-exact to a boolean row; the oracle is the
     // literal expectation (see ann_*_recall for the same pattern).
     "fr_agg_groups_approx_err" -> "SELECT CAST(1 AS BIGINT) AS passed",
