@@ -34,6 +34,18 @@ prev = set()
 if prev_file and os.path.exists(prev_file):
     prev = set(json.load(open(prev_file)))
 
+# Approximate-by-design rows carry no SQL oracle; each is guarded by an
+# oracle-gated quality row instead. Record the pairing explicitly so the
+# artifact reads "gated_by", not as an unexplained gap.
+GATED_BY = {
+    "ann_ivf": "ann_ivf_recall",
+    "ann_ivfpq": "ann_ivfpq_recall",
+    "ann_lsh": "ann_lsh_recall",
+    "ann_pq": "ann_pq_recall",
+    "dd_semantic": "dd_semantic_recall",
+    "fr_agg_groups_approx": "fr_agg_groups_approx_err",
+}
+
 results = {}
 all_names = sorted(set(oracle) | set(manifest["queries"]) | prev)
 for name in all_names:
@@ -50,7 +62,18 @@ for name in all_names:
         results[name] = "MISSING: no dump directory"
         continue
     if name not in oracle:
-        continue  # dumped, no oracle: driver records a rows-only check
+        # Dumped, no oracle: the driver records a rows-only check. Surface
+        # the quality row that actually gates it (and fail loudly if a
+        # no-oracle row ever appears WITHOUT a registered gate — every
+        # approximate operator must name its guard).
+        gate = GATED_BY.get(name)
+        if gate is None:
+            results[name] = "NO ORACLE and no registered gate row"
+        elif gate not in oracle:
+            results[name] = f"NO ORACLE and gate row {gate} missing from suite"
+        else:
+            print(f"GATED {name}: rows-only, gated_by {gate}")
+        continue
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
