@@ -756,6 +756,30 @@ object PipelineQueries {
       LmScore.score(d, s.read.parquet(fix), "doc_id", "text")
     }),
 
+    // The serve split above showed batch LM scoring's cost IS the serve
+    // half (trigram explode + broadcast join, 2.6s of the 3.0s contract
+    // at sf0.1). This row scores the same documents through the native
+    // codegen'd lm_row_score expression instead — one O(len) row-local
+    // fold, no explode, no join, no shuffle (the path st_lm already
+    // serves streams with) — gated on tx_lm_score's oracle verbatim, so
+    // green certifies the native fold and the explode+join pipeline
+    // produce identical integers on the batch surface too.
+    "tx_lm_score_native" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fix = lmFixturePath(dir)
+      if (!fixtureReady(fix))
+        LmScore.trainModel(d.where(col("doc_id") % 10 === 0), "doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+      val scores = graft.functions.LmFunctions.denseScores(s.read.parquet(fix))
+      graft.functions.LmFunctions.withRowScore(s, scores, col("text")) { sc =>
+        d.select(col("doc_id"), sc.as("s"))
+          .where(col("s").isNotNull)
+          .select(col("doc_id"), col("s.n_tri").as("n_tri"),
+            (col("s.sum_micro").cast("double") / col("s.n_tri").cast("double"))
+              .as("avg_logp_micro"))
+      }
+    }),
+
     "pipeline_dsir_serve" -> ((s, dir) => {
       val d = docs(s, dir)
       val fix = dsirFixturePath(dir)
@@ -856,6 +880,7 @@ object PipelineQueries {
     // wrote, so the twins' oracles apply verbatim.
     base ++ Map(
       "tx_lm_score_serve" -> base("tx_lm_score"),
+      "tx_lm_score_native" -> base("tx_lm_score"),
       "pipeline_dsir_serve" -> base("pipeline_dsir"),
       "ann_ivfpq_saved_serve" -> "SELECT CAST(1 AS BIGINT) AS passed")
   }
