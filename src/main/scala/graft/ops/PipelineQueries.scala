@@ -792,6 +792,32 @@ object PipelineQueries {
         k = 100)
     }),
 
+    // DSIR's native-serving twin (the tx_lm_score_native pattern): score
+    // every document through the codegen'd dsir_row_score fold — model
+    // driver-held (256 rows), zero explode/join/shuffle — then the same
+    // top-k. Gated on pipeline_dsir's oracle verbatim: green certifies
+    // the native fold and the explode+broadcast-join pipeline produce
+    // bit-identical integers on the batch surface.
+    "pipeline_dsir_native" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fix = dsirFixturePath(dir)
+      if (!fixtureReady(fix))
+        Dsir.trainLogRatios(d.where(col("doc_id") % 5 === 0), d,
+          "doc_id", "text", 256, "dsir")
+          .coalesce(1).write.mode("overwrite").parquet(fix)
+      val model = s.read.parquet(fix).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.functions.DsirFunctions.withRowScore(s, model, 256, "dsir",
+        fastHash = false, col("text")) { sc =>
+        Dsir.selectTopK(
+          d.select(col("doc_id"), sc.as("s"))
+            .where(col("s").isNotNull)
+            .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+              col("s.logw_micro").as("logw_micro")),
+          k = 100)
+      }
+    }),
+
     // Serve half of ann_ivfpq_saved: load the persisted index, serve the
     // query batch, gate recall vs brute force (the gate's brute-force leg
     // costs ~ann_topk, small next to the serve it guards).
@@ -882,6 +908,7 @@ object PipelineQueries {
       "tx_lm_score_serve" -> base("tx_lm_score"),
       "tx_lm_score_native" -> base("tx_lm_score"),
       "pipeline_dsir_serve" -> base("pipeline_dsir"),
+      "pipeline_dsir_native" -> base("pipeline_dsir"),
       "ann_ivfpq_saved_serve" -> "SELECT CAST(1 AS BIGINT) AS passed")
   }
 
