@@ -118,9 +118,25 @@ object Throughput {
               coalesce(sum(col("count")), lit(0L)).as("matching_group_rows"))
             .collect()
           ()
+        }),
+        // The aggregator under the hot group: only step-matching rows
+        // (~7% here) reach the bot group's single merge, so its sort is
+        // bounded by the bot's CANDIDATE rows — the skew story the
+        // SequenceMatch scaladoc claims, measured.
+        "fr_sequence_aggregator" -> (() => {
+          val g = operators.SequenceMatch.matchingGroups(skewed,
+            "user_id", "ts", Seq("view", "click", "purchase").map(fstep))
+          skewed.join(g, Seq("user_id"), "left_semi").agg(
+            count_distinct(col("user_id")).as("matching_groups"),
+            count(lit(1)).as("matching_group_rows")).collect()
+          ()
         }))
+      // Optional 4th arg: comma-separated shape filter (dev: rerun one
+      // shape without paying for the whole set).
+      val want = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+      val chosen = if (want.isEmpty) shapes else shapes.filter(s => want(s._1))
       val rows = df.count()
-      val results = shapes.map { case (name, body) =>
+      val results = chosen.map { case (name, body) =>
         def run(): Double = {
           val t0 = System.nanoTime()
           body()

@@ -35,6 +35,12 @@ import graft.query.QueryAst.SequenceStep
  * it ~20% slower. Rule: reach for SequenceMatch on grouped layouts with
  * selective multi-step funnels; default to the window plan otherwise —
  * it also covers negated steps, which this path rejects.
+ *
+ * Hot-group resilience (measured, same probe at 30%-hot): because only
+ * candidate rows reach a group's merge, a bot group holding 30% of the
+ * corpus degrades this path 1.34× where the window stack degrades 5.2×
+ * — the candidate filter is also the skew guard, as long as the bot's
+ * rows mostly DON'T match the steps.
  */
 object SequenceMatch {
 
