@@ -456,6 +456,23 @@ class LibrarySpec extends SparkSpec {
       s"bucketed sorts=$bs plain=${sorts(plainPlan)}\n$bplan")
   }
 
+  test("native batch scorers plan shuffle-free") {
+    // The whole point of tx_lm_score_native / pipeline_dsir_native is the
+    // zero-shuffle serve: a single codegen'd row-local fold. Pin it on the
+    // physical plan — the scoring projection must contain NO Exchange at
+    // all for the LM row, and only the TakeOrdered gather (no full
+    // Exchange) for the DSIR top-k row.
+    val dir = "/root/testdata/sf0.001"
+    val lm = graft.ops.PipelineQueries.queries("tx_lm_score_native")(spark, dir)
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("Exchange"),
+      s"tx_lm_score_native must serve without any exchange:\n$lmPlan")
+    val ds = graft.ops.PipelineQueries.queries("pipeline_dsir_native")(spark, dir)
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(!dsPlan.contains("Exchange") && dsPlan.contains("TakeOrderedAndProject"),
+      s"pipeline_dsir_native must be map-only + TakeOrdered:\n$dsPlan")
+  }
+
   test("job stats settle correctly for a >1000-task job") {
     // Regression: the settle loop must bound ITERATIONS, not the task count
     // — a 1200-task job previously could snapshot before events drained.
