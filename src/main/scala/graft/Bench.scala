@@ -35,7 +35,7 @@ object Bench {
       // later query's timed run (measured 0.6s isolated vs 4s in-battery).
       System.gc()
       try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () } // warmup failures don't mark the query
+      catch { case scala.util.control.NonFatal(_) => () } // warmup failures don't mark the query
       // Min of three timed runs: single-run times swing +-seconds from GC
       // in a ~150-execution JVM; the min is the stable steady-state figure.
       // Only timed-run failures mark the query as err — a transient warmup
@@ -44,7 +44,7 @@ object Bench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+        catch { case scala.util.control.NonFatal(e) => err = Some(e.getClass.getSimpleName) }
         (System.nanoTime() - t0) / 1e9
       }
       // Release operator-retained caches (LSH bucket tables etc.) so one
@@ -69,7 +69,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }

@@ -60,9 +60,12 @@ object PipelineScale {
         .write.mode("overwrite").parquet(s"$root/raw")
       val raw = spark.read.parquet(s"$root/raw")
 
-      def stage(name: String, outRows: => Long): (String, Long, JobStats.Snapshot) = {
+      // Each stage carries its own INPUT row count (rather than re-deriving
+      // it by name at report time — a name-match there would MatchError
+      // after the full run if a stage is added without updating it).
+      def stage(name: String, inRows: Long, outRows: => Long): (String, Long, Long, JobStats.Snapshot) = {
         val (rows, snap) = JobStats.measure(spark)(outRows)
-        (name, rows, snap)
+        (name, inRows, rows, snap)
       }
       def writeOut(df: DataFrame, path: String): Long = {
         df.write.mode("overwrite").parquet(path)
@@ -70,7 +73,7 @@ object PipelineScale {
       }
 
       // ---- 1. clean: language-shaped length/quality gate (map-only).
-      val clean = stage("clean", writeOut(
+      val clean = stage("clean", n, writeOut(
         raw.where(operators.TextAnalysis.tokenCount(col("text")) >= 5),
         s"$root/clean"))
       val cleanDf = spark.read.parquet(s"$root/clean")
@@ -83,7 +86,7 @@ object PipelineScale {
       // glue unrelated docs through them (measured: keep rate 59% vs the
       // planted ~78%). k=16/rows=8 bands keep J≈0.97 near-dup recall at
       // ~95% while cutting the boilerplate false-positive mass.
-      val dedup = stage("dedup_minhash", {
+      val dedup = stage("dedup_minhash", clean._3, {
         val sig = operators.Dedup.minHashSignature(
           operators.Dedup.charShingles(cleanDf, "doc_id", "text", 5),
           k = 16, fastHash = fastHash)
@@ -98,7 +101,7 @@ object PipelineScale {
       // ---- 3. DSIR importance selection: train on the trusted slice
       // (every 17th kept doc), score everything, keep the positive-weight
       // half via the map-only threshold form (the beyond-driver-k path).
-      val select = stage("dsir_select", {
+      val select = stage("dsir_select", dedup._3, {
         val fix = s"$root/dsir_model"
         operators.Dsir.trainLogRatios(
           keptDf.where(pmod(col("doc_id"), lit(17)) === 0), keptDf,
@@ -114,27 +117,21 @@ object PipelineScale {
 
       // ---- 4. pack: token-budget bin statistics per shard (the layout
       // plan a sequence-packing writer consumes).
-      val pack = stage("pack", writeOut(
+      val pack = stage("pack", select._3, writeOut(
         operators.TextAnalysis.pack(selectedDf, "doc_id", "text",
           budget = 2048, nShards = 64, salt = "ps"), s"$root/pack"))
 
       // ---- 5. export: size-targeted parquet layout (64 MiB files).
       var exportStats: sources.DatasetExporter.ExportStats = null
-      val export = stage("export", {
+      val export = stage("export", select._3, {
         exportStats = sources.DatasetExporter.export(selectedDf, "doc_id",
           s"$root/export", targetFileBytes = 64L * 1024 * 1024)
         exportStats.rows
       })
 
       val stages = Seq(clean, dedup, select, pack, export)
-      val total = stages.map(_._3.wallTimeMs).sum / 1000.0
-      val parts = stages.map { case (name, rows, s) =>
-        val inRows = name match {
-          case "clean"              => n
-          case "dedup_minhash"      => clean._2
-          case "dsir_select"        => dedup._2
-          case "pack" | "export"    => select._2
-        }
+      val total = stages.map(_._4.wallTimeMs).sum / 1000.0
+      val parts = stages.map { case (name, inRows, rows, s) =>
         f""""$name": {"wall_s": ${s.wallTimeMs / 1000.0}%.1f, """ +
           f""""rows_out": $rows, """ +
           f""""rows_per_s_core": ${inRows / math.max(s.coreSecs, 0.001)}%.0f, """ +

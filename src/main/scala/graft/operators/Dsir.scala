@@ -131,22 +131,40 @@ object Dsir {
   /** Score every document against a materialized model (the integers on
     * disk): (doc_id, n_grams, logw_micro = Σ lr_micro over the doc's
     * grams). Broadcast join — the model is nBuckets rows at any corpus
-    * size. */
+    * size.
+    *
+    * Production batch serving should use the native `dsir_row_score`
+    * expression ([[graft.functions.DsirFunctions.withRowScore]]) instead:
+    * same integers, zero shuffle, 2× measured (BENCH.md:
+    * pipeline_dsir_serve 0.94s vs pipeline_dsir_native 0.47s) — see the
+    * class doc's "Which scorer to run". This method is the oracle-mirrored
+    * reference pipeline. NOTE: score() is EAGER — the coverage guard runs
+    * one O(nBuckets) Spark action at plan-construction time; build the
+    * plan outside any timed section. */
   def score(docs: DataFrame, model: DataFrame, idCol: String,
             textCol: String, nBuckets: Int, salt: String,
             fastHash: Boolean = false): DataFrame = {
-    // The inner join below assumes full 0..nBuckets-1 coverage; a partial
-    // model would silently drop grams and skew n_grams/logw_micro,
-    // breaking the bit-identity contract with rowScore / dsir_row_score
-    // (which require-check coverage). The model is nBuckets rows by
-    // construction, so this count is O(nBuckets) — negligible next to
-    // the broadcast it precedes.
-    val covered = model.where(
+    // The inner join below assumes full 0..nBuckets-1 coverage with ONE
+    // row per bucket; a partial OR duplicated model would silently drop /
+    // double-count grams and skew n_grams/logw_micro, breaking the
+    // bit-identity contract with rowScore / dsir_row_score (which
+    // require-check coverage). DISTINCT buckets must equal nBuckets AND
+    // total valid rows must equal nBuckets — together these exclude both
+    // a missing bucket and a duplicate masking one. NOTE: this makes
+    // score() EAGER — it runs one O(nBuckets) Spark action over the model
+    // at plan-construction time (negligible next to the broadcast it
+    // precedes, but callers timing pure plan construction should build
+    // the plan outside the timed section).
+    val cov = model.where(
       col("bucket").between(0L, nBuckets.toLong - 1L) &&
-        col("lr_micro").isNotNull).count()
-    require(covered == nBuckets.toLong,
+        col("lr_micro").isNotNull)
+      .agg(count(lit(1)).as("rows"), countDistinct(col("bucket")).as("dist"))
+      .head()
+    val (rows, dist) = (cov.getLong(0), cov.getLong(1))
+    require(rows == nBuckets.toLong && dist == nBuckets.toLong,
       s"model must cover buckets 0..${nBuckets - 1} with non-null " +
-        s"lr_micro exactly (found $covered of $nBuckets)")
+        s"lr_micro exactly once (found $rows rows over $dist distinct " +
+        s"buckets, expected $nBuckets of each)")
     grams(docs, idCol, textCol)
       .select(col("doc_id"),
         hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))

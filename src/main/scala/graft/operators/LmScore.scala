@@ -87,7 +87,18 @@ object LmScore {
     * back from the fixture the training job wrote — the scores used are
     * the exact integers on disk): (doc_id, n_tri, avg_logp_micro) where
     * `avg_logp_micro` = Σ score_micro / n_tri. Documents whose canonical
-    * form is shorter than one trigram carry no signal and are omitted. */
+    * form is shorter than one trigram carry no signal and are omitted.
+    *
+    * Which scorer to run in PRODUCTION BATCH serving: the native
+    * codegen'd `lm_row_score` expression
+    * ([[graft.functions.LmFunctions.withRowScore]]) computes the same
+    * integers with zero explode/join/shuffle at 6.6× the measured
+    * throughput (BENCH.md: tx_lm_score_serve 2.6s vs tx_lm_score_native
+    * 0.38s at sf0.1) — the model is ≤ 27³+1 rows, always driver-holdable.
+    * It already serves the streaming path (st_lm). THIS method is the
+    * SQL-expressible reference pipeline the DuckDB oracle mirrors and the
+    * battery pins the native fold against bit-for-bit; prefer it only
+    * when a pure-DataFrame lineage (no driver-held model) is required. */
   def score(docs: DataFrame, model: DataFrame,
             idCol: String, textCol: String): DataFrame = {
     val vocab = model.where(col("tri") =!= "__OOV__")

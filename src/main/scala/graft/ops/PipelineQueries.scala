@@ -750,9 +750,10 @@ object PipelineQueries {
     "tx_lm_score_serve" -> ((s, dir) => {
       val d = docs(s, dir)
       val fix = lmFixturePath(dir)
-      if (!fixtureReady(fix))
+      if (!fixtureReady(fix)) buildFixtureAtomic(fix) { tmp =>
         LmScore.trainModel(d.where(col("doc_id") % 10 === 0), "doc_id", "text")
-          .coalesce(1).write.mode("overwrite").parquet(fix)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
       LmScore.score(d, s.read.parquet(fix), "doc_id", "text")
     }),
 
@@ -767,9 +768,10 @@ object PipelineQueries {
     "tx_lm_score_native" -> ((s, dir) => {
       val d = docs(s, dir)
       val fix = lmFixturePath(dir)
-      if (!fixtureReady(fix))
+      if (!fixtureReady(fix)) buildFixtureAtomic(fix) { tmp =>
         LmScore.trainModel(d.where(col("doc_id") % 10 === 0), "doc_id", "text")
-          .coalesce(1).write.mode("overwrite").parquet(fix)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
       val scores = graft.functions.LmFunctions.denseScores(s.read.parquet(fix))
       graft.functions.LmFunctions.withRowScore(s, scores, col("text")) { sc =>
         d.select(col("doc_id"), sc.as("s"))
@@ -783,10 +785,11 @@ object PipelineQueries {
     "pipeline_dsir_serve" -> ((s, dir) => {
       val d = docs(s, dir)
       val fix = dsirFixturePath(dir)
-      if (!fixtureReady(fix))
+      if (!fixtureReady(fix)) buildFixtureAtomic(fix) { tmp =>
         Dsir.trainLogRatios(d.where(col("doc_id") % 5 === 0), d,
           "doc_id", "text", 256, "dsir")
-          .coalesce(1).write.mode("overwrite").parquet(fix)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
       Dsir.selectTopK(
         Dsir.score(d, s.read.parquet(fix), "doc_id", "text", 256, "dsir"),
         k = 100)
@@ -801,10 +804,11 @@ object PipelineQueries {
     "pipeline_dsir_native" -> ((s, dir) => {
       val d = docs(s, dir)
       val fix = dsirFixturePath(dir)
-      if (!fixtureReady(fix))
+      if (!fixtureReady(fix)) buildFixtureAtomic(fix) { tmp =>
         Dsir.trainLogRatios(d.where(col("doc_id") % 5 === 0), d,
           "doc_id", "text", 256, "dsir")
-          .coalesce(1).write.mode("overwrite").parquet(fix)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
       val model = s.read.parquet(fix).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       graft.functions.DsirFunctions.withRowScore(s, model, 256, "dsir",
@@ -825,11 +829,11 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 5)
       val path = s"/tmp/graft_ivfpq_index/${new java.io.File(dir).getName}"
-      if (!fixtureReady(s"$path/books")) {
+      if (!ivfPqIndexReady(path)) buildFixtureAtomic(path) { tmp =>
         val (codes, cents, books) = Ann.ivfPqIndex(e, "vec_id", "embedding",
           dim = 64, nCells = 8, ivfIters = 2, nSub = 8, nCodes = 16,
           pqIters = 2)
-        Ann.saveIvfPqIndex(path, codes, cents, books)
+        Ann.saveIvfPqIndex(tmp, codes, cents, books)
       }
       val (codes, cents, books) = Ann.loadIvfPqIndex(s, path)
       recallGate(
@@ -845,6 +849,43 @@ object PipelineQueries {
     * serve rows must then rebuild rather than read a torn fixture). */
   private def fixtureReady(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
+
+  /** The persisted IVF-PQ index is three parquet directories; it is ready
+    * only when ALL THREE _SUCCESS markers landed — gating on books alone
+    * would encode an undocumented "books is written last" ordering in
+    * saveIvfPqIndex, and a reordered save + crash would serve a torn
+    * index. */
+  private def ivfPqIndexReady(path: String): Boolean =
+    Seq("codes", "centroids", "books").forall(d => fixtureReady(s"$path/$d"))
+
+  /** Build a fixture atomically: `build` writes into a unique temp
+    * sibling of `dest`, which is then renamed into place in one
+    * filesystem operation. Two queries racing to build the same fixture
+    * (e.g. a future parallel bench) each build a private temp dir; the
+    * first rename wins and the loser discards its copy — no reader ever
+    * observes a half-written `dest`. Same-filesystem rename (temp is a
+    * sibling), so ATOMIC_MOVE holds on any POSIX fs. */
+  private def buildFixtureAtomic(dest: String)(build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val destPath = Paths.get(dest)
+    Files.createDirectories(destPath.getParent)
+    // A crash-torn dest (directory present, _SUCCESS missing) would block
+    // the rename below — clear it so the rebuilt fixture can land.
+    if (Files.exists(destPath)) deleteRecursively(destPath.toFile)
+    val tmp = s"$dest.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
+    build(tmp)
+    try Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
+    catch { case scala.util.control.NonFatal(_) =>
+      // Lost the race (dest now exists) — discard our copy and read theirs.
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Shingle CTE: distinct char-5-grams; bounded non-correlated range
     * (DuckDB can't lateral-join generate_series) — 4000 covers max doc len. */
