@@ -483,6 +483,69 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Line units of a document: (doc_id, unit_idx, unit), split on the
+    * `sep` regex (default newline). The unit producer for
+    * [[stripBoilerplate]]; corpora without line structure can use
+    * [[TextAnalysis.chunks]] spans as units instead. */
+  def lines(docs: DataFrame, idCol: String, textCol: String,
+            sep: String = "\n"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), sep)).as(Seq("unit_idx", "unit")))
+
+  /** Boilerplate / line-level dedup — the CCNet / RefinedWeb pre-dedup
+    * stage (Wenzek et al. 2019 "CCNet"; Penedo et al. 2023 "RefinedWeb"
+    * both run line-level dedup before document-level MinHash): drop every
+    * unit (line, paragraph, or token span) whose distinct-DOCUMENT
+    * frequency reaches `minDf` — headers, footers, cookie banners,
+    * navigation chrome — and rebuild each document from its surviving
+    * units in order. Boilerplate is exactly the text that poisons MinHash
+    * banding downstream (shingles shared by a large doc population
+    * concentrate the signature distribution and glue unrelated docs
+    * through their band buckets — measured at 10M docs, BENCH.md
+    * §PipelineScale: keep rate 80%→59%); stripping it FIRST restores
+    * banding at the corpus's natural parameters instead of hand-widening
+    * bands.
+    *
+    * Input `units`: (doc_id, unit_idx, unit) — [[lines]] or
+    * [[TextAnalysis.chunks]] renamed. Output one row per input document:
+    * (doc_id, n_units, n_kept, clean_text); a fully-boilerplate document
+    * rebuilds to '' for a downstream length filter to drop.
+    *
+    * Shape at 100 TB: units key by their md5 (16-byte shuffle key, not
+    * the line text); doc frequency is one hash aggregate
+    * (countDistinct — Catalyst's two-phase partial/final, no window over
+    * a giant per-line partition and no collect_set whose state grows with
+    * df); the keep decision joins back on the hash (plain shuffle
+    * equi-join, AQE-skew-safe — a boilerplate hash with huge df is ONE
+    * row on the build side); the rebuild is the [[dedupSpans]] groupBy.
+    * Nothing driver-side, nothing quadratic: total cost is three
+    * exchanges over one row per unit occurrence. Engine-exact (md5 +
+    * integer counts), so the DuckDB oracle mirrors it verbatim. */
+  def stripBoilerplateUnits(units: DataFrame, minDf: Long,
+                            joinSep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every unit")
+    val u = units.select(col("doc_id"), col("unit_idx"), col("unit"),
+      md5(col("unit")).as("__h"))
+    val dfTab = u.groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    u.join(dfTab, Seq("__h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          s"transform(sort_array(collect_list(CASE WHEN __df < $minDf " +
+          "THEN struct(unit_idx, unit) END)), s -> s.unit)"), joinSep)
+          .as("clean_text"))
+  }
+
+  /** [[stripBoilerplateUnits]] over [[lines]]: line-level boilerplate
+    * strip splitting on `sep` (used as both the split regex and the
+    * rebuild separator — pass a literal like "\n" or " "; for a
+    * non-literal regex call the units form directly). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDf: Long, sep: String = "\n"): DataFrame =
+    stripBoilerplateUnits(lines(docs, idCol, textCol, sep), minDf, sep)
+
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,
     * NOT a scale path (the only deliberate cross join in this package). */

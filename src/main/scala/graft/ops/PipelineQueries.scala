@@ -532,6 +532,27 @@ object PipelineQueries {
     "dd_spans" -> ((s, dir) =>
       Dedup.dedupSpans(docs(s, dir), "doc_id", "text", n = 16)),
 
+    // Boilerplate strip (CCNet/RefinedWeb line-level pre-dedup): every
+    // 16-token span appearing in >= 2 distinct documents drops from ALL
+    // of them; docs rebuilt from surviving spans. Complements dd_spans
+    // (keep-first vs drop-everywhere): this is the stage that protects
+    // MinHash banding from boilerplate at corpus scale.
+    "dd_strip_boilerplate" -> ((s, dir) =>
+      Dedup.stripBoilerplateUnits(
+        TextAnalysis.chunks(docs(s, dir), "doc_id", "text",
+            chunkSize = 16, overlap = 0)
+          .select(col("doc_id"), col("chunk_idx").as("unit_idx"),
+            col("chunk").as("unit")),
+        minDf = 2, joinSep = " ")),
+
+    // The same operator over whitespace "lines" (the corpus has no
+    // newlines, so tokens stand in for lines): strip tokens present in
+    // >= 400 distinct docs — the stop-token shape of the boilerplate
+    // filter, exercising the lines() splitter path.
+    "dd_strip_lines" -> ((s, dir) =>
+      Dedup.stripBoilerplate(docs(s, dir), "doc_id", "text",
+        minDf = 400, sep = " ")),
+
     // Token-window chunking (32-token chunks, 8-token overlap): one row per
     // chunk with its token count and content hash.
     "tx_chunks" -> ((s, dir) =>
@@ -1553,6 +1574,37 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(CASE WHEN r = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
         |FROM rk GROUP BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.stripBoilerplateUnits over 16-token chunks: per-span
+    // distinct-doc frequency via md5 keys, spans with df >= 2 drop from
+    // every document, docs rebuilt from survivors in order.
+    "dd_strip_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nc AS (SELECT doc_id, tk, greatest(1, CAST(ceil(len(tk) / 16.0) AS BIGINT)) AS n FROM toks),
+        |ch AS (SELECT doc_id, i AS unit_idx,
+        |         array_to_string(list_slice(tk, i*16 + 1, i*16 + 16), ' ') AS unit
+        |       FROM nc JOIN generate_series(0, 599) s(i) ON s.i < nc.n),
+        |df AS (SELECT md5(unit) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+        |j AS (SELECT ch.doc_id, ch.unit_idx, ch.unit, df.df
+        |      FROM ch JOIN df ON md5(ch.unit) = df.h)
+        |SELECT doc_id, count(*) AS n_units,
+        |  CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN df < 2 THEN unit END, ' ' ORDER BY unit_idx), '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.stripBoilerplate with sep=' ': whitespace tokens as
+    // units (0-based idx like posexplode), strip df >= 400.
+    "dd_strip_lines" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT doc_id, i - 1 AS unit_idx, tk[i] AS unit
+        |      FROM toks JOIN generate_series(1, 4000) s(i) ON s.i <= len(tk)),
+        |df AS (SELECT md5(unit) AS h, count(DISTINCT doc_id) AS df FROM u GROUP BY 1),
+        |j AS (SELECT u.doc_id, u.unit_idx, u.unit, df.df
+        |      FROM u JOIN df ON md5(u.unit) = df.h)
+        |SELECT doc_id, count(*) AS n_units,
+        |  CAST(sum(CASE WHEN df < 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN df < 400 THEN unit END, ' ' ORDER BY unit_idx), '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.hashUniform: first 8 md5 hex chars as a 32-bit
     // int over 2^32. DuckDB parses '0x'-prefixed hex in a BIGINT cast;

@@ -42,6 +42,51 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(3L -> 2L, 7L -> 1L))
   }
 
+  test("boilerplate strip: frequent lines drop everywhere, order preserved, within-doc dups count once") {
+    val d = docs(
+      (1L, "header\nalpha beta\nfooter"),
+      (2L, "header\ngamma delta\nfooter"),
+      (3L, "header\nepsilon\nfooter"),
+      (4L, "unique one\nunique two"))
+    val got = Dedup.stripBoilerplate(d, "doc_id", "text", minDf = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // header/footer are in 3 docs -> stripped from ALL; content lines survive.
+    assert(got(1L) == ((3L, 1L, "alpha beta")))
+    assert(got(2L) == ((3L, 1L, "gamma delta")))
+    assert(got(3L) == ((3L, 1L, "epsilon")))
+    // Untouched doc: full rebuild preserves line order and separator.
+    assert(got(4L) == ((2L, 2L, "unique one\nunique two")))
+
+    // Distinct-DOC frequency: a line repeated twice inside one doc plus once
+    // in another has df=2 (not 3) — kept at minDf=3, stripped at minDf=2
+    // (both copies drop).
+    val d2 = docs((5L, "dup\ndup\nx"), (6L, "dup\ny"))
+    val keep3 = Dedup.stripBoilerplate(d2, "doc_id", "text", minDf = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keep3(5L) == "dup\ndup\nx" && keep3(6L) == "dup\ny")
+    val keep2 = Dedup.stripBoilerplate(d2, "doc_id", "text", minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(keep2(5L) == ((3L, 1L, "x")))
+    assert(keep2(6L) == ((2L, 1L, "y")))
+
+    // Fully-boilerplate doc rebuilds to '' (the downstream length filter's
+    // contract).
+    val d3 = docs((7L, "same"), (8L, "same"))
+    val all = Dedup.stripBoilerplate(d3, "doc_id", "text", minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(all(7L) == ((0L, "")) && all(8L) == ((0L, "")))
+
+    // Span-unit form: 2-token chunks as units, shared chunk stripped.
+    val d4 = docs((9L, "aa bb cc dd"), (10L, "aa bb ee ff"))
+    val spanGot = Dedup.stripBoilerplateUnits(
+      TextAnalysis.chunks(d4, "doc_id", "text", chunkSize = 2, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx").as("unit_idx"), col("chunk").as("unit")),
+      minDf = 2, joinSep = " ").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(spanGot(9L) == ((2L, 1L, "cc dd")))
+    assert(spanGot(10L) == ((2L, 1L, "ee ff")))
+  }
+
   test("minhash LSH flags identical docs as candidates") {
     val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "completely different content here"))
