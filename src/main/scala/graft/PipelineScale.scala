@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
  * and the stage outputs feed each other through materialized parquet the
  * way a production pipeline checkpoints between phases.
  *
- *   generate (untimed) → clean → MinHash/LSH dedup → DSIR select
- *                      → pack stats → size-targeted export
+ *   generate (untimed) → clean → strip boilerplate → MinHash/LSH dedup
+ *                      → DSIR select → pack stats → size-targeted export
+ *
+ * The strip stage (r11) is the operational fix for the r10 banding
+ * collapse: dropping units whose doc frequency reaches 1% of the corpus
+ * removes the planted boilerplate suffix BEFORE shingling. Banding is no
+ * longer hand-picked: `Dedup.suggestBanding(n, 0.97)` sizes (k, rows)
+ * from the corpus size ((8,4) at 5k, (16,8) at 10M — the measured
+ * points). `--nostrip` skips the strip stage; `--narrow` forces the
+ * battery's (8,4) at any size (for reproducing the r10 collapse and
+ * measuring strip's isolated effect).
  *
  * Corpus shape is DedupScale's cluster structure (40 tokens per doc, ~20%
  * of docs in 3-doc exact/near-dup clusters) plus ~3% two-token junk docs
@@ -32,6 +41,8 @@ import org.apache.spark.sql.functions._
 object PipelineScale {
   def main(args: Array[String]): Unit = {
     val fastHash = !args.contains("--md5")
+    val doStrip = !args.contains("--nostrip")
+    val narrowBands = args.contains("--narrow")
     val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -45,6 +56,8 @@ object PipelineScale {
     import graft.result.JobStats
 
     sizes.foreach { n =>
+      val (bandK, bandRows) =
+        if (narrowBands) (8, 4) else operators.Dedup.suggestBanding(n, 0.97)
       val root = s"/tmp/graft_pipescale/$n"
       // ---- generate (untimed): 40-token docs; ids %10 in (1,2) duplicate
       // /near-duplicate their decade head; ids %37 == 3 are 2-token junk.
@@ -78,22 +91,35 @@ object PipelineScale {
         s"$root/clean"))
       val cleanDf = spark.read.parquet(s"$root/clean")
 
-      // ---- 2. MinHash/LSH dedup, keep cluster canonicals. Band width
-      // scales with corpus size (standard LSH practice): the battery's
-      // k=8/rows=4 is right at 5k docs, but at 10M the planted ' zz9'
-      // near-dup suffix acts as boilerplate — its shingles are shared by
-      // 1M docs, concentrate the minhash distribution, and 4-row bands
-      // glue unrelated docs through them (measured: keep rate 59% vs the
-      // planted ~78%). k=16/rows=8 bands keep J≈0.97 near-dup recall at
-      // ~95% while cutting the boilerplate false-positive mass.
-      val dedup = stage("dedup_minhash", clean._3, {
+      // ---- 1.5. strip boilerplate (the CCNet/RefinedWeb pre-dedup
+      // stage): any unit in >= 1% of the corpus is chrome, not content —
+      // here it removes the planted ' zz9' suffix (1M docs) while every
+      // real vocab word (df ≈ 0.015%) survives. This is what lets dedup
+      // below run at the battery's natural k=8/rows=4 banding: without
+      // it the suffix shingles glue unrelated docs through 4-row bands
+      // (r10 measured keep rate 59% vs the planted ~80%).
+      val stripStage =
+        if (!doStrip) None
+        else Some(stage("strip_boilerplate", clean._3, writeOut(
+          operators.Dedup.stripBoilerplate(cleanDf, "doc_id", "text",
+              minDf = math.max(2L, clean._3 / 100), sep = " ",
+              fastHash = fastHash)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          s"$root/stripped")))
+      val dedupIn = if (doStrip) spark.read.parquet(s"$root/stripped") else cleanDf
+      val dedupInRows = stripStage.map(_._3).getOrElse(clean._3)
+
+      // ---- 2. MinHash/LSH dedup, keep cluster canonicals, at the
+      // banding the ADVISOR sizes for this corpus (--narrow pins the
+      // battery's (8,4) to reproduce the r10 collapse).
+      val dedup = stage("dedup_minhash", dedupInRows, {
         val sig = operators.Dedup.minHashSignature(
-          operators.Dedup.charShingles(cleanDf, "doc_id", "text", 5),
-          k = 16, fastHash = fastHash)
+          operators.Dedup.charShingles(dedupIn, "doc_id", "text", 5),
+          k = bandK, fastHash = fastHash)
         val pairs = operators.Dedup.lshCandidates(
-          operators.Dedup.lshBuckets(sig, k = 16, rowsPerBand = 8,
+          operators.Dedup.lshBuckets(sig, k = bandK, rowsPerBand = bandRows,
             fastHash = fastHash))
-        writeOut(operators.Dedup.keepCanonical(cleanDf, "doc_id", pairs),
+        writeOut(operators.Dedup.keepCanonical(dedupIn, "doc_id", pairs),
           s"$root/kept")
       })
       val keptDf = spark.read.parquet(s"$root/kept")
@@ -129,7 +155,7 @@ object PipelineScale {
         exportStats.rows
       })
 
-      val stages = Seq(clean, dedup, select, pack, export)
+      val stages = Seq(clean) ++ stripStage.toSeq ++ Seq(dedup, select, pack, export)
       val total = stages.map(_._4.wallTimeMs).sum / 1000.0
       val parts = stages.map { case (name, inRows, rows, s) =>
         f""""$name": {"wall_s": ${s.wallTimeMs / 1000.0}%.1f, """ +
@@ -138,6 +164,7 @@ object PipelineScale {
           f""""shuffle_mb": ${s.shuffleBytesWritten / 1048576.0}%.0f}"""
       }
       println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", """ +
+        f""""strip": $doStrip, "bands": "k=$bandK/rows=$bandRows", """ +
         f""""total_s": $total%.1f, "export_files": ${exportStats.files}, """ +
         f""""export_mb": ${exportStats.bytes / 1048576.0}%.0f, """ +
         parts.mkString(", ") + "}")

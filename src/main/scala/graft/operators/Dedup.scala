@@ -72,14 +72,14 @@ object Dedup {
     * hashes; bucket = md5 of the concatenated band slice (`fastHash`:
     * xxhash64 over the slice — pair with minHashSignature's fast mode).
     *
-    * SCALE THE BANDS WITH THE CORPUS (measured, BENCH.md §PipelineScale):
-    * narrow bands that are fine at thousands of docs glue unrelated
-    * documents at millions — any boilerplate span shared by a large doc
-    * population concentrates the minhash distribution and turns its
-    * band buckets into false-positive mass (10M docs, 4-row bands: keep
-    * rate collapsed 80%→59%; 8-row bands restored it and cut the stage
-    * shuffle 6×). On real crawls, strip boilerplate before shingling
-    * too. */
+    * SIZE THE BANDS WITH [[suggestBanding]] (measured, BENCH.md
+    * §PipelineScale): narrow bands that are fine at thousands of docs
+    * glue unrelated documents at millions (10M docs, 4-row bands: keep
+    * rate collapsed 80%→59%; 8-row bands — what the advisor returns at
+    * that size — restored it and cut the stage shuffle 6×). Strip
+    * boilerplate FIRST with [[stripBoilerplate]]: a span shared by a
+    * large doc population concentrates the minhash distribution into
+    * false-positive band mass no banding fully absorbs. */
   def lshBuckets(signature: DataFrame, k: Int, rowsPerBand: Int,
                  fastHash: Boolean = false): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into equal bands")
@@ -91,6 +91,50 @@ object Dedup {
     }
     signature.select(col("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Banding advisor: compute (k, rowsPerBand) for [[minHashSignature]] +
+    * [[lshBuckets]] from the corpus size and the target Jaccard, via the
+    * standard LSH S-curve P(candidate | J) = 1 − (1 − J^r)^b (Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" §3.4). Two forces:
+    *
+    *  - FALSE POSITIVES grow with the corpus: a pair at background
+    *    similarity J_bg collides in one band with probability J_bg^r, and
+    *    the number of moderately-similar pairs a document meets grows
+    *    with n — so r must grow by one for every ln(1/J_bg) factor of
+    *    corpus growth to hold per-doc false candidates flat:
+    *    r = baseRows + floor(ln(n / baseCorpus) / ln(1 / J_bg)).
+    *  - RECALL at the target J then fixes the band count: the smallest b
+    *    with 1 − (1 − J_t^r)^b >= recallFloor.
+    *
+    * Calibration against measured keep-rate points (BENCH.md
+    * §PipelineScale, planted near-dups at J ≈ 0.97): the battery's
+    * (k=8, rows=4) is right at 5k docs — the base point; at 10M docs the
+    * same bands glue unrelated docs (keep rate 80% → 59-75% depending on
+    * boilerplate) while (k=16, rows=8) restores 80.4% — and this formula
+    * with the default J_bg = 0.15 returns exactly those two choices at
+    * those two sizes. Background similarity 0.15 reflects structured
+    * shingle spaces (shared char patterns across unrelated docs); raise
+    * it toward 0.3 for very templated corpora, which widens bands
+    * sooner.
+    *
+    * Use the result as `minHashSignature(sh, k)` + `lshBuckets(sig, k,
+    * rowsPerBand)`. Strip boilerplate FIRST ([[stripBoilerplate]]) — no
+    * banding choice survives a unit of text shared by a large fraction
+    * of the corpus. */
+  def suggestBanding(corpusSize: Long, targetJaccard: Double,
+                     recallFloor: Double = 0.95,
+                     backgroundJaccard: Double = 0.15,
+                     baseCorpus: Long = 5000L, baseRows: Int = 4): (Int, Int) = {
+    require(corpusSize > 0, "corpus size must be positive")
+    require(targetJaccard > 0 && targetJaccard < 1, "target Jaccard in (0,1)")
+    require(recallFloor > 0 && recallFloor < 1, "recall floor in (0,1)")
+    require(backgroundJaccard > 0 && backgroundJaccard < 1, "background Jaccard in (0,1)")
+    val growth = math.max(0.0, math.log(corpusSize.toDouble / baseCorpus))
+    val r = baseRows + math.floor(growth / math.log(1.0 / backgroundJaccard)).toInt
+    val pBand = math.pow(targetJaccard, r)
+    val b = math.max(1, math.ceil(math.log1p(-recallFloor) / math.log1p(-pBand)).toInt)
+    (b * r, r)
   }
 
   /** Candidate near-dup pairs: ids sharing any (band, bucket), id1 < id2,
@@ -520,12 +564,17 @@ object Dedup {
     * row on the build side); the rebuild is the [[dedupSpans]] groupBy.
     * Nothing driver-side, nothing quadratic: total cost is three
     * exchanges over one row per unit occurrence. Engine-exact (md5 +
-    * integer counts), so the DuckDB oracle mirrors it verbatim. */
+    * integer counts), so the DuckDB oracle mirrors it verbatim;
+    * `fastHash` swaps the unit key to codegen'd xxhash64 (the package's
+    * production family — cheaper, NOT cross-engine-stable, same results
+    * up to hash collisions either way). */
   def stripBoilerplateUnits(units: DataFrame, minDf: Long,
-                            joinSep: String = "\n"): DataFrame = {
+                            joinSep: String = "\n",
+                            fastHash: Boolean = false): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every unit")
     val u = units.select(col("doc_id"), col("unit_idx"), col("unit"),
-      md5(col("unit")).as("__h"))
+      (if (fastHash) xxhash64(col("unit")).cast("string")
+       else md5(col("unit"))).as("__h"))
     val dfTab = u.groupBy(col("__h"))
       .agg(countDistinct(col("doc_id")).as("__df"))
     u.join(dfTab, Seq("__h"))
@@ -543,8 +592,9 @@ object Dedup {
     * rebuild separator — pass a literal like "\n" or " "; for a
     * non-literal regex call the units form directly). */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                       minDf: Long, sep: String = "\n"): DataFrame =
-    stripBoilerplateUnits(lines(docs, idCol, textCol, sep), minDf, sep)
+                       minDf: Long, sep: String = "\n",
+                       fastHash: Boolean = false): DataFrame =
+    stripBoilerplateUnits(lines(docs, idCol, textCol, sep), minDf, sep, fastHash)
 
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,

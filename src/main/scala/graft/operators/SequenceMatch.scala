@@ -44,30 +44,36 @@ import graft.query.QueryAst.SequenceStep
  */
 object SequenceMatch {
 
-  /** Per-group buffer: one unsorted timestamp array per step, with an
-    * explicit fill count so appends can double capacity (amortized O(1))
-    * instead of reallocating per row — a dense group with thousands of
-    * step-matching rows would otherwise pay O(n²) in the partial
-    * aggregate. Slack capacity is trimmed on merge, so shuffled partials
-    * stay tight. */
-  final case class Buf(arrs: Array[Array[Long]], sizes: Array[Int])
+  /** Per-group buffer: ONE flat primitive long array of (ts, step) pairs
+    * plus a fill count — 16 bytes per candidate element and a single
+    * array header per GROUP, not per step. The previous shape (one array
+    * per step + a sizes array + Kryo object-graph encoding) carried
+    * ~600 B of fixed overhead per group, which at reference scale
+    * (250M rows / 3.75M groups — BENCH.md §"Sequence at reference
+    * scale") pushed the aggregation maps past the 8 GiB default heap and
+    * demanded SPARK_DRIVER_MEM=48g. The flat pair layout + a product
+    * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
+    * object + one array and serializes as a single primitive-array
+    * column — no object graph, no Kryo copy buffers. Appends double
+    * capacity (amortized O(1)); merges concat exactly, so shuffled
+    * partials carry no slack. */
+  final case class Buf(var data: Array[Long], var n: Int)
 
   private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
       extends Aggregator[(Long, Array[Boolean]), Buf, Boolean] {
 
-    override def zero: Buf =
-      Buf(Array.fill(numSteps)(Array.emptyLongArray), new Array[Int](numSteps))
+    override def zero: Buf = Buf(Array.emptyLongArray, 0)
 
     override def reduce(b: Buf, row: (Long, Array[Boolean])): Buf = {
       val (ts, matches) = row
       var s = 0
       while (s < numSteps) {
         if (matches(s)) {
-          val n = b.sizes(s)
-          if (n == b.arrs(s).length)
-            b.arrs(s) = java.util.Arrays.copyOf(b.arrs(s), math.max(8, n * 2))
-          b.arrs(s)(n) = ts
-          b.sizes(s) = n + 1
+          if (b.n + 2 > b.data.length)
+            b.data = java.util.Arrays.copyOf(b.data, math.max(8, b.data.length * 2))
+          b.data(b.n) = ts
+          b.data(b.n + 1) = s.toLong
+          b.n += 2
         }
         s += 1
       }
@@ -75,43 +81,42 @@ object SequenceMatch {
     }
 
     override def merge(a: Buf, b: Buf): Buf = {
-      var s = 0
-      while (s < numSteps) {
-        val na = a.sizes(s); val nb = b.sizes(s)
-        val out = new Array[Long](na + nb)
-        System.arraycopy(a.arrs(s), 0, out, 0, na)
-        System.arraycopy(b.arrs(s), 0, out, na, nb)
-        a.arrs(s) = out
-        a.sizes(s) = na + nb
-        s += 1
-      }
+      val out = new Array[Long](a.n + b.n)
+      System.arraycopy(a.data, 0, out, 0, a.n)
+      System.arraycopy(b.data, 0, out, a.n, b.n)
+      a.data = out
+      a.n += b.n
       a
     }
 
     override def finish(b: Buf): Boolean = {
-      var anchor = Long.MinValue
-      var first = Long.MinValue
+      // One linear min-scan per step instead of a per-step sort: anchor_s
+      // = min { ts tagged s : ts > anchor_{s-1} } (step 0: plain min).
+      // O(numSteps · candidates) per group with no allocation — cheaper
+      // than sorting for sparse groups and within a small factor of it
+      // for dense ones.
+      var anchor = 0L
+      var first = 0L
       var s = 0
       while (s < numSteps) {
-        val arr = b.arrs(s)
-        val n = b.sizes(s)
-        java.util.Arrays.sort(arr, 0, n)
-        // first ts strictly greater than the previous anchor (step 0: any)
+        var best = 0L
+        var found = false
         var i = 0
-        var found = Long.MinValue
-        while (i < n && found == Long.MinValue) {
-          if (s == 0 || arr(i) > anchor) found = arr(i)
-          i += 1
+        while (i < b.n) {
+          val ts = b.data(i)
+          if (b.data(i + 1) == s.toLong && (s == 0 || ts > anchor) &&
+              (!found || ts < best)) { best = ts; found = true }
+          i += 2
         }
-        if (found == Long.MinValue) return false
-        anchor = found
-        if (s == 0) first = found
+        if (!found) return false
+        anchor = best
+        if (s == 0) first = best
         s += 1
       }
       maxDuration.forall(d => anchor - first <= d)
     }
 
-    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
 

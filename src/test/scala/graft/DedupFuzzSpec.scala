@@ -35,10 +35,21 @@ object DedupFuzzer {
 
   def genMinhash(i: Int, rnd: Random, parquet: String): Case = {
     val n = Seq(3, 5, 8)(rnd.nextInt(3))
-    val (k, rpb) = Seq((4, 2), (8, 4), (8, 2), (12, 4), (12, 3), (6, 3))(rnd.nextInt(6))
+    // A third of cases take their banding from the suggestBanding advisor
+    // (random corpus size × target Jaccard) instead of the fixed list —
+    // the advisor's output must flow through signature/banding/oracle
+    // like any hand-picked (k, rpb).
+    val advised = rnd.nextInt(3) == 0
+    val (k, rpb) =
+      if (advised) {
+        val size = Seq(5000L, 100000L, 2000000L, 10000000L)(rnd.nextInt(4))
+        val tj = Seq(0.9, 0.95, 0.97)(rnd.nextInt(3))
+        graft.operators.Dedup.suggestBanding(size, tj)
+      } else Seq((4, 2), (8, 4), (8, 2), (12, 4), (12, 3), (6, 3))(rnd.nextInt(6))
     val maxBucket = Seq(2, 5, 50, 1000)(rnd.nextInt(4))
     val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
-    val desc = s"minhash n=$n k=$k rpb=$rpb maxBucket=$maxBucket filter=$m/$r"
+    val desc = s"minhash n=$n k=$k rpb=$rpb maxBucket=$maxBucket filter=$m/$r" +
+      (if (advised) " (advisor bands)" else "")
 
     val mins = (0 until k).map(j =>
       s"min(substr(md5('${j / 4}:' || sh), ${1 + 8 * (j % 4)}, 8)) AS h$j").mkString(", ")
@@ -95,6 +106,41 @@ object DedupFuzzer {
       graft.operators.Dedup.jaccardPairs(
         graft.operators.Dedup.charShingles(d, "doc_id", "text", n),
         threshold, maxDf)
+    })
+  }
+
+  /** Boilerplate strip under random unit widths × df thresholds × doc
+    * subsets: token spans of width w as units (w=1 ≡ the lines() split on
+    * ' '), strip units whose distinct-doc frequency >= minDf, rebuild.
+    * Mirrors the dd_strip_boilerplate battery CTE parameterized. */
+  def genStrip(i: Int, rnd: Random, parquet: String): Case = {
+    val w = Seq(1, 2, 8, 16)(rnd.nextInt(4))
+    val minDf = Seq(2L, 3L, 5L, 400L)(rnd.nextInt(4))
+    val (m, r) = { val mm = 1 + rnd.nextInt(3); (mm, rnd.nextInt(mm)) }
+    val desc = s"strip w=$w minDf=$minDf filter=$m/$r"
+    val sql =
+      s"""WITH ${baseCte(parquet, m, r)},
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+         |nc AS (SELECT doc_id, tk, greatest(1, CAST(ceil(len(tk) / $w.0) AS BIGINT)) AS n FROM toks),
+         |ch AS (SELECT doc_id, i AS unit_idx,
+         |         array_to_string(list_slice(tk, i*$w + 1, i*$w + $w), ' ') AS unit
+         |       FROM nc JOIN generate_series(0, 4000) s(i) ON s.i < nc.n),
+         |df AS (SELECT md5(unit) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+         |j AS (SELECT ch.doc_id, ch.unit_idx, ch.unit, df.df
+         |      FROM ch JOIN df ON md5(ch.unit) = df.h)
+         |SELECT doc_id, count(*) AS n_units,
+         |  CAST(sum(CASE WHEN df < $minDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN df < $minDf THEN unit END, ' ' ORDER BY unit_idx), '') AS clean_text
+         |FROM j GROUP BY doc_id""".stripMargin
+
+    Case(s"strip_$i", desc, sql, () => {
+      val s = SparkSpec.spark
+      val d = graft.ops.Tables.documents(s, new java.io.File(parquet).getParent)
+        .where(col("doc_id") % m === r)
+      graft.operators.Dedup.stripBoilerplateUnits(
+        graft.operators.TextAnalysis.chunks(d, "doc_id", "text", chunkSize = w, overlap = 0)
+          .select(col("doc_id"), col("chunk_idx").as("unit_idx"), col("chunk").as("unit")),
+        minDf = minDf, joinSep = " ")
     })
   }
 
@@ -229,7 +275,7 @@ class DedupFuzzSpec extends SparkSpec {
   private val N = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(10)
   private val Seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(FuzzRound.seed)
 
-  test(s"$N×3 fuzzed dedup + ${N / 2}×2 ANN/IVFADC parameterizations match DuckDB oracles") {
+  test(s"$N×4 fuzzed dedup + ${N / 2}×2 ANN/IVFADC parameterizations match DuckDB oracles") {
     assume(DuckOracle.available, "python3 + duckdb unavailable — differential fuzz skipped")
     val parquet = s"$sfDir/documents.parquet"
     val embParquet = s"$sfDir/embeddings.parquet"
@@ -240,6 +286,7 @@ class DedupFuzzSpec extends SparkSpec {
       (0 until N).map(i => genMinhash(i, rnd, parquet)) ++
         (0 until N).map(i => genJaccard(i, rnd, parquet)) ++
         (0 until N).map(i => genSimhash(i, rnd, parquet)) ++
+        (0 until N).map(i => genStrip(i, rnd, parquet)) ++
         (0 until N / 2).map(i => AnnFuzzer.genAnn(i, rnd, embParquet)) ++
         (0 until N / 2).map(i => AnnFuzzer.genIvfPq(i, rnd, embParquet))
 

@@ -87,6 +87,30 @@ class OperatorsSpec extends SparkSpec {
     assert(spanGot(10L) == ((2L, 1L, "ee ff")))
   }
 
+  test("banding advisor: pins the measured calibration points, scales monotonically, holds recall") {
+    // The two measured keep-rate points (BENCH.md §PipelineScale): the
+    // battery's (8,4) at 5k docs, and the (16,8) that restored 80.4% at
+    // 10M where (8,4) collapsed.
+    assert(Dedup.suggestBanding(5000L, 0.97) == ((8, 4)))
+    assert(Dedup.suggestBanding(10000000L, 0.97) == ((16, 8)))
+    // Rows per band never shrink as the corpus grows (false-positive
+    // suppression is monotone in n).
+    val sizes = Seq(1000L, 5000L, 50000L, 500000L, 5000000L, 50000000L, 500000000L)
+    val rows = sizes.map(n => Dedup.suggestBanding(n, 0.97)._2)
+    assert(rows == rows.sorted, s"rows per band not monotone: $rows")
+    // Every suggestion satisfies the S-curve recall bound at the target J
+    // and divides k into equal bands (lshBuckets' contract).
+    for (n <- sizes; tj <- Seq(0.9, 0.95, 0.97)) {
+      val (k, r) = Dedup.suggestBanding(n, tj)
+      assert(k % r == 0 && k > 0 && r > 0)
+      val b = k / r
+      val recall = 1.0 - math.pow(1.0 - math.pow(tj, r), b)
+      assert(recall >= 0.95, s"n=$n J=$tj -> (k=$k,r=$r) recall $recall < 0.95")
+    }
+    // Lower corpus sizes never suggest wider bands than the base point.
+    assert(Dedup.suggestBanding(100L, 0.97) == ((8, 4)))
+  }
+
   test("minhash LSH flags identical docs as candidates") {
     val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "completely different content here"))
