@@ -98,12 +98,15 @@ object PipelineScale {
       // below run at the battery's natural k=8/rows=4 banding: without
       // it the suffix shingles glue unrelated docs through 4-row bands
       // (r10 measured keep rate 59% vs the planted ~80%).
+      // stripBoilerplateFast: the 1% threshold bounds the broadcast set at
+      // 100 × avgUnitsPerDoc entries no matter the corpus size, so the
+      // rebuild is map-side (the unit path measured 281 s / 28 GB shuffle
+      // here at 10M docs).
       val stripStage =
         if (!doStrip) None
         else Some(stage("strip_boilerplate", clean._3, writeOut(
-          operators.Dedup.stripBoilerplate(cleanDf, "doc_id", "text",
-              minDf = math.max(2L, clean._3 / 100), sep = " ",
-              fastHash = fastHash)
+          operators.Dedup.stripBoilerplateFast(cleanDf, "doc_id", "text",
+              minDf = math.max(2L, clean._3 / 100), sep = " ")
             .select(col("doc_id"), col("clean_text").as("text")),
           s"$root/stripped")))
       val dedupIn = if (doStrip) spark.read.parquet(s"$root/stripped") else cleanDf

@@ -596,6 +596,50 @@ object Dedup {
                        fastHash: Boolean = false): DataFrame =
     stripBoilerplateUnits(lines(docs, idCol, textCol, sep), minDf, sep, fastHash)
 
+  /** [[stripBoilerplate]] with a broadcast boilerplate set instead of the
+    * generic three-exchange unit path — same results, a fraction of the
+    * shuffle. The df >= minDf set is CHROME, and chrome is small by
+    * definition: at most totalUnitOccurrences / minDf distinct units can
+    * clear the threshold (each needs minDf distinct docs), e.g. a 1 %-of-
+    * corpus threshold bounds it at 100 × avgUnitsPerDoc entries
+    * regardless of corpus size. So: one narrow hash aggregate finds the
+    * set (shuffling only the unit key, never doc ids alongside text), a
+    * single collected row carries it, and each document rebuilds
+    * MAP-SIDE with a higher-order `filter` against the broadcast array —
+    * no exploded-row join, no regroup, no collect_list sort. Measured at
+    * 10M docs / 400M units (BENCH.md §PipelineScale): 281 s / 28 GB
+    * shuffle → map-side, unit-key-only shuffle.
+    *
+    * Output schema and semantics are identical to [[stripBoilerplate]]
+    * (OperatorsSpec pins equality; the battery twin shares its DuckDB
+    * oracle verbatim). Membership is compared on the unit STRING, not a
+    * hash, so the fast path is exact with no collision caveat. Use the
+    * unit path instead when minDf is tiny relative to the corpus (minDf
+    * = 2 over single tokens makes "boilerplate" the whole repeated
+    * vocabulary and the broadcast bound meaningless). */
+  def stripBoilerplateFast(docs: DataFrame, idCol: String, textCol: String,
+                           minDf: Long, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every unit")
+    // Null text: posexplode in the unit path emits no rows, so the doc is
+    // absent from its output — mirror that here rather than emitting a
+    // degenerate size(null) row.
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), sep).as("__toks"))
+      .where(col("__toks").isNotNull)
+    val boil = toks.select(col("doc_id"), explode(col("__toks")).as("unit"))
+      .groupBy(col("unit")).agg(countDistinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDf)
+      .agg(sort_array(collect_list(col("unit"))).as("__boil"))
+    toks.crossJoin(broadcast(boil))
+      .select(col("doc_id"), col("__toks"),
+        filter(col("__toks"),
+          t => not(array_contains(col("__boil"), t))).as("__kept"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_units"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), sep).as("clean_text"))
+  }
+
   /** All-pairs exact cosine pairs (cos >= threshold). O(n²) by definition —
     * a verification/recall baseline for [[embeddingNearDups]] on small n,
     * NOT a scale path (the only deliberate cross join in this package). */

@@ -553,6 +553,13 @@ object PipelineQueries {
       Dedup.stripBoilerplate(docs(s, dir), "doc_id", "text",
         minDf = 400, sep = " ")),
 
+    // The broadcast-set fast path over the same parameters — shares
+    // dd_strip_lines' oracle verbatim (identical results, map-side
+    // rebuild instead of three exchanges; see stripBoilerplateFast).
+    "dd_strip_lines_fast" -> ((s, dir) =>
+      Dedup.stripBoilerplateFast(docs(s, dir), "doc_id", "text",
+        minDf = 400, sep = " ")),
+
     // Token-window chunking (32-token chunks, 8-token overlap): one row per
     // chunk with its token count and content hash.
     "tx_chunks" -> ((s, dir) =>
@@ -971,6 +978,7 @@ object PipelineQueries {
       "tx_lm_score_native" -> base("tx_lm_score"),
       "pipeline_dsir_serve" -> base("pipeline_dsir"),
       "pipeline_dsir_native" -> base("pipeline_dsir"),
+      "dd_strip_lines_fast" -> base("dd_strip_lines"),
       "ann_ivfpq_saved_serve" -> "SELECT CAST(1 AS BIGINT) AS passed")
   }
 

@@ -133,14 +133,21 @@ object DedupFuzzer {
          |  coalesce(string_agg(CASE WHEN df < $minDf THEN unit END, ' ' ORDER BY unit_idx), '') AS clean_text
          |FROM j GROUP BY doc_id""".stripMargin
 
-    Case(s"strip_$i", desc, sql, () => {
+    // w=1 chunks are exactly the split-on-space unit form, so half those
+    // cases go through the broadcast fast path instead — same oracle.
+    val useFast = w == 1 && rnd.nextBoolean()
+    Case(s"strip_$i", desc + (if (useFast) " (fast path)" else ""), sql, () => {
       val s = SparkSpec.spark
       val d = graft.ops.Tables.documents(s, new java.io.File(parquet).getParent)
         .where(col("doc_id") % m === r)
-      graft.operators.Dedup.stripBoilerplateUnits(
-        graft.operators.TextAnalysis.chunks(d, "doc_id", "text", chunkSize = w, overlap = 0)
-          .select(col("doc_id"), col("chunk_idx").as("unit_idx"), col("chunk").as("unit")),
-        minDf = minDf, joinSep = " ")
+      if (useFast)
+        graft.operators.Dedup.stripBoilerplateFast(d, "doc_id", "text",
+          minDf = minDf, sep = " ")
+      else
+        graft.operators.Dedup.stripBoilerplateUnits(
+          graft.operators.TextAnalysis.chunks(d, "doc_id", "text", chunkSize = w, overlap = 0)
+            .select(col("doc_id"), col("chunk_idx").as("unit_idx"), col("chunk").as("unit")),
+          minDf = minDf, joinSep = " ")
     })
   }
 

@@ -87,6 +87,37 @@ class OperatorsSpec extends SparkSpec {
     assert(spanGot(10L) == ((2L, 1L, "ee ff")))
   }
 
+  test("stripBoilerplateFast equals the unit path row-for-row; rebuild is map-side") {
+    // Random docs with planted boilerplate, plus every edge the unit path
+    // defines: empty text, fully-boilerplate doc, within-doc dup counted
+    // once, untouched doc.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "theta")
+    val randomDocs = (1L to 40L).map { i =>
+      val body = Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      val withBoiler =
+        if (i % 3 == 0) ("HDR" +: body) :+ "FTR" else body
+      i -> withBoiler.mkString("\n")
+    }
+    val d = docs(randomDocs ++ Seq(100L -> "", 101L -> "HDR\nFTR", 102L -> "solo\nsolo"): _*)
+    for (minDf <- Seq(2L, 5L, 13L)) {
+      val slow = Dedup.stripBoilerplate(d, "doc_id", "text", minDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+      val fast = Dedup.stripBoilerplateFast(d, "doc_id", "text", minDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+      assert(fast.toSeq == slow.toSeq, s"fast/unit paths diverge at minDf=$minDf")
+    }
+    // The doc side of the fast plan never shuffles: its only exchanges
+    // belong to the narrow unit-key aggregate that builds the broadcast
+    // set (hash agg over the exploded unit column), and the rebuild side
+    // joins it by broadcast.
+    val plan = Dedup.stripBoilerplateFast(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast LUT join in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"rebuild must not sort-aggregate:\n$plan")
+  }
+
   test("banding advisor: pins the measured calibration points, scales monotonically, holds recall") {
     // The two measured keep-rate points (BENCH.md §PipelineScale): the
     // battery's (8,4) at 5k docs, and the (16,8) that restored 80.4% at
