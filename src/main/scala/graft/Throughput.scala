@@ -119,6 +119,19 @@ object Throughput {
             .collect()
           ()
         }),
+        // The engine-surface cap (QueryEngine.capGroupRows) BINDING on
+        // the hot group: 100k rows/group leaves every real user intact
+        // (they hold ≤ ~100 rows each) but samples the bot down from its
+        // 25-75M rows before the window stack sorts it — the funnel shape
+        // that pays the full 5.2x serialization above.
+        "fr_funnel_capped" -> (() => {
+          eng.capGroupRows(100000, "event_id").run(skewed,
+            GraftQuery(None, Nil, None, Nil,
+              Some(Funnel(Seq("view", "click", "purchase").map(fstep),
+                None, Nil, Nil))))
+            .funnel.get.collect()
+          ()
+        }),
         // The aggregator under the hot group: only step-matching rows
         // (~7% here) reach the bot group's single merge, so its sort is
         // bounded by the bot's CANDIDATE rows — the skew story the

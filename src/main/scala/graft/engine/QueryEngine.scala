@@ -69,14 +69,37 @@ final case class PlannedQuery(
  * user holding p% of the corpus costs ~linear-in-p wall (10% → 2.2×,
  * 30% → 5.2× at 250M rows, both funnel and C1 shapes). Count/sum targets
  * are algebraic — a summary-only caller can switch to
- * `Skew.saltedSumCount`; sequences/funnels are not — pre-filter or
- * `capPerKeyApprox` known bot groups before sequence analysis.
+ * `Skew.saltedSumCount`; sequences/funnels are not — [[capGroupRows]]
+ * is the engine-surface mitigation: cap every group at n rows map-only
+ * BEFORE the window stack.
  */
-final class QueryEngine(spec: DatasetSpec) {
+final class QueryEngine(spec: DatasetSpec,
+                        groupRowCap: Option[(Int, String)] = None) {
 
   private val gid = spec.groupIdColumn
   private val ts  = spec.timestampColumn
   private def w: WindowSpec = Window.partitionBy(col(gid))
+
+  /** Opt-in hot-group cap for bot-ridden corpora: every query this engine
+    * plans first passes through `TextAnalysis.capPerKeyApprox(gid, n)` —
+    * a group-count aggregate plus a map-only deterministic hash filter
+    * (AQE-broadcast join, nothing sorted), so a bot group holding 30% of
+    * the corpus reaches `Window.partitionBy(gid)` at ~n rows instead of
+    * serializing its full share into one task (the measured 5.2× bound in
+    * the class doc). `rowIdColumn` seeds the per-row keep draw and must
+    * be ~unique per row (the events schema's event id).
+    *
+    * SEMANTICS: groups with ≤ n rows (within the query's timeframe) are
+    * untouched — set n above the max plausible real-user group size and
+    * only telemetry-noise groups are affected, keeping every human-scale
+    * result bit-identical (battery row `fr_count_target_capped` shares
+    * fr_count_target's oracle with the cap not binding; the binding case
+    * is measured in BENCH.md §SkewScale). A group OVER the cap keeps a
+    * deterministic Binomial(count, n/count) sample of its rows — an
+    * explicit approximation, which is why this is an opt-in constructor
+    * of a separate engine rather than a default. */
+  def capGroupRows(n: Int, rowIdColumn: String): QueryEngine =
+    new QueryEngine(spec, Some((n, rowIdColumn)))
 
   /** Plan `q` against `df`. Pure plan construction — nothing is executed. */
   def run(df: DataFrame, q: GraftQuery): PlannedQuery = {
@@ -111,10 +134,20 @@ final class QueryEngine(spec: DatasetSpec) {
       case None => df
     }
 
+    // Hot-group cap (opt-in, see capGroupRows): applied AFTER the
+    // timeframe filter (the cap contract is rows-in-scope) and before any
+    // window/aggregate sees the data.
+    val prepared = groupRowCap match {
+      case Some((n, idc)) =>
+        graft.operators.TextAnalysis.capPerKeyApprox(framed, gid, idc, n,
+          salt = s"fr_cap:$n")
+      case None => framed
+    }
+
     val matched: DataFrame =
-      if (q.conditions.isEmpty) framed
+      if (q.conditions.isEmpty) prepared
       else {
-        var cur = framed
+        var cur = prepared
         val condCols = q.conditions.zipWithIndex.map { case (c, i) =>
           val name = s"__cond_$i"
           c match {

@@ -78,6 +78,17 @@ object FrQueries {
           coalesce(sum(col("count")), lit(0L)).as("matching_group_rows"))
     }),
 
+    // The engine-surface hot-group cap (QueryEngine.capGroupRows) with
+    // the cap NOT binding: 1M rows/group is far above any group in the
+    // corpus, so capPerKeyApprox's keep rule (count <= n keeps all rows
+    // EXACTLY) makes this bit-identical to fr_count_target — proving the
+    // hook is semantics-free until a group actually exceeds the cap. The
+    // binding case is measured at 250M rows in BENCH.md §SkewScale.
+    "fr_count_target_capped" -> ((s, dir) =>
+      engine.capGroupRows(1000000, "event_id").run(ev(s, dir), GraftQuery(None,
+        Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 15))),
+        None, Nil, None)).summary),
+
     "fr_count_eq_zero" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(cond(filters(eq("event_type", "error"), gt("value", 150)), Target.Count(CmpOp.Eq, 0), includeZero = true)),
       None, Nil, None)).summary),
@@ -360,6 +371,7 @@ object FrQueries {
     // identical semantics, different physical shape.
     base ++ Map(
       "fr_count_target_salted" -> base("fr_count_target"),
+      "fr_count_target_capped" -> base("fr_count_target"),
       "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"))
   }
 

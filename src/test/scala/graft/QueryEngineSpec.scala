@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.engine.{DatasetSpec, QueryEngine}
@@ -252,5 +253,34 @@ class QueryEngineSpec extends SparkSpec {
     val steps = planned.funnel.get.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     // every user has view→click→purchase in order (rows cycle v,c,p,a2c with increasing ts)
     assert(steps == Map(0 -> 4L, 1 -> 4L, 2 -> 4L))
+  }
+
+  test("capGroupRows: identity when not binding, deterministic bounded sample when binding") {
+    import graft.query.QueryAst._
+    val q = GraftQuery(None,
+      Seq(Condition.Filters(None,
+        Seq(RowFilter("type", FilterOp.Eq, Scalar.Str("view"))),
+        Target.Count(CmpOp.Gte, 1), includeZero = false)), None, Nil, None)
+    // Cap far above the largest group (32 rows): every plan output is
+    // bit-identical to the uncapped engine — the knob is semantics-free
+    // until it binds.
+    val capped = engine.capGroupRows(1000, "timestamp")
+    assert(capped.run(fixture, q).summary.collect().toSeq ==
+      engine.run(fixture, q).summary.collect().toSeq)
+    assert(capped.run(fixture, GraftQuery.empty).matchedRows.collect().toSet ==
+      fixture.collect().toSet)
+    // Cap of 4 binds on users b/c/d (8/16/32 rows): under-cap groups keep
+    // every row exactly, over-cap groups keep a deterministic subset of
+    // their own rows.
+    val hard = engine.capGroupRows(4, "timestamp")
+    def keptCounts() = hard.run(fixture, GraftQuery.empty).matchedRows
+      .groupBy(col("id")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1 = keptCounts()
+    assert(k1("a") == 4L, s"under-cap group resampled: $k1")
+    assert(k1.getOrElse("d", 0L) < 32L, s"32-row group not capped: $k1")
+    assert(keptCounts() == k1, "cap draw not deterministic")
+    val keptRows = hard.run(fixture, GraftQuery.empty).matchedRows.collect().toSet
+    assert(keptRows.subsetOf(fixture.collect().toSet), "cap invented rows")
   }
 }
