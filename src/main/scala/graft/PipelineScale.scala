@@ -16,14 +16,30 @@ import org.apache.spark.sql.functions._
  *   generate (untimed) → clean → strip boilerplate → MinHash/LSH dedup
  *                      → DSIR select → pack stats → size-targeted export
  *
- * The strip stage (r11) is the operational fix for the r10 banding
- * collapse: dropping units whose doc frequency reaches 1% of the corpus
- * removes the planted boilerplate suffix BEFORE shingling. Banding is no
- * longer hand-picked: `Dedup.suggestBanding(n, 0.97)` sizes (k, rows)
- * from the corpus size ((8,4) at 5k, (16,8) at 10M — the measured
- * points). `--nostrip` skips the strip stage; `--narrow` forces the
- * battery's (8,4) at any size (for reproducing the r10 collapse and
- * measuring strip's isolated effect).
+ * Two distinct dedup-quality pathologies, each with its own fix — the
+ * r11 matrix separated them (BENCH.md §PipelineScale):
+ *  - BACKGROUND-COLLISION collapse: at fixed banding, the number of
+ *    moderately-similar pairs a doc meets grows with n, so narrow bands
+ *    glue unrelated docs at scale regardless of boilerplate (measured:
+ *    (8,4) at 10M keeps 59% with OR without strip — the r10 attribution
+ *    of this to the ' zz9' suffix was wrong). Fix: size bands with
+ *    `Dedup.suggestBanding(n, 0.97)` ((8,4) at 5k, (16,8) at 10M).
+ *  - BOILERPLATE RECALL LOSS: when shared chrome is a large share of
+ *    each doc's shingle set (--heavyboiler: a 30-token footer on
+ *    40-token docs, on every EVEN id), copies that differ only in
+ *    chrome drop from J ≈ 0.97 to ≈ 0.55 and fall out of ANY banding
+ *    tuned for near-dups — measured at 2M docs: keep rate 86.3% vs the
+ *    planted 80.5%, i.e. ~6% of the corpus shipped as undetected
+ *    duplicates (the OPPOSITE sign of the collision collapse; the
+ *    gluing direction is largely absorbed by lshCandidates' degenerate-
+ *    bucket cap, doing exactly its documented job). Fix:
+ *    `stripBoilerplate` before shingling (the CCNet / RefinedWeb
+ *    stage, 1%-of-corpus df threshold) — restores the planted rate
+ *    exactly, and costs less than the recall it buys (strip+dedup 68 s
+ *    vs 74 s dedup alone on the chrome corpus).
+ * Flags: `--nostrip` skips the strip stage; `--narrow` forces the
+ * battery's (8,4) at any size; `--heavyboiler` plants the dominating
+ * footer.
  *
  * Corpus shape is DedupScale's cluster structure (40 tokens per doc, ~20%
  * of docs in 3-doc exact/near-dup clusters) plus ~3% two-token junk docs
@@ -43,6 +59,7 @@ object PipelineScale {
     val fastHash = !args.contains("--md5")
     val doStrip = !args.contains("--nostrip")
     val narrowBands = args.contains("--narrow")
+    val heavyBoiler = args.contains("--heavyboiler")
     val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -61,10 +78,19 @@ object PipelineScale {
       val root = s"/tmp/graft_pipescale/$n"
       // ---- generate (untimed): 40-token docs; ids %10 in (1,2) duplicate
       // /near-duplicate their decade head; ids %37 == 3 are 2-token junk.
+      // --heavyboiler additionally appends a fixed 30-token footer to every
+      // even doc id — the CCNet pathology where site chrome is a large
+      // share of each doc's shingles, so copies differing only in chrome
+      // (head even + copy odd) sink to J ≈ 0.55 and escape dedup; the
+      // regime stripBoilerplate exists for. The light ' zz9' suffix (one
+      // token of 40) measurably drives nothing (r11 matrix).
+      val footer = (1 to 30).map(i => s"boiler$i").mkString(" ", " ", "")
       spark.range(n)
         .select(col("id").as("doc_id"), expr(
           "CASE WHEN id % 10 IN (1, 2) THEN id - id % 10 ELSE id END").as("__seed"),
-          expr("CASE WHEN id % 10 = 2 THEN ' zz9' ELSE '' END").as("__suffix"),
+          expr("CASE WHEN id % 10 = 2 THEN ' zz9' ELSE '' END" +
+            (if (heavyBoiler) s" || CASE WHEN id % 2 = 0 THEN '$footer' ELSE '' END"
+             else "")).as("__suffix"),
           expr("CAST(CASE WHEN id % 37 = 3 THEN 2 ELSE 40 END AS INT)").as("__len"))
         .select(col("doc_id"), expr(
           "concat(concat_ws(' ', transform(sequence(1, __len), " +
@@ -93,11 +119,11 @@ object PipelineScale {
 
       // ---- 1.5. strip boilerplate (the CCNet/RefinedWeb pre-dedup
       // stage): any unit in >= 1% of the corpus is chrome, not content —
-      // here it removes the planted ' zz9' suffix (1M docs) while every
-      // real vocab word (df ≈ 0.015%) survives. This is what lets dedup
-      // below run at the battery's natural k=8/rows=4 banding: without
-      // it the suffix shingles glue unrelated docs through 4-row bands
-      // (r10 measured keep rate 59% vs the planted ~80%).
+      // removes the ' zz9' suffix (1M docs) and the --heavyboiler footer
+      // (5M docs) while every real vocab word (df ≈ 0.015%) survives.
+      // This is the fix for boilerplate-DOMINATED similarity (the footer
+      // corpus); it measurably does not rescue narrow bands from
+      // background collisions (class doc).
       // stripBoilerplateFast: the 1% threshold bounds the broadcast set at
       // 100 × avgUnitsPerDoc entries no matter the corpus size, so the
       // rebuild is map-side (the unit path measured 281 s / 28 GB shuffle
@@ -167,7 +193,8 @@ object PipelineScale {
           f""""shuffle_mb": ${s.shuffleBytesWritten / 1048576.0}%.0f}"""
       }
       println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", """ +
-        f""""strip": $doStrip, "bands": "k=$bandK/rows=$bandRows", """ +
+        f""""strip": $doStrip, "heavy_boiler": $heavyBoiler, """ +
+        f""""bands": "k=$bandK/rows=$bandRows", """ +
         f""""total_s": $total%.1f, "export_files": ${exportStats.files}, """ +
         f""""export_mb": ${exportStats.bytes / 1048576.0}%.0f, """ +
         parts.mkString(", ") + "}")

@@ -74,12 +74,16 @@ object Dedup {
     *
     * SIZE THE BANDS WITH [[suggestBanding]] (measured, BENCH.md
     * §PipelineScale): narrow bands that are fine at thousands of docs
-    * glue unrelated documents at millions (10M docs, 4-row bands: keep
-    * rate collapsed 80%→59%; 8-row bands — what the advisor returns at
-    * that size — restored it and cut the stage shuffle 6×). Strip
-    * boilerplate FIRST with [[stripBoilerplate]]: a span shared by a
-    * large doc population concentrates the minhash distribution into
-    * false-positive band mass no banding fully absorbs. */
+    * glue unrelated documents at millions through ordinary BACKGROUND
+    * shingle similarity — the per-doc false-candidate count grows with
+    * the corpus (10M docs, 4-row bands: keep rate collapsed 80%→59%
+    * with or without boilerplate stripping; 8-row bands — what the
+    * advisor returns at that size — restored it and cut the stage
+    * shuffle 6×). Boilerplate is a DIFFERENT failure mode with a
+    * different fix: shared chrome mostly hurts RECALL (copies differing
+    * only in chrome sink below the target J — [[stripBoilerplate]]
+    * first), while its glue direction is largely absorbed by
+    * [[lshCandidates]]' degenerate-bucket cap. */
   def lshBuckets(signature: DataFrame, k: Int, rowsPerBand: Int,
                  fastHash: Boolean = false): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into equal bands")
@@ -110,18 +114,21 @@ object Dedup {
     * Calibration against measured keep-rate points (BENCH.md
     * §PipelineScale, planted near-dups at J ≈ 0.97): the battery's
     * (k=8, rows=4) is right at 5k docs — the base point; at 10M docs the
-    * same bands glue unrelated docs (keep rate 80% → 59-75% depending on
-    * boilerplate) while (k=16, rows=8) restores 80.4% — and this formula
-    * with the default J_bg = 0.15 returns exactly those two choices at
-    * those two sizes. Background similarity 0.15 reflects structured
-    * shingle spaces (shared char patterns across unrelated docs); raise
-    * it toward 0.3 for very templated corpora, which widens bands
-    * sooner.
+    * same bands glue unrelated docs through background similarity alone
+    * (keep rate 80% → 59%, identical with and without boilerplate
+    * stripping — the r11 matrix) while (k=16, rows=8) restores 80.4% —
+    * and this formula with the default J_bg = 0.15 returns exactly those
+    * two choices at those two sizes. Background similarity 0.15 reflects
+    * structured shingle spaces (shared char patterns across unrelated
+    * docs); raise it toward 0.3 for very templated corpora, which widens
+    * bands sooner.
     *
     * Use the result as `minHashSignature(sh, k)` + `lshBuckets(sig, k,
-    * rowsPerBand)`. Strip boilerplate FIRST ([[stripBoilerplate]]) — no
-    * banding choice survives a unit of text shared by a large fraction
-    * of the corpus. */
+    * rowsPerBand)`. Widening bands does NOT substitute for
+    * [[stripBoilerplate]]: chrome-heavy corpora lose RECALL (copies
+    * differing only in chrome sink below the target J — measured
+    * −6 p.p. keep rate at 2M docs), and no banding recovers a pair whose
+    * true Jaccard fell; strip first, then band for the stripped corpus. */
   def suggestBanding(corpusSize: Long, targetJaccard: Double,
                      recallFloor: Double = 0.95,
                      backgroundJaccard: Double = 0.15,
@@ -542,13 +549,15 @@ object Dedup {
     * unit (line, paragraph, or token span) whose distinct-DOCUMENT
     * frequency reaches `minDf` — headers, footers, cookie banners,
     * navigation chrome — and rebuild each document from its surviving
-    * units in order. Boilerplate is exactly the text that poisons MinHash
-    * banding downstream (shingles shared by a large doc population
-    * concentrate the signature distribution and glue unrelated docs
-    * through their band buckets — measured at 10M docs, BENCH.md
-    * §PipelineScale: keep rate 80%→59%); stripping it FIRST restores
-    * banding at the corpus's natural parameters instead of hand-widening
-    * bands.
+    * units in order. What boilerplate does to MinHash dedup downstream
+    * (measured, BENCH.md §PipelineScale r11): it hides REAL duplicates —
+    * two copies of the same content wrapped in different site chrome sink
+    * from J ≈ 0.97 to ≈ 0.55 and escape any banding tuned for near-dups
+    * (2M-doc chrome corpus: 6% of the corpus shipped as undetected
+    * duplicates; stripping first restored the planted keep rate exactly).
+    * Its glue direction — chrome-only band buckets merging unrelated
+    * docs — is largely absorbed by [[lshCandidates]]' degenerate-bucket
+    * cap; recall is what stripping buys.
     *
     * Input `units`: (doc_id, unit_idx, unit) — [[lines]] or
     * [[TextAnalysis.chunks]] renamed. Output one row per input document:
