@@ -383,22 +383,30 @@ object TextAnalysis {
     * Null keys are capped like any other key — the count groups them
     * together and the join matches them null-safely — because the hot
     * "null-ish default" key is exactly the pathology this variant exists
-    * for. The per-key count table (one row per key) carries no broadcast
-    * hint: AQE broadcasts it while it fits (keeping the corpus side
-    * map-only) and degrades to a shuffle join at extreme key cardinality
-    * instead of failing the driver on the build side. */
+    * for. Only keys EXCEEDING the cap join back: a key with count <= n
+    * keeps every row exactly (`hashUniform < n/count >= 1` is always
+    * true), so the join side is pre-filtered to the over-cap keys — at
+    * most rows/n of them by pigeonhole, which is why the corpus side
+    * stays map-only in practice (AQE broadcasts the filtered set while it
+    * fits and degrades to a shuffle join only when rows/n is itself
+    * extreme). Measured (BENCH.md §"fr window stack", 250M rows / 3.75M
+    * keys): the unfiltered count join shuffled the full corpus a second
+    * time and cost MORE than the hot-group sort it removed (154 s vs
+    * 110 s at 30% hot); the filtered join carries one row. */
   def capPerKeyApprox(df: DataFrame, keyCol: String, idCol: String, n: Int,
                       salt: String): DataFrame = {
     require(n > 0, "cap must be positive")
     val clash = df.columns.toSet.intersect(Set("__key_k", "__key_n"))
     require(clash.isEmpty,
       s"columns collide with capPerKeyApprox internal names: ${clash.mkString(", ")}")
-    val counts = df.groupBy(col(keyCol).as("__key_k"))
+    val hot = df.groupBy(col(keyCol).as("__key_k"))
       .agg(count(lit(1)).as("__key_n"))
-    df.join(counts, col(keyCol) <=> col("__key_k"))
-      // Single double division, same operation order as the oracle mirror.
+      .where(col("__key_n") > n)
+    df.join(hot, col(keyCol) <=> col("__key_k"), "left")
+      // Single double division, same operation order as the oracle mirror;
+      // absent key (under cap) => keep probability 1 => row kept exactly.
       .where(hashUniform(col(idCol), salt) <
-        lit(n).cast("double") / col("__key_n"))
+        coalesce(lit(n).cast("double") / col("__key_n"), lit(1.0)))
       .drop("__key_k", "__key_n")
   }
 
