@@ -24,23 +24,25 @@ import graft.query.QueryAst.SequenceStep
  * both are exposed, benchmarked, and semantically interchangeable.
  *
  * WHEN TO USE WHICH (measured at 250M rows / 3.75M groups, 6 selective
- * steps, local[32] — BENCH.md §"Sequence at reference scale"): on the
- * gid-grouped/bucketed layout this aggregator wins 2.2× (10.3s vs the
- * window stack's 22.8s — the window plan still pays the per-partition
- * SORT of all 250M rows plus six window passes even when the exchange
- * disappears, while this path sorts only the ~10% candidate rows). On
- * plain un-layouted parquet the window plan wins slightly (30.0s vs
- * 31.9s: one full-data exchange + sort vs typed-aggregation overhead on
- * the candidates), and at small inputs (sf0.1) its fixed overhead makes
- * it ~20% slower. Rule: reach for SequenceMatch on grouped layouts with
- * selective multi-step funnels; default to the window plan otherwise —
- * it also covers negated steps, which this path rejects.
+ * steps, local[32] — BENCH.md §"Sequence at reference scale"): with the
+ * flat-buffer shape below this aggregator wins on BOTH layouts — 13.5s
+ * vs the window stack's 30.0s on plain parquet (2.2×), 8.0s vs 22.8s
+ * bucketed (2.8×) — the window plan pays a per-partition SORT of all
+ * 250M rows plus six window passes even when bucketing removes its
+ * exchange, while this path sorts nothing and scans only the ~10%
+ * candidate rows. The window plan stays the engine DEFAULT because it
+ * covers negated steps (which this path rejects), feeds per-row flags
+ * to downstream aggregations, and wins at small inputs (sf0.1: typed
+ * aggregation's fixed overhead makes this ~20% slower). Rule: reach for
+ * SequenceMatch on selective multi-step funnels at scale, either
+ * layout.
  *
- * Hot-group resilience (measured, same probe at 30%-hot): because only
- * candidate rows reach a group's merge, a bot group holding 30% of the
- * corpus degrades this path 1.34× where the window stack degrades 5.2×
- * — the candidate filter is also the skew guard, as long as the bot's
- * rows mostly DON'T match the steps.
+ * Hot-group resilience (measured, same probe at 30%-hot, r11 buffers):
+ * because only candidate rows reach a group's merge, a bot group
+ * holding 30% of the corpus degrades this path 1.66× (15.1s → 25.0s)
+ * where the window stack degrades 5.2× — the candidate filter is also
+ * the skew guard, as long as the bot's rows mostly DON'T match the
+ * steps.
  */
 object SequenceMatch {
 
@@ -51,7 +53,10 @@ object SequenceMatch {
     * ~600 B of fixed overhead per group, which at reference scale
     * (250M rows / 3.75M groups — BENCH.md §"Sequence at reference
     * scale") pushed the aggregation maps past the 8 GiB default heap and
-    * demanded SPARK_DRIVER_MEM=48g. The flat pair layout + a product
+    * demanded SPARK_DRIVER_MEM=48g; this shape runs the same probes in
+    * the DEFAULT 8 GiB (the 3-step uniform-control probe wants 12 GiB —
+    * 3.75M small buffers cost more per entry than one bot group's big
+    * array) and is 2.4× faster besides. The flat pair layout + a product
     * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
     * object + one array and serializes as a single primitive-array
     * column — no object graph, no Kryo copy buffers. Appends double
