@@ -473,6 +473,35 @@ class LibrarySpec extends SparkSpec {
       s"pipeline_dsir_native must be map-only + TakeOrdered:\n$dsPlan")
   }
 
+  test("boilerplate strip fast path: document side rebuilds without a shuffle") {
+    // stripBoilerplateFast's 100 TB contract (BENCH.md §PipelineScale:
+    // 28 GB → 4 GB stage shuffle at 10M docs): the only shuffles are the
+    // narrow unit-key aggregate (partial/final groupBy(unit) + the
+    // single-row collect_list gather); the DOCUMENT side — the data-sized
+    // one — must rebuild map-side off a broadcast of the bounded df>=minDf
+    // set, never through a shuffled join keyed by unit or doc.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.PipelineQueries.queries("dd_strip_lines_fast")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"fast strip must broadcast the boilerplate set:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fast strip must not shuffle-join the document side:\n$plan")
+    // Shuffle exchanges, all unit-key-sized: the countDistinct expands to
+    // a (unit, doc_id) dedup exchange + a per-unit count exchange, and the
+    // collect_list gather adds a single-row SinglePartition move — exactly
+    // three, none carrying document rows. A fourth exchange means the
+    // document side started shuffling again (the 28 GB regression).
+    val raw = graft.operators.Dedup.stripBoilerplateFast(
+      graft.ops.Tables.documents(spark, dir), "doc_id", "text",
+      minDf = 400, sep = " ")
+    val rawPlan = raw.queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)"
+      .r.findAllIn(rawPlan).size
+    assert(shuffles <= 3,
+      s"fast strip operator must shuffle only unit keys (<=3 exchanges), got $shuffles:\n$rawPlan")
+  }
+
   test("job stats settle correctly for a >1000-task job") {
     // Regression: the settle loop must bound ITERATIONS, not the task count
     // — a 1200-task job previously could snapshot before events drained.
