@@ -39,7 +39,7 @@ import graft.query.QueryAst.SequenceStep
  *
  * Hot-group resilience (measured, same probe at 30%-hot, r11 buffers):
  * because only candidate rows reach a group's merge, a bot group
- * holding 30% of the corpus degrades this path 1.66× (15.1s → 25.0s)
+ * holding 30% of the corpus degrades this path ~1.6× (15-16s → 25-26s)
  * where the window stack degrades 5.2× — the candidate filter is also
  * the skew guard, as long as the bot's rows mostly DON'T match the
  * steps.
@@ -53,25 +53,37 @@ object SequenceMatch {
     * ~600 B of fixed overhead per group, which at reference scale
     * (250M rows / 3.75M groups — BENCH.md §"Sequence at reference
     * scale") pushed the aggregation maps past the 8 GiB default heap and
-    * demanded SPARK_DRIVER_MEM=48g; this shape runs the same probes in
-    * the DEFAULT 8 GiB (the 3-step uniform-control probe wants 12 GiB —
-    * 3.75M small buffers cost more per entry than one bot group's big
-    * array) and is 2.4× faster besides. The flat pair layout + a product
+    * demanded SPARK_DRIVER_MEM=48g; with the step-0 prune below, EVERY
+    * 250M-row probe — including the 3-step uniform control whose 3.75M
+    * small buffers are the worst per-entry-overhead case — runs in the
+    * DEFAULT 8 GiB, 2.4× faster besides. The flat pair layout + a product
     * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
     * object + one array and serializes as a single primitive-array
     * column — no object graph, no Kryo copy buffers. Appends double
     * capacity (amortized O(1)); merges concat exactly, so shuffled
-    * partials carry no slack. */
-  final case class Buf(var data: Array[Long], var n: Int)
+    * partials carry no slack.
+    *
+    * Step-0 prune: anchor 0 is the PLAIN min of step-0 timestamps (no
+    * preceding anchor to clear), so step-0 rows never enter the array —
+    * they fold into the scalar running min `s0Min` (`s0Has` guards the
+    * empty case; a sentinel would collide with a legitimate
+    * Long.MaxValue timestamp). Step 0 is typically a funnel's LEAST
+    * selective step ("view" before "click" before "purchase"), so this
+    * removes the largest per-step population from the buffers — later
+    * steps can't prune the same way because their anchors depend on
+    * which earlier timestamps exist at finish time. */
+  final case class Buf(var data: Array[Long], var n: Int,
+                       var s0Min: Long, var s0Has: Boolean)
 
   private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
       extends Aggregator[(Long, Array[Boolean]), Buf, Boolean] {
 
-    override def zero: Buf = Buf(Array.emptyLongArray, 0)
+    override def zero: Buf = Buf(Array.emptyLongArray, 0, 0L, false)
 
     override def reduce(b: Buf, row: (Long, Array[Boolean])): Buf = {
       val (ts, matches) = row
-      var s = 0
+      if (matches(0) && (!b.s0Has || ts < b.s0Min)) { b.s0Min = ts; b.s0Has = true }
+      var s = 1
       while (s < numSteps) {
         if (matches(s)) {
           if (b.n + 2 > b.data.length)
@@ -91,31 +103,32 @@ object SequenceMatch {
       System.arraycopy(b.data, 0, out, a.n, b.n)
       a.data = out
       a.n += b.n
+      if (b.s0Has && (!a.s0Has || b.s0Min < a.s0Min)) { a.s0Min = b.s0Min; a.s0Has = true }
       a
     }
 
     override def finish(b: Buf): Boolean = {
-      // One linear min-scan per step instead of a per-step sort: anchor_s
-      // = min { ts tagged s : ts > anchor_{s-1} } (step 0: plain min).
-      // O(numSteps · candidates) per group with no allocation — cheaper
-      // than sorting for sparse groups and within a small factor of it
-      // for dense ones.
-      var anchor = 0L
-      var first = 0L
-      var s = 0
+      // Anchor 0 is the pruned scalar min; then one linear min-scan per
+      // remaining step instead of a per-step sort: anchor_s = min { ts
+      // tagged s : ts > anchor_{s-1} }. O(numSteps · candidates) per
+      // group with no allocation — cheaper than sorting for sparse
+      // groups and within a small factor of it for dense ones.
+      if (!b.s0Has) return false
+      var anchor = b.s0Min
+      val first = b.s0Min
+      var s = 1
       while (s < numSteps) {
         var best = 0L
         var found = false
         var i = 0
         while (i < b.n) {
           val ts = b.data(i)
-          if (b.data(i + 1) == s.toLong && (s == 0 || ts > anchor) &&
+          if (b.data(i + 1) == s.toLong && ts > anchor &&
               (!found || ts < best)) { best = ts; found = true }
           i += 2
         }
         if (!found) return false
         anchor = best
-        if (s == 0) first = best
         s += 1
       }
       maxDuration.forall(d => anchor - first <= d)
