@@ -68,6 +68,9 @@ object Throughput {
     val mode = if (args.length > 1) args(1) else "plain"
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
+    // "funnel-fast[-bucketed]": the counts-only candidate-pass funnel
+    // (SequenceMatch.funnelCounts) against the window-stack funnel above.
+    val funnelFast = mode.startsWith("funnel-fast")
     val seqMode = mode.startsWith("sequence")
     val seqFast = mode.startsWith("sequence-fast")
     val skewMode = mode.startsWith("skew")
@@ -224,10 +227,13 @@ object Throughput {
       val q = GraftQuery(None, Nil, None, Nil,
         Some(Funnel(steps, None, Nil, Nil)))
       val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+      def funnelDf() =
+        if (funnelFast) operators.SequenceMatch.funnelCounts(df, "user_id", "ts", steps)
+        else eng.run(df, q).funnel.get
       val rows = df.count()
       def run(): (Seq[Row], Double) = {
         val t0 = System.nanoTime()
-        val out = eng.run(df, q).funnel.get.collect().toSeq
+        val out = funnelDf().collect().toSeq
         (out, (System.nanoTime() - t0) / 1e9)
       }
       run() // warm
@@ -235,7 +241,7 @@ object Throughput {
       // Exchange count from the FINAL adaptive plan (the Initial Plan
       // section would double-count) — the bucketed layout must show one
       // fewer exchange (no pre-window shuffle of the 250M rows).
-      val fdf = eng.run(df, q).funnel.get
+      val fdf = funnelDf()
       fdf.collect()
       val finalPlan = fdf.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
@@ -244,7 +250,8 @@ object Throughput {
       val stepsStr = out.sortBy(_.getInt(0))
         .map(r => s"[${r.getInt(0)}, ${r.getLong(1)}, ${r.getLong(2)}]")
         .mkString("[", ", ", "]")
-      println(f"""{"plan": "funnel3", "rows": $rows, "sec": $sec%.3f, """ +
+      val plan = if (funnelFast) "funnel3-fast" else "funnel3"
+      println(f"""{"plan": "$plan", "rows": $rows, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
         f""""exchanges": $exchanges, "steps": $stepsStr, "layout": "$layout"}""")
     }

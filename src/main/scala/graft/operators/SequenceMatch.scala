@@ -75,8 +75,17 @@ object SequenceMatch {
   final case class Buf(var data: Array[Long], var n: Int,
                        var s0Min: Long, var s0Has: Boolean)
 
+  /** Output: the highest step index the group's greedy anchor chain
+    * reaches (-1 when no step-0 row exists), with the per-step
+    * maxDuration cut applied as the chain extends. Sequence-boolean
+    * callers test `== numSteps - 1` — identical to the old Boolean
+    * output because anchors are monotone in the step index, so a
+    * duration cut at the final anchor implies one at no earlier anchor
+    * and vice versa. Funnel callers read the whole value: step j's
+    * population is every group with maxStep >= j (reference F1 prefix
+    * semantics — a failed step stops the group). */
   private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
-      extends Aggregator[(Long, Array[Boolean]), Buf, Boolean] {
+      extends Aggregator[(Long, Array[Boolean]), Buf, Int] {
 
     override def zero: Buf = Buf(Array.emptyLongArray, 0, 0L, false)
 
@@ -107,15 +116,16 @@ object SequenceMatch {
       a
     }
 
-    override def finish(b: Buf): Boolean = {
+    override def finish(b: Buf): Int = {
       // Anchor 0 is the pruned scalar min; then one linear min-scan per
       // remaining step instead of a per-step sort: anchor_s = min { ts
       // tagged s : ts > anchor_{s-1} }. O(numSteps · candidates) per
       // group with no allocation — cheaper than sorting for sparse
       // groups and within a small factor of it for dense ones.
-      if (!b.s0Has) return false
+      if (!b.s0Has) return -1
       var anchor = b.s0Min
       val first = b.s0Min
+      var reached = 0
       var s = 1
       while (s < numSteps) {
         var best = 0L
@@ -127,15 +137,20 @@ object SequenceMatch {
               (!found || ts < best)) { best = ts; found = true }
           i += 2
         }
-        if (!found) return false
+        if (!found) return reached
         anchor = best
+        // Per-step duration cut on the greedy chain (planFunnel's
+        // withDuration); anchors are monotone, so the first failure is
+        // final for every later step too.
+        if (maxDuration.exists(d => anchor - first > d)) return reached
+        reached = s
         s += 1
       }
-      maxDuration.forall(d => anchor - first <= d)
+      reached
     }
 
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-    override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+    override def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
   /** Group ids (column `gid`) whose rows satisfy the step sequence. Rows
@@ -144,6 +159,20 @@ object SequenceMatch {
   def matchingGroups(df: DataFrame, gidCol: String, tsCol: String,
                      steps: Seq[SequenceStep],
                      maxDuration: Option[Long] = None): DataFrame = {
+    val last = steps.size - 1
+    maxStepReached(df, gidCol, tsCol, steps, maxDuration)
+      .where(col("__max_step") === last)
+      .select(col("g").as(gidCol))
+  }
+
+  /** Per candidate group, the highest funnel step its greedy anchor chain
+    * reaches: (g, __max_step). Groups with no row matching any step are
+    * absent (they never survive the pre-shuffle candidate filter).
+    * Requires non-null group ids and timestamps — the catalog's
+    * registration validation enforces exactly that dataset contract. */
+  private def maxStepReached(df: DataFrame, gidCol: String, tsCol: String,
+                             steps: Seq[SequenceStep],
+                             maxDuration: Option[Long]): DataFrame = {
     require(steps.forall(_.rowFound),
       "negated (rowFound=false) steps need visibility of non-matching rows; use the window plan")
     val spark = df.sparkSession
@@ -160,9 +189,47 @@ object SequenceMatch {
     projected
       .groupByKey(_._1)
       .mapValues { case (_, t, m) => (t, m) }
-      .agg(agg.toColumn.name("passed"))
-      .filter(_._2)
-      .map(_._1)
-      .toDF(gidCol)
+      .agg(agg.toColumn.name("__max_step"))
+      .toDF("g", "__max_step")
+  }
+
+  /** Counts-only funnel twin of the engine's window-stack funnel
+    * (QueryEngine.planFunnel, reference F1): per step, the number of
+    * groups whose greedy anchor chain reaches that step and the total
+    * rows of those groups — output (step, step_groups, step_rows),
+    * schema-identical to the engine's funnel result. Semantics notes:
+    * step flags are group-constant in the window plan, so step_rows is
+    * the full row count of every group passing the step — here one
+    * ordinary per-group count aggregate joined to the candidate pass's
+    * max-step (a group-sized join, never data-sized). maxDuration
+    * applies per step on the greedy chain, exactly as the window plan's
+    * withDuration cut.
+    *
+    * Scale shape vs the window plan: no per-group sort of the full
+    * corpus — one partial-aggregated count of all rows + the candidate
+    * pass over step-matching rows only. Use for funnels WITHOUT step/end
+    * aggregations (those need per-row flags, which only the window plan
+    * materializes) and without negated steps. Measured at 250M rows
+    * (BENCH.md §"Sequence at reference scale"). */
+  def funnelCounts(df: DataFrame, gidCol: String, tsCol: String,
+                   steps: Seq[SequenceStep],
+                   maxDuration: Option[Long] = None): DataFrame = {
+    val n = steps.size
+    val maxStep = maxStepReached(df, gidCol, tsCol, steps, maxDuration)
+    val counts = df.select(col(gidCol).cast("long").as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
+    val joined = counts.join(maxStep, Seq("g"), "left")
+      .select(coalesce(col("__max_step"), lit(-1)).as("__ms"), col("__cnt"))
+    val aggExprs = (0 until n).flatMap { j =>
+      Seq(sum(when(col("__ms") >= j, 1L).otherwise(0L)).as(s"__g$j"),
+        coalesce(sum(when(col("__ms") >= j, col("__cnt"))), lit(0L)).as(s"__r$j"))
+    }
+    val one = joined.agg(aggExprs.head, aggExprs.tail: _*)
+    val stepStructs = (0 until n).map { j =>
+      struct(lit(j).as("step"), col(s"__g$j").as("step_groups"),
+        col(s"__r$j").as("step_rows"))
+    }
+    one.select(explode(array(stepStructs: _*)).as("s"))
+      .select(col("s.step"), col("s.step_groups"), col("s.step_rows"))
   }
 }

@@ -228,6 +228,13 @@ object FrQueries {
     "fr_funnel" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
 
+    // Counts-only funnel twin (SequenceMatch.funnelCounts): candidate pass
+    // + per-group count aggregate joined group-sized — no per-group sort
+    // of the corpus, the namesake query's scale path for funnels without
+    // step/end aggregations. Shares fr_funnel's oracle verbatim.
+    "fr_funnel_fast" -> ((s, dir) =>
+      graft.operators.SequenceMatch.funnelCounts(ev(s, dir), "user_id", "ts", valueSteps)),
+
     // F4: conditions + funnel combined — the funnel consumes only the rows
     // of groups passing the condition (>= 14 purchases: keeps roughly half
     // the groups at every SF, so the condition genuinely restricts).
@@ -372,7 +379,8 @@ object FrQueries {
     base ++ Map(
       "fr_count_target_salted" -> base("fr_count_target"),
       "fr_count_target_capped" -> base("fr_count_target"),
-      "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"))
+      "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"),
+      "fr_funnel_fast" -> base("fr_funnel"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

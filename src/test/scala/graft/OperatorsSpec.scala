@@ -410,6 +410,46 @@ class OperatorsSpec extends SparkSpec {
     assert(aggD.subsetOf(viaAgg) && aggD != viaAgg) // duration actually restricts
   }
 
+  test("funnelCounts matches the engine's window funnel on random data") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(13)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 2000).map { i =>
+      Map[String, Any]("uid" -> (i % 97).toLong, "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val steps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val viaWindow = asMap(engine.run(df, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(steps, None, Nil, Nil)))).funnel.get)
+    val viaFast = asMap(
+      graft.operators.SequenceMatch.funnelCounts(df, "uid", "ts", steps))
+    assert(viaFast == viaWindow)
+    assert(viaWindow(0)._1 > viaWindow(2)._1) // the funnel actually narrows
+
+    // maxDuration: must agree including mid-chain cuts (a group reaching
+    // step 1 within d but step 2 only outside d counts for steps 0-1).
+    val d = 20000L
+    val winD = asMap(engine.run(df, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(steps, Some(d), Nil, Nil)))).funnel.get)
+    val fastD = asMap(
+      graft.operators.SequenceMatch.funnelCounts(df, "uid", "ts", steps, Some(d)))
+    assert(fastD == winD)
+    assert(winD(2)._1 < viaWindow(2)._1) // duration actually restricts
+    assert(winD(1) != viaWindow(1) || winD(2) != viaWindow(2))
+  }
+
   test("sequence aggregator handles dense groups (10k matching rows per step)") {
     import graft.engine.{DatasetSpec, QueryEngine}
     import graft.query.QueryAst._
