@@ -135,6 +135,15 @@ object Throughput {
             .funnel.get.collect()
           ()
         }),
+        // The counts-only funnel twin under the hot group: the window
+        // funnel serializes the bot's full share into one task's sort;
+        // funnelCounts bounds the bot's single merge to its CANDIDATE
+        // rows and counts the rest algebraically.
+        "fr_funnel_fast" -> (() => {
+          operators.SequenceMatch.funnelCounts(skewed, "user_id", "ts",
+            Seq("view", "click", "purchase").map(fstep)).collect()
+          ()
+        }),
         // The aggregator under the hot group: only step-matching rows
         // (~7% here) reach the bot group's single merge, so its sort is
         // bounded by the bot's CANDIDATE rows — the skew story the

@@ -210,7 +210,12 @@ object SequenceMatch {
     * pass over step-matching rows only. Use for funnels WITHOUT step/end
     * aggregations (those need per-row flags, which only the window plan
     * materializes) and without negated steps. Measured at 250M rows
-    * (BENCH.md §"Sequence at reference scale"). */
+    * (BENCH.md §"Counts-only funnel twin"): 2.3× on the bucketed
+    * layout, parity on plain parquet — and FLAT under a 30%-hot bot
+    * group (14.1s vs the window funnel's 142.1s, 10×: the bot's count
+    * partials compress and only its candidate rows reach one merge),
+    * making this the funnel-shaped skew escape hatch alongside
+    * [[graft.operators.Skew.saltedSumCount]] for C1 summaries. */
   def funnelCounts(df: DataFrame, gidCol: String, tsCol: String,
                    steps: Seq[SequenceStep],
                    maxDuration: Option[Long] = None): DataFrame = {
