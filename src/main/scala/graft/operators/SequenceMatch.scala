@@ -225,9 +225,13 @@ object SequenceMatch {
       .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
     val joined = counts.join(maxStep, Seq("g"), "left")
       .select(coalesce(col("__max_step"), lit(-1)).as("__ms"), col("__cnt"))
+    // Empty-input semantics must mirror planFunnel's aggregates exactly
+    // (fuzz-caught): count over empty = 0 for step_groups (the window
+    // plan's count_distinct), while sum(...otherwise(0)) over empty is
+    // NULL for step_rows — so no coalesce on the row sum.
     val aggExprs = (0 until n).flatMap { j =>
-      Seq(sum(when(col("__ms") >= j, 1L).otherwise(0L)).as(s"__g$j"),
-        coalesce(sum(when(col("__ms") >= j, col("__cnt"))), lit(0L)).as(s"__r$j"))
+      Seq(count(when(col("__ms") >= j, lit(1))).as(s"__g$j"),
+        sum(when(col("__ms") >= j, col("__cnt")).otherwise(0L)).as(s"__r$j"))
     }
     val one = joined.agg(aggExprs.head, aggExprs.tail: _*)
     val stepStructs = (0 until n).map { j =>

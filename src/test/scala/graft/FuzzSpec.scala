@@ -691,19 +691,36 @@ class FuzzSpec extends SparkSpec {
 
     def evalOne(i: Int, q: GQuery): Seq[String] =
       try {
-        val planned = engine.runValidated(df, QueryParser.parse(q.json))
+        val parsed = QueryParser.parse(q.json)
+        val planned = engine.runValidated(df, parsed)
         if (planned.aggregations.size != q.aggSqls.size)
           return Seq(s"q$i: ${planned.aggregations.size} planned aggs vs " +
             s"${q.aggSqls.size} oracles\n${q.json}")
         if (planned.funnelAggregations.size != q.funnelAggSqls.size)
           return Seq(s"q$i: ${planned.funnelAggregations.size} planned funnel aggs vs " +
             s"${q.funnelAggSqls.size} oracles\n${q.json}")
+        // The counts-only funnel twin (SequenceMatch.funnelCounts) rides
+        // the SAME funnel oracle whenever the fuzzed funnel is in its
+        // domain (no negated steps): random steps × maxDuration × the
+        // condition-matched input — far broader than the unit test's one
+        // seed.
+        val fastFunnel = (parsed.funnel, q.funnelSql) match {
+          case (Some(f), Some(fsql)) if f.steps.forall(_.rowFound) =>
+            // Same oracle RESULT as q<i>_funnel (the twin's whole
+            // contract); only the label distinguishes which plan diverged.
+            check(s"q${i}_funnel",
+              graft.operators.SequenceMatch.funnelCounts(
+                planned.matchedRows, "user_id", "ts", f.steps, f.maxDuration),
+              fsql, q.json).map(m => s"[funnelCounts twin] $m")
+          case _ => Nil
+        }
         check(s"q${i}_summary", planned.summary, q.summarySql, q.json) ++
           planned.aggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_agg$k", adf, q.aggSqls(k), q.json)
           } ++
           q.funnelSql.toSeq.flatMap(fsql =>
             check(s"q${i}_funnel", planned.funnel.get, fsql, q.json)) ++
+          fastFunnel ++
           planned.funnelAggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_fagg$k", adf, q.funnelAggSqls(k), q.json)
           }

@@ -448,6 +448,19 @@ class OperatorsSpec extends SparkSpec {
     assert(fastD == winD)
     assert(winD(2)._1 < viaWindow(2)._1) // duration actually restricts
     assert(winD(1) != viaWindow(1) || winD(2) != viaWindow(2))
+
+    // Empty input (no group passed the upstream condition): the window
+    // plan yields (step, 0, NULL) — count_distinct over empty is 0, the
+    // row sum is NULL — and the twin must mirror it cell-for-cell
+    // (fuzz-caught: the first cut returned (step, NULL, 0)).
+    val empty = df.where(col("uid") < 0)
+    val winE = engine.run(empty, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(steps, None, Nil, Nil)))).funnel.get.collect()
+      .map(r => (r.getInt(0), r.get(1), r.get(2))).toSet
+    val fastE = graft.operators.SequenceMatch.funnelCounts(empty, "uid", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.get(1), r.get(2))).toSet
+    assert(fastE == winE)
+    assert(winE == Set((0, 0L, null), (1, 0L, null), (2, 0L, null)))
   }
 
   test("sequence aggregator handles dense groups (10k matching rows per step)") {
