@@ -502,6 +502,19 @@ class LibrarySpec extends SparkSpec {
       s"fast strip operator must shuffle only unit keys (<=3 exchanges), got $shuffles:\n$rawPlan")
   }
 
+  test("funnel twin plans without sorting the corpus") {
+    // funnelCounts' contract vs the window funnel (BENCH.md §Counts-only
+    // funnel twin): no Window, no Sort over event rows — two hash
+    // aggregates plus a group-sized join. The window plan necessarily
+    // sorts every partition for Window.partitionBy; a Sort appearing here
+    // means the twin regressed into that shape.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.FrQueries.queries("fr_funnel_fast")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      s"funnelCounts must not sort or window the corpus:\n$plan")
+  }
+
   test("job stats settle correctly for a >1000-task job") {
     // Regression: the settle loop must bound ITERATIONS, not the task count
     // — a 1200-task job previously could snapshot before events drained.
