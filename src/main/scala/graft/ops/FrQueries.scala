@@ -243,6 +243,18 @@ object FrQueries {
       None, Nil,
       Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
 
+    // The twin composed with a condition: the engine's condition pass
+    // yields matchedRows (the funnel's contractual input), funnelCounts
+    // consumes it — pinning deterministically what FuzzSpec's twin
+    // dimension checks on random condition × funnel draws. Shares
+    // fr_funnel_conditioned's oracle verbatim.
+    "fr_funnel_conditioned_fast" -> ((s, dir) =>
+      graft.operators.SequenceMatch.funnelCounts(
+        engine.run(ev(s, dir), GraftQuery(None,
+          Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 14))),
+          None, Nil, None)).matchedRows,
+        "user_id", "ts", valueSteps)),
+
     "fr_funnel_end_agg" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil,
         Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
@@ -380,7 +392,8 @@ object FrQueries {
       "fr_count_target_salted" -> base("fr_count_target"),
       "fr_count_target_capped" -> base("fr_count_target"),
       "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"),
-      "fr_funnel_fast" -> base("fr_funnel"))
+      "fr_funnel_fast" -> base("fr_funnel"),
+      "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
