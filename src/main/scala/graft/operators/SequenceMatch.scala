@@ -31,7 +31,10 @@ import graft.query.QueryAst.SequenceStep
  * 250M rows plus six window passes even when bucketing removes its
  * exchange, while this path sorts nothing and scans only the ~10%
  * candidate rows. The window plan stays the engine DEFAULT because it
- * covers negated steps (which this path rejects), feeds per-row flags
+ * covers all-negated sequences (which this path rejects — groups with
+ * no matching rows satisfy them but never reach a candidate
+ * aggregation; mixed negated steps ARE supported, one scalar max per
+ * step), feeds per-row flags
  * to downstream aggregations, and wins at small inputs (sf0.1: typed
  * aggregation's fixed overhead makes this ~20% slower). Rule: reach for
  * SequenceMatch on selective multi-step funnels at scale, either
@@ -63,43 +66,64 @@ object SequenceMatch {
     * capacity (amortized O(1)); merges concat exactly, so shuffled
     * partials carry no slack.
     *
-    * Step-0 prune: anchor 0 is the PLAIN min of step-0 timestamps (no
-    * preceding anchor to clear), so step-0 rows never enter the array —
-    * they fold into the scalar running min `s0Min` (`s0Has` guards the
-    * empty case; a sentinel would collide with a legitimate
-    * Long.MaxValue timestamp). Step 0 is typically a funnel's LEAST
-    * selective step ("view" before "click" before "purchase"), so this
-    * removes the largest per-step population from the buffers — later
-    * steps can't prune the same way because their anchors depend on
-    * which earlier timestamps exist at finish time. */
+    * Two scalar prunes keep whole step populations out of the array:
+    * - FIRST-ROWFOUND prune: the first rowFound step's anchor is the
+    *   PLAIN min of its timestamps (no preceding anchor to clear), so
+    *   its rows fold into the scalar running min `s0Min` (`s0Has`
+    *   guards the empty case; a sentinel would collide with a
+    *   legitimate Long.MaxValue timestamp). The leading step is
+    *   typically a funnel's LEAST selective ("view" before "click"
+    *   before "purchase"), so this removes the largest population —
+    *   later rowFound steps can't prune the same way because their
+    *   anchors depend on which earlier timestamps exist at finish time.
+    * - NEGATED-step prune: a rowFound:false step passes iff NO matching
+    *   row exists strictly after the previous rowFound anchor, which
+    *   only the MAX matching timestamp can witness — one scalar per
+    *   negated step (`negMax`/`negHas`, empty arrays when the sequence
+    *   has none), merged by elementwise max. Negated evidence rows
+    *   never enter the pair array at all. */
   final case class Buf(var data: Array[Long], var n: Int,
-                       var s0Min: Long, var s0Has: Boolean)
+                       var s0Min: Long, var s0Has: Boolean,
+                       var negMax: Array[Long], var negHas: Array[Boolean])
 
   /** Output: the highest step index the group's greedy anchor chain
-    * reaches (-1 when no step-0 row exists), with the per-step
+    * reaches (-1 when even step 0 fails), with the per-step
     * maxDuration cut applied as the chain extends. Sequence-boolean
     * callers test `== numSteps - 1` — identical to the old Boolean
-    * output because anchors are monotone in the step index, so a
-    * duration cut at the final anchor implies one at no earlier anchor
+    * output because rowFound anchors are monotone in the step index, so
+    * a duration cut at the final anchor implies one at no earlier anchor
     * and vice versa. Funnel callers read the whole value: step j's
     * population is every group with maxStep >= j (reference F1 prefix
-    * semantics — a failed step stops the group). */
-  private final class SeqAgg(numSteps: Int, maxDuration: Option[Long])
+    * semantics — a failed step stops the group). Negated steps follow
+    * sequenceCols/planFunnel exactly: no matching row strictly after the
+    * previous ROWFOUND anchor (any matching row at all when no rowFound
+    * step precedes), anchor unchanged, duration clock untouched. */
+  private final class SeqAgg(rowFound: Array[Boolean], maxDuration: Option[Long])
       extends Aggregator[(Long, Array[Boolean]), Buf, Int] {
+    private val numSteps = rowFound.length
+    private val firstFound = rowFound.indexOf(true) // >= 0 (require in caller)
+    private val hasNeg = rowFound.contains(false)
 
-    override def zero: Buf = Buf(Array.emptyLongArray, 0, 0L, false)
+    override def zero: Buf = Buf(Array.emptyLongArray, 0, 0L, false,
+      if (hasNeg) new Array[Long](numSteps) else Array.emptyLongArray,
+      if (hasNeg) new Array[Boolean](numSteps) else Array.emptyBooleanArray)
 
     override def reduce(b: Buf, row: (Long, Array[Boolean])): Buf = {
       val (ts, matches) = row
-      if (matches(0) && (!b.s0Has || ts < b.s0Min)) { b.s0Min = ts; b.s0Has = true }
-      var s = 1
+      var s = 0
       while (s < numSteps) {
         if (matches(s)) {
-          if (b.n + 2 > b.data.length)
-            b.data = java.util.Arrays.copyOf(b.data, math.max(8, b.data.length * 2))
-          b.data(b.n) = ts
-          b.data(b.n + 1) = s.toLong
-          b.n += 2
+          if (!rowFound(s)) {
+            if (!b.negHas(s) || ts > b.negMax(s)) { b.negMax(s) = ts; b.negHas(s) = true }
+          } else if (s == firstFound) {
+            if (!b.s0Has || ts < b.s0Min) { b.s0Min = ts; b.s0Has = true }
+          } else {
+            if (b.n + 2 > b.data.length)
+              b.data = java.util.Arrays.copyOf(b.data, math.max(8, b.data.length * 2))
+            b.data(b.n) = ts
+            b.data(b.n + 1) = s.toLong
+            b.n += 2
+          }
         }
         s += 1
       }
@@ -113,36 +137,58 @@ object SequenceMatch {
       a.data = out
       a.n += b.n
       if (b.s0Has && (!a.s0Has || b.s0Min < a.s0Min)) { a.s0Min = b.s0Min; a.s0Has = true }
+      if (hasNeg) {
+        var s = 0
+        while (s < numSteps) {
+          if (b.negHas(s) && (!a.negHas(s) || b.negMax(s) > a.negMax(s))) {
+            a.negMax(s) = b.negMax(s); a.negHas(s) = true
+          }
+          s += 1
+        }
+      }
       a
     }
 
     override def finish(b: Buf): Int = {
-      // Anchor 0 is the pruned scalar min; then one linear min-scan per
-      // remaining step instead of a per-step sort: anchor_s = min { ts
-      // tagged s : ts > anchor_{s-1} }. O(numSteps · candidates) per
-      // group with no allocation — cheaper than sorting for sparse
-      // groups and within a small factor of it for dense ones.
-      if (!b.s0Has) return -1
-      var anchor = b.s0Min
-      val first = b.s0Min
-      var reached = 0
-      var s = 1
+      // The first rowFound anchor is the pruned scalar min; later
+      // rowFound steps run one linear min-scan each instead of a
+      // per-step sort: anchor_s = min { ts tagged s : ts > anchor }.
+      // O(numSteps · candidates) per group with no allocation — cheaper
+      // than sorting for sparse groups and within a small factor of it
+      // for dense ones. Negated steps compare one scalar.
+      var anchor = 0L
+      var anchorSet = false
+      var first = 0L
+      var firstSet = false
+      var reached = -1
+      var s = 0
       while (s < numSteps) {
-        var best = 0L
-        var found = false
-        var i = 0
-        while (i < b.n) {
-          val ts = b.data(i)
-          if (b.data(i + 1) == s.toLong && ts > anchor &&
-              (!found || ts < best)) { best = ts; found = true }
-          i += 2
+        if (!rowFound(s)) {
+          // Fails iff a matching row exists after the previous rowFound
+          // anchor (any matching row at all when none precedes).
+          if (b.negHas(s) && (!anchorSet || b.negMax(s) > anchor)) return reached
+        } else if (s == firstFound) {
+          if (!b.s0Has) return reached
+          anchor = b.s0Min; anchorSet = true
+          first = b.s0Min; firstSet = true
+        } else {
+          var best = 0L
+          var found = false
+          var i = 0
+          while (i < b.n) {
+            val ts = b.data(i)
+            if (b.data(i + 1) == s.toLong && ts > anchor &&
+                (!found || ts < best)) { best = ts; found = true }
+            i += 2
+          }
+          if (!found) return reached
+          anchor = best
+          // Per-step duration cut on the greedy chain (planFunnel's
+          // withDuration, applied from the second rowFound anchor on);
+          // anchors are monotone, so the first failure is final for
+          // every later step too.
+          if (firstSet && maxDuration.exists(d => anchor - first > d)) return reached
         }
-        if (!found) return reached
-        anchor = best
-        // Per-step duration cut on the greedy chain (planFunnel's
-        // withDuration); anchors are monotone, so the first failure is
-        // final for every later step too.
-        if (maxDuration.exists(d => anchor - first > d)) return reached
         reached = s
         s += 1
       }
@@ -173,8 +219,9 @@ object SequenceMatch {
   private def maxStepReached(df: DataFrame, gidCol: String, tsCol: String,
                              steps: Seq[SequenceStep],
                              maxDuration: Option[Long]): DataFrame = {
-    require(steps.forall(_.rowFound),
-      "negated (rowFound=false) steps need visibility of non-matching rows; use the window plan")
+    require(steps.exists(_.rowFound),
+      "an all-negated sequence is satisfied by groups with NO matching rows, " +
+        "which never reach this aggregation; use the window plan")
     val spark = df.sparkSession
     import spark.implicits._
     val engine = new graft.engine.QueryEngine(graft.engine.DatasetSpec(gidCol, tsCol))
@@ -183,9 +230,12 @@ object SequenceMatch {
       col(gidCol).cast("long").as("g"),
       col(tsCol).cast("long").as("t"),
       array(preds.map(p => coalesce(p, lit(false))): _*).as("m"))
-      .where(expr("exists(m, x -> x)")) // drop rows matching no step pre-shuffle
+      // Drop rows matching no step pre-shuffle. Rows matching only a
+      // NEGATED step survive deliberately: they are the evidence that
+      // fails the step.
+      .where(expr("exists(m, x -> x)"))
       .as[(Long, Long, Array[Boolean])]
-    val agg = new SeqAgg(steps.size, maxDuration)
+    val agg = new SeqAgg(steps.map(_.rowFound).toArray, maxDuration)
     projected
       .groupByKey(_._1)
       .mapValues { case (_, t, m) => (t, m) }
@@ -209,7 +259,9 @@ object SequenceMatch {
     * corpus — one partial-aggregated count of all rows + the candidate
     * pass over step-matching rows only. Use for funnels WITHOUT step/end
     * aggregations (those need per-row flags, which only the window plan
-    * materializes) and without negated steps. Measured at 250M rows
+    * materializes); negated steps are supported so long as at least one
+    * step is rowFound (absent groups default to passing the leading
+    * negated prefix, matching the window plan). Measured at 250M rows
     * (BENCH.md §"Counts-only funnel twin"): 2.3× on the bucketed
     * layout, parity on plain parquet — and FLAT under a 30%-hot bot
     * group (14.1s vs the window funnel's 142.1s, 10×: the bot's count
@@ -223,8 +275,13 @@ object SequenceMatch {
     val maxStep = maxStepReached(df, gidCol, tsCol, steps, maxDuration)
     val counts = df.select(col(gidCol).cast("long").as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
+    // A group absent from the candidate pass has NO row matching any
+    // step, so it passes every LEADING negated step (nothing to witness
+    // against) and fails at the first rowFound one — default max-step
+    // firstFound - 1 (-1 when step 0 is rowFound).
+    val absentMs = steps.indexWhere(_.rowFound) - 1
     val joined = counts.join(maxStep, Seq("g"), "left")
-      .select(coalesce(col("__max_step"), lit(-1)).as("__ms"), col("__cnt"))
+      .select(coalesce(col("__max_step"), lit(absentMs)).as("__ms"), col("__cnt"))
     // Empty-input semantics must mirror planFunnel's aggregates exactly
     // (fuzz-caught): count over empty = 0 for step_groups (the window
     // plan's count_distinct), while sum(...otherwise(0)) over empty is

@@ -225,6 +225,21 @@ object FrQueries {
         SequenceStep(filters(eq("event_type", "purchase")))), None)),
       None, Nil, None)).summary),
 
+    // The Aggregator path with a negated step (r11: one scalar max per
+    // negated step — rows matching it are evidence, never array entries).
+    // Shares fr_seq_negated's oracle, same summary shape as
+    // fr_sequence_fast.
+    "fr_seq_negated_fast" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts",
+        Seq(SequenceStep(filters(eq("event_type", "view"))),
+          SequenceStep(filters(eq("event_type", "error"), gt("value", 150)), rowFound = false),
+          SequenceStep(filters(eq("event_type", "purchase")))))
+      e.join(groups, Seq("user_id"), "left_semi").agg(
+        count_distinct(col("user_id")).as("matching_groups"),
+        count(lit(1)).as("matching_group_rows"))
+    }),
+
     "fr_funnel" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
 
@@ -392,6 +407,7 @@ object FrQueries {
       "fr_count_target_salted" -> base("fr_count_target"),
       "fr_count_target_capped" -> base("fr_count_target"),
       "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"),
+      "fr_seq_negated_fast" -> base("fr_seq_negated"),
       "fr_funnel_fast" -> base("fr_funnel"),
       "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"))
   }

@@ -461,6 +461,38 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.get(1), r.get(2))).toSet
     assert(fastE == winE)
     assert(winE == Set((0, 0L, null), (1, 0L, null), (2, 0L, null)))
+
+    // Negated steps (r11: scalar-max evidence, no array entries). Middle
+    // negated: view, then NO "other" afterwards, then buy.
+    val negSteps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("other"))),
+        rowFound = false),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+    val winNeg = asMap(engine.run(df, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(negSteps, None, Nil, Nil)))).funnel.get)
+    val fastNeg = asMap(
+      graft.operators.SequenceMatch.funnelCounts(df, "uid", "ts", negSteps))
+    assert(fastNeg == winNeg)
+    assert(winNeg(1)._1 < winNeg(0)._1) // the negated step actually cuts
+    val aggNeg = graft.operators.SequenceMatch.matchingGroups(df, "uid", "ts", negSteps)
+      .collect().map(_.getLong(0)).toSet
+    val winNegGroups = engine.run(df,
+      GraftQuery(None, Seq(Condition.Sequence(None, negSteps, None)), None, Nil, None))
+      .matchedRows.select("uid").distinct().collect().map(_.getLong(0)).toSet
+    assert(aggNeg == winNegGroups && aggNeg.nonEmpty)
+
+    // LEADING negated step: groups with no matching rows at all must pass
+    // step 0 (nothing witnesses against it) — the absent-group default.
+    val leadNeg = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("other"))),
+        rowFound = false),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+    val winLead = asMap(engine.run(df, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(leadNeg, None, Nil, Nil)))).funnel.get)
+    val fastLead = asMap(
+      graft.operators.SequenceMatch.funnelCounts(df, "uid", "ts", leadNeg))
+    assert(fastLead == winLead)
   }
 
   test("sequence aggregator handles dense groups (10k matching rows per step)") {
