@@ -63,8 +63,10 @@ object SequenceMatch {
     * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
     * object + one array and serializes as a single primitive-array
     * column — no object graph, no Kryo copy buffers. Appends double
-    * capacity (amortized O(1)); merges concat exactly, so shuffled
-    * partials carry no slack.
+    * capacity (amortized O(1)), so a reduce-side partial's array carries
+    * up to 2× slack when serialized (the product encoder ships the full
+    * array — an Aggregator can't trim before emit); merge outputs concat
+    * exactly, so only they are slack-free.
     *
     * Two scalar prunes keep whole step populations out of the array:
     * - FIRST-ROWFOUND prune: the first rowFound step's anchor is the
@@ -201,7 +203,16 @@ object SequenceMatch {
 
   /** Group ids (column `gid`) whose rows satisfy the step sequence. Rows
     * matching no step are filtered out BEFORE the aggregation, so the
-    * shuffle carries only candidate rows. */
+    * shuffle carries only candidate rows.
+    *
+    * Column contract (enforced, fails loudly): the group id must be an
+    * integral or string column — the reference's int-or-string gid
+    * contract (frocket registration_task_runner.py:85-92) — and the
+    * timestamp must be integral (a float/decimal ts would silently
+    * truncate under this path's long buffers; the engine's window plan
+    * handles float timestamps natively). Both must be non-null — the
+    * catalog's registration validation enforces exactly that dataset
+    * contract. */
   def matchingGroups(df: DataFrame, gidCol: String, tsCol: String,
                      steps: Seq[SequenceStep],
                      maxDuration: Option[Long] = None): DataFrame = {
@@ -211,36 +222,71 @@ object SequenceMatch {
       .select(col("g").as(gidCol))
   }
 
+  /** The validated group-id key expression: integral gids key as long,
+    * string gids key natively (the reference's int-or-string contract).
+    * Anything else — notably a float/decimal gid, or a type whose
+    * `cast("long")` would silently null out and collapse every group
+    * into one — fails loudly here instead of returning wrong answers. */
+  private def gidKey(df: DataFrame, gidCol: String) = {
+    import org.apache.spark.sql.types._
+    df.schema(df.schema.fieldIndex(gidCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(gidCol).cast("long")
+      case StringType      => col(gidCol)
+      case other => throw new IllegalArgumentException(
+        s"SequenceMatch group id column '$gidCol' must be integral or string " +
+          s"(the reference's gid contract), is ${other.simpleString} — a lossy " +
+          "long cast would silently merge groups; use the engine's window plan " +
+          "or cast the column explicitly first")
+    }
+  }
+
   /** Per candidate group, the highest funnel step its greedy anchor chain
     * reaches: (g, __max_step). Groups with no row matching any step are
     * absent (they never survive the pre-shuffle candidate filter).
     * Requires non-null group ids and timestamps — the catalog's
-    * registration validation enforces exactly that dataset contract. */
+    * registration validation enforces exactly that dataset contract.
+    * Gid must be integral (keyed as long) or string (keyed natively);
+    * ts must be integral — both checked up front so misuse errors
+    * instead of silently collapsing groups / truncating timestamps. */
   private def maxStepReached(df: DataFrame, gidCol: String, tsCol: String,
                              steps: Seq[SequenceStep],
                              maxDuration: Option[Long]): DataFrame = {
     require(steps.exists(_.rowFound),
       "an all-negated sequence is satisfied by groups with NO matching rows, " +
         "which never reach this aggregation; use the window plan")
+    import org.apache.spark.sql.types._
+    val tsType = df.schema(df.schema.fieldIndex(tsCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(tsType),
+      s"SequenceMatch timestamp column '$tsCol' must be integral, is " +
+        s"${tsType.simpleString} — the long buffer would truncate a float/" +
+        "decimal ts; the engine's window plan handles those natively")
     val spark = df.sparkSession
     import spark.implicits._
     val engine = new graft.engine.QueryEngine(graft.engine.DatasetSpec(gidCol, tsCol))
     val preds = steps.map(s => s.filters.map(engine.compileFilter).reduce(_ && _))
+    val agg = new SeqAgg(steps.map(_.rowFound).toArray, maxDuration)
+    // Drop rows matching no step pre-shuffle. Rows matching only a
+    // NEGATED step survive deliberately: they are the evidence that
+    // fails the step.
     val projected = df.select(
-      col(gidCol).cast("long").as("g"),
+      gidKey(df, gidCol).as("g"),
       col(tsCol).cast("long").as("t"),
       array(preds.map(p => coalesce(p, lit(false))): _*).as("m"))
-      // Drop rows matching no step pre-shuffle. Rows matching only a
-      // NEGATED step survive deliberately: they are the evidence that
-      // fails the step.
       .where(expr("exists(m, x -> x)"))
-      .as[(Long, Long, Array[Boolean])]
-    val agg = new SeqAgg(steps.map(_.rowFound).toArray, maxDuration)
-    projected
-      .groupByKey(_._1)
-      .mapValues { case (_, t, m) => (t, m) }
-      .agg(agg.toColumn.name("__max_step"))
-      .toDF("g", "__max_step")
+    df.schema(df.schema.fieldIndex(gidCol)).dataType match {
+      case StringType =>
+        projected.as[(String, Long, Array[Boolean])]
+          .groupByKey(_._1)
+          .mapValues { case (_, t, m) => (t, m) }
+          .agg(agg.toColumn.name("__max_step"))
+          .toDF("g", "__max_step")
+      case _ =>
+        projected.as[(Long, Long, Array[Boolean])]
+          .groupByKey(_._1)
+          .mapValues { case (_, t, m) => (t, m) }
+          .agg(agg.toColumn.name("__max_step"))
+          .toDF("g", "__max_step")
+    }
   }
 
   /** Counts-only funnel twin of the engine's window-stack funnel
@@ -267,13 +313,18 @@ object SequenceMatch {
     * group (14.1s vs the window funnel's 142.1s, 10×: the bot's count
     * partials compress and only its candidate rows reach one merge),
     * making this the funnel-shaped skew escape hatch alongside
-    * [[graft.operators.Skew.saltedSumCount]] for C1 summaries. */
+    * [[graft.operators.Skew.saltedSumCount]] for C1 summaries.
+    *
+    * Column contract (enforced, fails loudly — same as
+    * [[matchingGroups]]): gid integral or string, ts integral, both
+    * non-null. A float/decimal gid or ts throws up front rather than
+    * silently collapsing groups under a lossy long cast. */
   def funnelCounts(df: DataFrame, gidCol: String, tsCol: String,
                    steps: Seq[SequenceStep],
                    maxDuration: Option[Long] = None): DataFrame = {
     val n = steps.size
     val maxStep = maxStepReached(df, gidCol, tsCol, steps, maxDuration)
-    val counts = df.select(col(gidCol).cast("long").as("g"))
+    val counts = df.select(gidKey(df, gidCol).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
     // A group absent from the candidate pass has NO row matching any
     // step, so it passes every LEADING negated step (nothing to witness

@@ -194,6 +194,45 @@ object FrQueries {
         count(lit(1)).as("matching_group_rows"))
     }),
 
+    // The reference's gid contract includes STRING group ids
+    // (registration_task_runner.py:85-92); until r12 no battery row
+    // proved either plan handles them. Window plan over non-numeric
+    // "u<id>" gids — a surviving lossy long cast anywhere would null
+    // every gid and collapse the counts. Counts are gid-representation-
+    // invariant, so this shares fr_sequence's oracle verbatim.
+    "fr_sequence_stringgid" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("uid_s", concat(lit("u"), col("user_id").cast("string")))
+      new QueryEngine(DatasetSpec("uid_s", "ts")).run(e, GraftQuery(None,
+        Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
+    }),
+
+    // The Aggregator path on the same string gids (r12: native string
+    // keying — previously a silent long-cast hazard, now either keyed
+    // natively or rejected loudly). Shares fr_sequence's oracle; summary
+    // shape as fr_sequence_fast.
+    "fr_sequence_fast_stringgid" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("uid_s", concat(lit("u"), col("user_id").cast("string")))
+      val groups = graft.operators.SequenceMatch.matchingGroups(e, "uid_s", "ts", valueSteps)
+      e.join(groups, Seq("uid_s"), "left_semi").agg(
+        count_distinct(col("uid_s")).as("matching_groups"),
+        count(lit(1)).as("matching_group_rows"))
+    }),
+
+    // Float timestamps (the reference allows float epoch ts; SURVEY
+    // §1.2): the window plan compares ts natively with no cast. ts as
+    // DOUBLE milliseconds — exact below 2^53, and the millisecond
+    // truncation creates the identical tie structure in both engines,
+    // so the strict-after chain is deterministic. Own oracle (the tie
+    // structure differs from fr_sequence's nanos).
+    "fr_sequence_floatts" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("ts_f", expr("ts div 1000000").cast("double"))
+      new QueryEngine(DatasetSpec("user_id", "ts_f")).run(e, GraftQuery(None,
+        Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
+    }),
+
     "fr_seq_maxduration" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,
       Seq(Condition.Sequence(None, Seq(
         SequenceStep(filters(eq("event_type", "view"))),
@@ -406,6 +445,8 @@ object FrQueries {
     base ++ Map(
       "fr_count_target_salted" -> base("fr_count_target"),
       "fr_count_target_capped" -> base("fr_count_target"),
+      "fr_sequence_stringgid" -> base("fr_sequence"),
+      "fr_sequence_fast_stringgid" -> base("fr_sequence"),
       "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"),
       "fr_seq_negated_fast" -> base("fr_seq_negated"),
       "fr_funnel_fast" -> base("fr_funnel"),
@@ -508,6 +549,15 @@ object FrQueries {
 
     "fr_sequence_fast" ->
       s"""$SEQ_CTES,
+         |m AS (SELECT user_id FROM s2)
+         |$SUMMARY""".stripMargin,
+
+    // Millisecond-truncated DOUBLE timestamps: same step chain, the tie
+    // structure of tl is the millis one on both sides.
+    "fr_sequence_floatts" ->
+      s"""WITH e AS (SELECT user_id, event_type, CAST(epoch_ns(ts) // 1000000 AS DOUBLE) AS tl,
+         |           CAST(value AS DECIMAL(20,4)) AS value FROM events),
+         |$SEQ_STEPS,
          |m AS (SELECT user_id FROM s2)
          |$SUMMARY""".stripMargin,
 

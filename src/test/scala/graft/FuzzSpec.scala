@@ -708,10 +708,21 @@ class FuzzSpec extends SparkSpec {
           case (Some(f), Some(fsql)) if f.steps.exists(_.rowFound) =>
             // Same oracle RESULT as q<i>_funnel (the twin's whole
             // contract); only the label distinguishes which plan diverged.
+            // Every third draw runs the twin over a NON-NUMERIC STRING
+            // gid ("u<id>") — funnel counts are gid-representation-
+            // invariant, so the oracle is unchanged, but any surviving
+            // lossy long cast (the r11 silent-collapse hazard) would
+            // null every gid and blow the counts.
+            val (input, gidCol, label) =
+              if (i % 3 == 0)
+                (planned.matchedRows.withColumn("__gid_s",
+                  concat(lit("u"), col("user_id").cast("string"))),
+                  "__gid_s", "funnelCounts twin, string gid")
+              else (planned.matchedRows, "user_id", "funnelCounts twin")
             check(s"q${i}_funnel",
               graft.operators.SequenceMatch.funnelCounts(
-                planned.matchedRows, "user_id", "ts", f.steps, f.maxDuration),
-              fsql, q.json).map(m => s"[funnelCounts twin] $m")
+                input, gidCol, "ts", f.steps, f.maxDuration),
+              fsql, q.json).map(m => s"[$label] $m")
           case _ => Nil
         }
         check(s"q${i}_summary", planned.summary, q.summarySql, q.json) ++

@@ -527,6 +527,61 @@ class OperatorsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("SequenceMatch gid/ts contract: string gids work natively, lossy types fail loudly") {
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(29)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 1500).map { i =>
+      Map[String, Any]("uid" -> (i % 61).toLong, "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val steps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+
+    // String gid: non-numeric values ("u<i>") so any surviving long cast
+    // would null ALL of them out (the r11 silent-collapse hazard). The
+    // matched set must be exactly the long run's set, renamed.
+    val sdf = df.withColumn("uid", concat(lit("u"), col("uid").cast("string")))
+    val viaLong = graft.operators.SequenceMatch.matchingGroups(df, "uid", "ts", steps)
+      .collect().map(_.getLong(0)).toSet
+    val viaString = graft.operators.SequenceMatch.matchingGroups(sdf, "uid", "ts", steps)
+      .collect().map(_.getString(0)).toSet
+    assert(viaString == viaLong.map(g => s"u$g"))
+    assert(viaString.nonEmpty && viaString.size < 61) // discriminates
+
+    // funnelCounts over string gids: gid representation must not change
+    // any count — compare cell-for-cell with the long-gid run.
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fcLong = asMap(graft.operators.SequenceMatch.funnelCounts(df, "uid", "ts", steps))
+    val fcString = asMap(graft.operators.SequenceMatch.funnelCounts(sdf, "uid", "ts", steps))
+    assert(fcString == fcLong)
+
+    // Lossy gid types fail loudly instead of silently collapsing groups.
+    val dblGid = df.withColumn("uid", col("uid").cast("double"))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.SequenceMatch.matchingGroups(dblGid, "uid", "ts", steps)
+    }
+    assert(e1.getMessage.contains("must be integral or string"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.SequenceMatch.funnelCounts(dblGid, "uid", "ts", steps)
+    }
+    assert(e2.getMessage.contains("must be integral or string"))
+
+    // Float timestamps would truncate under the long buffer: rejected.
+    val dblTs = df.withColumn("ts", col("ts").cast("double"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.SequenceMatch.matchingGroups(dblTs, "uid", "ts", steps)
+    }
+    assert(e3.getMessage.contains("must be integral"))
+  }
+
   test("chunking invariants hold on random docs (reconstruction, bounds)") {
     val rnd = new scala.util.Random(19)
     val (size, overlap) = (7, 3)
