@@ -71,6 +71,10 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // Stop state-store maintenance BEFORE the session: a streaming query's
+    // maintenance thread racing spark.stop() logs a harmless-but-noisy
+    // "SparkEnv not active" WARN stack into the driver's captured tail.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

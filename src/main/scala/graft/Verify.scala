@@ -69,6 +69,9 @@ object Verify {
         failed.keys.mkString(", "))
     } else
       System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+    // Stop state-store maintenance BEFORE the session (see Bench: avoids
+    // the shutdown-race "SparkEnv not active" WARN in captured output).
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

@@ -87,7 +87,11 @@ final class QueryEngine(spec: DatasetSpec,
     * the corpus reaches `Window.partitionBy(gid)` at ~n rows instead of
     * serializing its full share into one task (the measured 5.2× bound in
     * the class doc). `rowIdColumn` seeds the per-row keep draw and must
-    * be ~unique per row (the events schema's event id).
+    * be ~unique per row AND NON-NULL (the events schema's event id): the
+    * keep predicate hashes it, and a null hash evaluates to null and
+    * DROPS the row even in an under-cap group — so the bit-identical
+    * guarantee below is conditional on the id column's null-free
+    * contract.
     *
     * SEMANTICS: groups with ≤ n rows (within the query's timeframe) are
     * untouched — set n above the max plausible real-user group size and

@@ -622,12 +622,18 @@ object Dedup {
     * Output schema and semantics are identical to [[stripBoilerplate]]
     * (OperatorsSpec pins equality; the battery twin shares its DuckDB
     * oracle verbatim). Membership is compared on the unit STRING, not a
-    * hash, so the fast path is exact with no collision caveat. Use the
-    * unit path instead when minDf is tiny relative to the corpus (minDf
-    * = 2 over single tokens makes "boilerplate" the whole repeated
-    * vocabulary and the broadcast bound meaningless). */
+    * hash, so the fast path is exact with no collision caveat.
+    *
+    * Runtime-guarded (r12): the totalUnits/minDf bound above only holds
+    * when minDf is corpus-proportional — minDf = 2 over single tokens
+    * makes "boilerplate" the whole repeated vocabulary and the collect
+    * would OOM the driver. So the boilerplate set is counted FIRST (one
+    * narrow unit-key aggregate, cached so the collect pass reuses it)
+    * and anything above `maxBroadcastUnits` falls back to the
+    * three-exchange unit path — same results, safe by construction. */
   def stripBoilerplateFast(docs: DataFrame, idCol: String, textCol: String,
-                           minDf: Long, sep: String = "\n"): DataFrame = {
+                           minDf: Long, sep: String = "\n",
+                           maxBroadcastUnits: Long = 1L << 20): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every unit")
     // Null text: posexplode in the unit path emits no rows, so the doc is
     // absent from its output — mirror that here rather than emitting a
@@ -635,10 +641,17 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), sep).as("__toks"))
       .where(col("__toks").isNotNull)
-    val boil = toks.select(col("doc_id"), explode(col("__toks")).as("unit"))
-      .groupBy(col("unit")).agg(countDistinct(col("doc_id")).as("__df"))
-      .where(col("__df") >= minDf)
-      .agg(sort_array(collect_list(col("unit"))).as("__boil"))
+    // The FILTERED set is what gets cached: tiny when minDf is healthy
+    // (the broadcast bound), and counting it costs one aggregate pass
+    // that the collect below then reads back from cache.
+    val boilSet = graft.util.Caches.retain(
+      toks.select(col("doc_id"), explode(col("__toks")).as("unit"))
+        .groupBy(col("unit")).agg(countDistinct(col("doc_id")).as("__df"))
+        .where(col("__df") >= minDf)
+        .select(col("unit")))
+    if (boilSet.count() > maxBroadcastUnits)
+      return stripBoilerplate(docs, idCol, textCol, minDf, sep)
+    val boil = boilSet.agg(sort_array(collect_list(col("unit"))).as("__boil"))
     toks.crossJoin(broadcast(boil))
       .select(col("doc_id"), col("__toks"),
         filter(col("__toks"),

@@ -487,19 +487,26 @@ class LibrarySpec extends SparkSpec {
       s"fast strip must broadcast the boilerplate set:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"fast strip must not shuffle-join the document side:\n$plan")
-    // Shuffle exchanges, all unit-key-sized: the countDistinct expands to
-    // a (unit, doc_id) dedup exchange + a per-unit count exchange, and the
-    // collect_list gather adds a single-row SinglePartition move — exactly
-    // three, none carrying document rows. A fourth exchange means the
-    // document side started shuffling again (the 28 GB regression).
+    // r12: the boilerplate set is counted FIRST (the broadcast-bound
+    // runtime guard) and cached, so by rebuild time the unit-key
+    // aggregate's exchanges — the countDistinct's (unit, doc_id) dedup +
+    // per-unit count — have already run inside the guard pass and only
+    // replay from the InMemoryRelation. The LIVE plan may carry exactly
+    // one shuffle: the single-row collect_list gather. Truncating at the
+    // first InMemoryRelation line is sound here because the cache sits
+    // in the broadcast branch, which this plan prints last; exchanges
+    // after it are the cached subtree's replay-only copies.
     val raw = graft.operators.Dedup.stripBoilerplateFast(
       graft.ops.Tables.documents(spark, dir), "doc_id", "text",
       minDf = 400, sep = " ")
     val rawPlan = raw.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("InMemoryRelation"),
+      s"guard pass must cache the boilerplate set for the collect to reuse:\n$rawPlan")
+    val livePlan = rawPlan.split("InMemoryRelation")(0)
     val shuffles = "Exchange (hashpartitioning|SinglePartition)"
-      .r.findAllIn(rawPlan).size
-    assert(shuffles <= 3,
-      s"fast strip operator must shuffle only unit keys (<=3 exchanges), got $shuffles:\n$rawPlan")
+      .r.findAllIn(livePlan).size
+    assert(shuffles <= 1,
+      s"fast strip's live plan may shuffle only the single-row gather (<=1 exchange), got $shuffles:\n$rawPlan")
   }
 
   test("funnel twin plans without sorting the corpus") {

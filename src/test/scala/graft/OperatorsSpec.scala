@@ -116,6 +116,21 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast LUT join in:\n$plan")
     assert(!plan.contains("SortAggregate"), s"rebuild must not sort-aggregate:\n$plan")
+
+    // Runtime guard (r12): a boilerplate set above maxBroadcastUnits must
+    // NOT be collected/broadcast — the call falls back to the unit path
+    // (no broadcast LUT join in the plan) with identical results, so a
+    // careless minDf can't OOM the driver.
+    val guarded = Dedup.stripBoilerplateFast(d, "doc_id", "text", 2,
+      maxBroadcastUnits = 0L)
+    val gPlan = guarded.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("BroadcastNestedLoopJoin"),
+      s"guard must route to the unit path, not the broadcast LUT:\n$gPlan")
+    val gRows = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    val uRows = Dedup.stripBoilerplate(d, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(gRows.toSeq == uRows.toSeq)
   }
 
   test("banding advisor: pins the measured calibration points, scales monotonically, holds recall") {
