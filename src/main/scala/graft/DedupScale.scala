@@ -22,7 +22,9 @@ import org.apache.spark.storage.StorageLevel
  * are guaranteed LSH candidates, near pairs probabilistically (that recall
  * is measured by the battery's oracle rows, not here).
  *
- * Args: doc counts (default 100000, 1000000); `--fast` switches the
+ * Args: doc counts (default 100000, 1000000); `--narrow` pins the
+ * battery's (8,4) banding instead of the `suggestBanding` default
+ * (r12 — the advisor is the production entry point); `--fast` switches the
  * signature/bucket hash family to codegen'd xxhash64 (the 100 TB
  * configuration — see minHashSignature's scaladoc; the md5 family stays on
  * every oracle-gated battery row).
@@ -30,7 +32,8 @@ import org.apache.spark.storage.StorageLevel
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val fastHash = args.contains("--fast")
-    val sizeArgs = args.toSeq.filterNot(_ == "--fast")
+    val narrowBands = args.contains("--narrow")
+    val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong)
                 else Seq(100000L, 1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -48,6 +51,11 @@ object DedupScale {
     }
 
     sizes.foreach { n =>
+      // Banding from the advisor by default (the production entry point —
+      // PipelineScale adopted it in r11; `--narrow` pins the battery's
+      // (8,4) to reproduce the background-collision collapse shapes).
+      val (bandK, bandRows) =
+        if (narrowBands) (8, 4) else operators.Dedup.suggestBanding(n, 0.97)
       val corpus = spark.range(n)
         .select(col("id").as("doc_id"), expr(
           "CASE WHEN id % 10 IN (1, 2) THEN id - id % 10 ELSE id END").as("__seed"),
@@ -62,7 +70,7 @@ object DedupScale {
 
       val (sig, sigSec) = timed {
         val s = operators.Dedup.minHashSignature(
-          operators.Dedup.charShingles(corpus, "doc_id", "text", 5), k = 8,
+          operators.Dedup.charShingles(corpus, "doc_id", "text", 5), k = bandK,
           fastHash = fastHash)
           .persist(StorageLevel.MEMORY_AND_DISK)
         s.count()
@@ -70,7 +78,8 @@ object DedupScale {
       }
       val ((pairs, nPairs), candSec) = timed {
         val p = operators.Dedup.lshCandidates(
-          operators.Dedup.lshBuckets(sig, k = 8, rowsPerBand = 4, fastHash = fastHash))
+          operators.Dedup.lshBuckets(sig, k = bandK, rowsPerBand = bandRows,
+            fastHash = fastHash))
           .persist(StorageLevel.MEMORY_AND_DISK)
         (p, p.count())
       }
@@ -78,7 +87,7 @@ object DedupScale {
         val (labels, r) = operators.Dedup.componentsWithRounds(pairs)
         (labels.select("label").distinct().count(), r)
       }
-      println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", "sig_sec": $sigSec%.2f, """ +
+      println(f"""{"docs": $n, "hash": "${if (fastHash) "xxhash64" else "md5"}", "bands": "k=$bandK/rows=$bandRows", "sig_sec": $sigSec%.2f, """ +
         f""""sig_docs_per_sec_core": ${n / sigSec / cpus}%.0f, """ +
         f""""cand_sec": $candSec%.2f, "pairs": $nPairs, """ +
         f""""comp_sec": $compSec%.2f, "clusters": $nClusters, "rounds": $rounds}""")

@@ -670,6 +670,18 @@ class FuzzSpec extends SparkSpec {
     // ---- Spark side + comparison
     val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
     val df = fuzzFrame.cache()
+    // STRING-GID dimension (r12): every fifth query runs the ENTIRE
+    // engine surface — conditions, relations, sequences, aggregations,
+    // funnels — over the same frame with user_id as a non-numeric
+    // string ("u<id>"). The reference's gid contract is int-or-string
+    // (registration_task_runner.py:85-92) and every fuzz oracle is
+    // gid-representation-invariant (no generated aggregation emits gid
+    // VALUES, only counts over event columns), so the DuckDB results
+    // are reused verbatim. Any lossy gid cast anywhere in the window
+    // plan would null the ids and blow every count.
+    val dfS = fuzzFrame
+      .withColumn("user_id", concat(lit("u"), col("user_id").cast("string")))
+      .cache()
     def check(qid: String, sparkDf: DataFrame, sql: String, json: String): Seq[String] = {
       val got = canonRows(sparkDf.collect().toIndexedSeq.map(_.toSeq.map(sparkCell)))
       duck.get(qid) match {
@@ -692,7 +704,7 @@ class FuzzSpec extends SparkSpec {
     def evalOne(i: Int, q: GQuery): Seq[String] =
       try {
         val parsed = QueryParser.parse(q.json)
-        val planned = engine.runValidated(df, parsed)
+        val planned = engine.runValidated(if (i % 5 == 0) dfS else df, parsed)
         if (planned.aggregations.size != q.aggSqls.size)
           return Seq(s"q$i: ${planned.aggregations.size} planned aggs vs " +
             s"${q.aggSqls.size} oracles\n${q.json}")
@@ -755,7 +767,7 @@ class FuzzSpec extends SparkSpec {
         finally pool.shutdown()
       assert(failures.isEmpty,
         s"${failures.size} of $N fuzzed queries diverged (seed=$Seed):\n\n${failures.take(10).mkString("\n\n")}")
-    } finally df.unpersist()
+    } finally { df.unpersist(); dfS.unpersist() }
   }
 
   test("300 randomized invalid queries are rejected by parse + validation") {
