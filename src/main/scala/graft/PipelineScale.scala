@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
  *    glue unrelated docs at scale regardless of boilerplate (measured:
  *    (8,4) at 10M keeps 59% with OR without strip — the r10 attribution
  *    of this to the ' zz9' suffix was wrong). Fix: size bands with
- *    `Dedup.suggestBanding(n, 0.97)` ((8,4) at 5k, (16,8) at 10M).
+ *    `Dedup.suggestBanding(n, 0.97)` ((8,4) at 5k, (16,8) at 10M —
+ *    and its plateau held at 50M: 80.41% keep, r12).
  *  - BOILERPLATE RECALL LOSS: when shared chrome is a large share of
  *    each doc's shingle set (--heavyboiler: a 30-token footer on
  *    40-token docs, on every EVEN id), copies that differ only in

@@ -118,10 +118,15 @@ object Dedup {
     * (keep rate 80% → 59%, identical with and without boilerplate
     * stripping — the r11 matrix) while (k=16, rows=8) restores 80.4% —
     * and this formula with the default J_bg = 0.15 returns exactly those
-    * two choices at those two sizes. Background similarity 0.15 reflects
-    * structured shingle spaces (shared char patterns across unrelated
-    * docs); raise it toward 0.3 for very templated corpora, which widens
-    * bands sooner.
+    * two choices at those two sizes. THIRD measured point (r12): the
+    * formula's plateau — (16,8) is returned up to the next growth step
+    * at ~66M docs — verified at 50M docs: keep rate 80.41%, the planted
+    * rate again, with the candidate shuffle linear in n (21.8 GB vs
+    * 4.1 GB at 10M). The (27,9) step beyond ~66M is the current
+    * extrapolation frontier (untested). Background similarity 0.15
+    * reflects structured shingle spaces (shared char patterns across
+    * unrelated docs); raise it toward 0.3 for very templated corpora,
+    * which widens bands sooner.
     *
     * Use the result as `minHashSignature(sh, k)` + `lshBuckets(sig, k,
     * rowsPerBand)`. Widening bands does NOT substitute for

@@ -134,11 +134,16 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("banding advisor: pins the measured calibration points, scales monotonically, holds recall") {
-    // The two measured keep-rate points (BENCH.md §PipelineScale): the
-    // battery's (8,4) at 5k docs, and the (16,8) that restored 80.4% at
-    // 10M where (8,4) collapsed.
+    // The three measured keep-rate points (BENCH.md §PipelineScale): the
+    // battery's (8,4) at 5k docs, the (16,8) that restored 80.4% at 10M
+    // where (8,4) collapsed, and (16,8)'s plateau verified at 50M (r12:
+    // 80.41% keep — the advisor holds its choice until the next growth
+    // step at ~66M, where it widens to (27,9), the current untested
+    // extrapolation frontier).
     assert(Dedup.suggestBanding(5000L, 0.97) == ((8, 4)))
     assert(Dedup.suggestBanding(10000000L, 0.97) == ((16, 8)))
+    assert(Dedup.suggestBanding(50000000L, 0.97) == ((16, 8)))
+    assert(Dedup.suggestBanding(100000000L, 0.97) == ((27, 9)))
     // Rows per band never shrink as the corpus grows (false-positive
     // suppression is monotone in n).
     val sizes = Seq(1000L, 5000L, 50000L, 500000L, 5000000L, 50000000L, 500000000L)
