@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
  *    exactly, and costs less than the recall it buys (strip+dedup 68 s
  *    vs 74 s dedup alone on the chrome corpus).
  * Flags: `--nostrip` skips the strip stage; `--narrow` forces the
- * battery's (8,4) at any size; `--heavyboiler` plants the dominating
- * footer.
+ * battery's (8,4) at any size; `--bands=K,R` pins an arbitrary banding
+ * (r12: used to test whether the advisor's (27,9) step past ~66M docs
+ * is necessary, by running the pre-step (16,8) beyond it);
+ * `--heavyboiler` plants the dominating footer.
  *
  * Corpus shape is DedupScale's cluster structure (40 tokens per doc, ~20%
  * of docs in 3-doc exact/near-dup clusters) plus ~3% two-token junk docs
@@ -73,9 +75,15 @@ object PipelineScale {
     spark.sparkContext.setLogLevel("WARN")
     import graft.result.JobStats
 
+    val pinnedBands = args.collectFirst {
+      case a if a.startsWith("--bands=") =>
+        val Array(k, r) = a.stripPrefix("--bands=").split(",").map(_.trim.toInt)
+        (k, r)
+    }
+
     sizes.foreach { n =>
-      val (bandK, bandRows) =
-        if (narrowBands) (8, 4) else operators.Dedup.suggestBanding(n, 0.97)
+      val (bandK, bandRows) = pinnedBands.getOrElse(
+        if (narrowBands) (8, 4) else operators.Dedup.suggestBanding(n, 0.97))
       val root = s"/tmp/graft_pipescale/$n"
       // ---- generate (untimed): 40-token docs; ids %10 in (1,2) duplicate
       // /near-duplicate their decade head; ids %37 == 3 are 2-token junk.

@@ -134,12 +134,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("banding advisor: pins the measured calibration points, scales monotonically, holds recall") {
-    // The three measured keep-rate points (BENCH.md §PipelineScale): the
+    // The measured keep-rate points (BENCH.md §PipelineScale): the
     // battery's (8,4) at 5k docs, the (16,8) that restored 80.4% at 10M
-    // where (8,4) collapsed, and (16,8)'s plateau verified at 50M (r12:
-    // 80.41% keep — the advisor holds its choice until the next growth
-    // step at ~66M, where it widens to (27,9), the current untested
-    // extrapolation frontier).
+    // where (8,4) collapsed, (16,8)'s plateau verified at 50M (80.41%),
+    // and the first growth step probed from both sides at 70M (r12:
+    // advisor's (27,9) keeps 80.30% — planted rate, higher near-dup
+    // recall; pinned (16,8) keeps 80.42% — the step is measured
+    // conservative, never a wrong answer).
     assert(Dedup.suggestBanding(5000L, 0.97) == ((8, 4)))
     assert(Dedup.suggestBanding(10000000L, 0.97) == ((16, 8)))
     assert(Dedup.suggestBanding(50000000L, 0.97) == ((16, 8)))
