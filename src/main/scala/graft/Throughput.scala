@@ -60,6 +60,13 @@ object Throughput {
     // SequenceMatch Aggregator — the head-to-head that decides which
     // implementation to reach for on long funnels (BENCH.md §Sequence
     // at reference scale).
+    // "sequence-stringgid" / "sequence-fast-stringgid" = the same two
+    // plans keyed by a derived NON-NUMERIC STRING gid ("u<id>") — the
+    // reference's other gid type (r12: the aggregator keys strings
+    // natively). Results must equal the long-gid runs exactly
+    // (representation invariance at 250M); the wall delta prices string
+    // keys in the window sort / aggregation hash map. Plain layout only
+    // (the bucketed table is bucketed by the LONG id).
     // "skew" = the fr window stack under a degenerate hot group: remap a
     // fraction of all rows (3rd arg, percent, default 10) onto ONE user id
     // and run fr_funnel's 3-step funnel + a C1 count-target condition —
@@ -185,6 +192,11 @@ object Throughput {
       val steps = Seq(
         step("signup", 100), step("view", 100), step("click", 100),
         step("view", 150), step("purchase", 100), step("purchase", 200))
+      val stringGid = mode.endsWith("stringgid")
+      val (sdf, gidCol) =
+        if (stringGid)
+          (df.withColumn("uid_s", concat(lit("u"), col("user_id").cast("string"))), "uid_s")
+        else (df, "user_id")
       val rows = df.count()
       def run(): (Row, Double) = {
         val t0 = System.nanoTime()
@@ -194,13 +206,13 @@ object Throughput {
             // broadcast under AQE — see the FrQueries entry for why this
             // beats pre-aggregated per-group counts here).
             val groups = operators.SequenceMatch.matchingGroups(
-              df, "user_id", "ts", steps)
-            df.join(groups, Seq("user_id"), "left_semi").agg(
-              count_distinct(col("user_id")).as("matching_groups"),
+              sdf, gidCol, "ts", steps)
+            sdf.join(groups, Seq(gidCol), "left_semi").agg(
+              count_distinct(col(gidCol)).as("matching_groups"),
               count(lit(1)).as("matching_group_rows")).head()
           } else {
-            val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
-            eng.run(df, GraftQuery(None,
+            val eng = new engine.QueryEngine(engine.DatasetSpec(gidCol, "ts"))
+            eng.run(sdf, GraftQuery(None,
               Seq(Condition.Sequence(None, steps, None)),
               None, Nil, None)).summary.head()
           }
@@ -209,7 +221,8 @@ object Throughput {
       run() // warm
       val (out, sec) = (1 to 2).map(_ => run()).minBy(_._2)
       val perCore = rows / sec / cpus
-      val plan = if (seqFast) "sequence6-aggregator" else "sequence6-window"
+      val plan = (if (seqFast) "sequence6-aggregator" else "sequence6-window") +
+        (if (stringGid) "-stringgid" else "")
       println(f"""{"plan": "$plan", "rows": $rows, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
         f""""matching_groups": ${out.getLong(0)}, """ +

@@ -40,6 +40,14 @@ import graft.query.QueryAst.SequenceStep
  * SequenceMatch on selective multi-step funnels at scale, either
  * layout.
  *
+ * STRING group ids (r12, measured at the same 250M probe): keyed
+ * natively, identical results to the long-gid run, but string keys
+ * cost this path ~65% (27.6s vs 16.7s — string hash/compare in the
+ * candidate shuffle and aggregation map) while the window plan is
+ * roughly gid-type-insensitive (32.6s) — the aggregator still wins on
+ * string gids, at a ~1.18× margin instead of ~1.8×. Prefer integral
+ * ids at scale when the dataset offers both.
+ *
  * Hot-group resilience (measured, same probe at 30%-hot, r11 buffers):
  * because only candidate rows reach a group's merge, a bot group
  * holding 30% of the corpus degrades this path ~1.6× (15-16s → 25-26s)
@@ -59,7 +67,10 @@ object SequenceMatch {
     * demanded SPARK_DRIVER_MEM=48g; with the step-0 prune below, EVERY
     * 250M-row probe — including the 3-step uniform control whose 3.75M
     * small buffers are the worst per-entry-overhead case — runs in the
-    * DEFAULT 8 GiB, 2.4× faster besides. The flat pair layout + a product
+    * DEFAULT 8 GiB, 2.4× faster besides (r12 margin note: the 6-step
+    * probe sits at the 8g execution-memory edge — one of three runs
+    * hit UNABLE_TO_ACQUIRE_MEMORY and passed on rerun; 12g is
+    * deterministic headroom at 32 threads). The flat pair layout + a product
     * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
     * object + one array and serializes as a single primitive-array
     * column — no object graph, no Kryo copy buffers. Appends double
