@@ -33,6 +33,22 @@ object Ann {
       .withColumn("nn", expr("vec_norm(nv)"))
   }
 
+  /** Guard for the paths whose typed mapPartitions rows force the id
+    * through cast("long") (multi-probe LSH probes, PQ codes/serve):
+    * a string id would silently null out and collapse every query or
+    * code row onto one key — the same failure class SequenceMatch
+    * guards against (r12). Brute-force and IVF paths carry the id
+    * NATIVELY and accept any type; these must fail loudly instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral id column (its typed row format keys " +
+        s"long ids); '$idCol' is ${dt.simpleString} — a lossy cast would " +
+        "silently merge ids. Use bruteForceTopK/ivfTopK (native id types) " +
+        "or map the ids to longs first.")
+  }
+
   /** Exact cosine top-k for each query vector. Output: (query_id,
     * neighbor_id, rank). Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -247,6 +263,7 @@ object Ann {
                         nFlipBits: Int = 4, nTables: Int = 4,
                         seed: Int = 42): DataFrame = {
     require(nFlipBits <= nBits, "cannot flip more bits than the bucket has")
+    requireIntegralId(queries, idCol, "multiProbeLshTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
@@ -419,6 +436,7 @@ object Ann {
     * re-derives it per call only because the battery has no ingest step. */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               books: Array[Array[Array[Double]]]): DataFrame = {
+    requireIntegralId(corpus, idCol, "pqCodes")
     val spark = corpus.sparkSession
     import spark.implicits._
     val nSub = books.length; val subDim = books(0)(0).length
@@ -473,6 +491,7 @@ object Ann {
                   vecCol: String, books: Array[Array[Array[Double]]],
                   k: Int, rerank: Int = 1,
                   precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    requireIntegralId(queries, idCol, "pqScoreTopK")
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
@@ -594,6 +613,7 @@ object Ann {
                  dim: Int, nCells: Int, ivfIters: Int,
                  nSub: Int, nCodes: Int, pqIters: Int)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    requireIntegralId(corpus, idCol, "ivfPqIndex")
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
@@ -707,6 +727,7 @@ object Ann {
                  vecCol: String, centroids: Array[Array[Double]],
                  books: Array[Array[Array[Double]]], codes: DataFrame,
                  k: Int, nProbes: Int = 1, rerank: Int = 1): DataFrame = {
+    requireIntegralId(queries, idCol, "ivfPqServe")
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._

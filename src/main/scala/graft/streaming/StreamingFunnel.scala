@@ -84,8 +84,23 @@ object StreamingFunnel {
     }
   }
 
+  /** The typed state rows key a LONG group id and long ts; a string gid
+    * (reference-valid for the BATCH engine) would null under the cast and
+    * collapse every group's state onto one key — reject loudly instead
+    * (the SequenceMatch/Ann r12 guard, streaming edition). */
+  private def requireIntegral(events: DataFrame, c: String, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = events.schema(events.schema.fieldIndex(c)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"streaming funnel $what column '$c' must be integral, is " +
+        s"${dt.simpleString} — its typed state rows key long ids; map the " +
+        "column to a long before the stream")
+  }
+
   private def project(events: DataFrame, groupIdCol: String, tsCol: String,
                       stepPredicates: Seq[Column]): Dataset[StepEvent] = {
+    requireIntegral(events, groupIdCol, "group id")
+    requireIntegral(events, tsCol, "timestamp")
     val spark = events.sparkSession
     import spark.implicits._
     events.select(
@@ -145,6 +160,8 @@ object StreamingFunnel {
     val spark = events.sparkSession
     import spark.implicits._
     val n = stepPredicates.size
+    requireIntegral(events, groupIdCol, "group id")
+    requireIntegral(events, tsCol, "timestamp")
     events.withWatermark(eventTimeCol, delay)
       .select(
         col(groupIdCol).cast("long").as("groupId"),

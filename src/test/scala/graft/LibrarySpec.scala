@@ -736,6 +736,17 @@ class LibrarySpec extends SparkSpec {
       assert(rows(1L).anchors == Seq(10L, 20L, 30L))
       assert(rows(2L).completedSteps == 1)
     } finally q.stop()
+
+    // Gid/ts contract (r12): the typed state rows key a LONG gid, so a
+    // string gid must be rejected loudly at plan time — not silently
+    // nulled into one collapsed group's state.
+    val strEvents = events.withColumn("uid",
+      concat(lit("u"), col("uid").cast("string")))
+    val err = intercept[IllegalArgumentException] {
+      StreamingFunnel.progress(strEvents, "uid", "ts",
+        Seq(col("etype") === "view"))
+    }
+    assert(err.getMessage.contains("must be integral"))
   }
 
   test("tables: TIMESTAMP_NTZ and TIMESTAMP event-time columns normalize to epoch nanos") {

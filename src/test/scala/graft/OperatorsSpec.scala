@@ -280,6 +280,26 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
     assert(got.head == ((1L, 1)))
     assert(got.length == 2)
+
+    // Id-type contract (r12, the SequenceMatch guard's sibling): the
+    // brute path carries ids NATIVELY — string ids must just work...
+    val es = e.withColumn("vec_id", concat(lit("v"), col("vec_id").cast("string")))
+    val gotS = Ann.bruteForceTopK(es, es.where(col("vec_id") === "v0"),
+      "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(gotS.head == (("v1", 1)))
+    // ...while the typed-row paths (PQ / multi-probe LSH), whose rows
+    // force a long id, must reject strings loudly instead of nulling
+    // every id onto one key.
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.multiProbeLshTopK(es, es, "vec_id", "embedding", dim = 3, nBits = 4, k = 2)
+    }
+    assert(e1.getMessage.contains("integral id column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqCodes(es, "vec_id", "embedding",
+        Array(Array(Array(0.0, 0.0, 0.0))))
+    }
+    assert(e2.getMessage.contains("integral id column"))
   }
 
   test("IVF top-k: clustered data keeps full recall within its cell") {
