@@ -68,9 +68,24 @@ object Sampling {
    * rate-shaped variant with no exact k, filter on
    * TextAnalysis.hashUniform instead — no ordering at all.
    */
+  /** Enforces the integer-weight contract the ticket scheme is built on:
+    * a DOUBLE weight would silently truncate under the long cast — 2.7
+    * draws 2 tickets, and a rates caller (all weights in (0,1)) gets an
+    * EMPTY sample with no error. Real-valued rates belong to
+    * [[weightedKeepExpected]]. */
+  private def requireIntegralWeight(df: DataFrame, weightCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(weightCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op weight column '$weightCol' must be integral, is ${dt.simpleString} " +
+        "— the lottery draws w whole tickets (fractions truncate silently, " +
+        "weights < 1 never sample); use weightedKeepExpected for real-valued rates")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String): DataFrame = {
     require(k > 0, "sample size must be positive")
+    requireIntegralWeight(df, weightCol, "weightedSample")
     require(!df.columns.contains("ticket"),
       "input already has a 'ticket' column; rename it before sampling")
     df.withColumn("ticket", lotteryTicket(col(idCol), col(weightCol), salt))
@@ -117,6 +132,7 @@ object Sampling {
   def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
                            weightCol: String, n: Int, salt: String): DataFrame = {
     require(n > 0, "cap must be positive")
+    requireIntegralWeight(df, weightCol, "weightedSamplePerKey")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ticket").desc, col(idCol))
     df.withColumn("__ticket", lotteryTicket(col(idCol), col(weightCol), salt))

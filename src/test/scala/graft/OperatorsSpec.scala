@@ -1591,6 +1591,15 @@ class OperatorsSpec extends SparkSpec {
     val d = spark.createDataFrame(rows).toDF("id", "w")
       // id 7 gets weight 0: zero tickets, must never be sampled
       .withColumn("w", when(col("id") === 7L, lit(0L)).otherwise(col("w")))
+
+    // Integer-weight contract (r12): a DOUBLE weight column (rates)
+    // would truncate silently / sample nothing — rejected loudly, with
+    // the error naming the rate-shaped alternative.
+    val dblW = d.withColumn("w", col("w").cast("double") / 2)
+    val wErr = intercept[IllegalArgumentException] {
+      operators.Sampling.weightedSample(dblW, "id", "w", k = 5, salt = "t0")
+    }
+    assert(wErr.getMessage.contains("weightedKeepExpected"))
     val got = operators.Sampling.weightedSample(d, "id", "w", k = 30, salt = "t1")
       .collect().map(r => (r.getLong(0), r.getString(2)))
     // Driver mirror: max of w salted md5 draws, top 30 by (ticket desc, id).
