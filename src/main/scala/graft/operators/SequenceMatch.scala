@@ -68,9 +68,12 @@ object SequenceMatch {
     * 250M-row probe — including the 3-step uniform control whose 3.75M
     * small buffers are the worst per-entry-overhead case — runs in the
     * DEFAULT 8 GiB, 2.4× faster besides (r12 margin note: the 6-step
-    * probe sits at the 8g execution-memory edge — one of three runs
-    * hit UNABLE_TO_ACQUIRE_MEMORY and passed on rerun; 12g is
-    * deterministic headroom at 32 threads). The flat pair layout + a product
+    * probe sits at the 8g execution-memory edge when shuffle
+    * partitions == cores — one of three runs hit
+    * UNABLE_TO_ACQUIRE_MEMORY and passed on rerun. The edge is a
+    * groups-per-task artifact: at 4× partitions the default heap is
+    * 3/3 clean (~24s vs 16.7s), and real clusters run partitions >>
+    * cores anyway; on one fat box prefer 12g at partitions=cores). The flat pair layout + a product
     * (UnsafeRow) encoder instead of Kryo cuts per-group overhead to one
     * object + one array and serializes as a single primitive-array
     * column — no object graph, no Kryo copy buffers. Appends double
