@@ -33,13 +33,19 @@ object DedupScale {
   def main(args: Array[String]): Unit = {
     val fastHash = args.contains("--fast")
     val narrowBands = args.contains("--narrow")
+    // Unknown flags fail loudly (r13): silently filtering every '--' token
+    // meant a typo ('--narow') ran the DEFAULT banding and labeled the
+    // numbers as if the pin applied.
+    val unknown = args.filter(a => a.startsWith("--") && a != "--fast" && a != "--narrow")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")} " +
+      "(known: --fast, --narrow)")
     val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong)
                 else Seq(100000L, 1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", ScaleDefaults.shuffleParts(cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

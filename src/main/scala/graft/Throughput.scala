@@ -19,11 +19,11 @@ object Throughput {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(500)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Shuffle-partition override (default = cores, the battery shape):
-    // per-task aggregation state scales with groups/partition, so probing
-    // memory margins at a REALISTIC partition count (any production
-    // cluster runs partitions >> cores) needs this knob.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString).toInt
+    // Default 4× cores (r13, ScaleDefaults scaladoc: the partitions==cores
+    // shape sat at the 8g execution-memory margin on the 6-step probe;
+    // real clusters run partitions >> cores). SPARK_GRAFT_SHUFFLE pins an
+    // explicit count — e.g. =32 to reproduce the pre-r13 margin numbers.
+    val shuffleParts = ScaleDefaults.shuffleParts(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -71,13 +71,21 @@ object Throughput {
     // natively). Results must equal the long-gid runs exactly
     // (representation invariance at 250M); the wall delta prices string
     // keys in the window sort / aggregation hash map. Plain layout only
-    // (the bucketed table is bucketed by the LONG id).
+    // (the bucketed table is bucketed by the LONG id) — ENFORCED below:
+    // combining the stringgid and bucketed tokens is rejected loudly.
     // "skew" = the fr window stack under a degenerate hot group: remap a
     // fraction of all rows (3rd arg, percent, default 10) onto ONE user id
     // and run fr_funnel's 3-step funnel + a C1 count-target condition —
     // Window.partitionBy(gid) necessarily lands the hot group in a single
     // task, and this measures that bound (BENCH.md §SkewScale).
     val mode = if (args.length > 1) args(1) else "plain"
+    // stringgid runs are PLAIN-layout-only (the bucketed table is bucketed
+    // by the LONG id, so a string-gid query over it gains nothing and the
+    // layout label would mislead) — reject the combination loudly instead
+    // of silently running whichever token parses last.
+    require(!(mode.contains("stringgid") && mode.contains("bucketed")),
+      s"mode '$mode': stringgid probes run on the plain layout only " +
+        "(the bucketed table is keyed by the LONG user_id) — drop one token")
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
     // "funnel-fast[-bucketed]": the counts-only candidate-pass funnel
@@ -85,6 +93,10 @@ object Throughput {
     val funnelFast = mode.startsWith("funnel-fast")
     val seqMode = mode.startsWith("sequence")
     val seqFast = mode.startsWith("sequence-fast")
+    // "sequence-routed": the ENGINE end-to-end (QueryEngine.run, default
+    // Auto routing) — must track sequence-fast, proving the r13 routing
+    // decision reproduces the hand-picked plan's throughput at 250M rows.
+    val seqRouted = mode.startsWith("sequence-routed")
     val skewMode = mode.startsWith("skew")
     val df =
       if (!bucketed) spark.read.parquet(target)
@@ -106,7 +118,11 @@ object Throughput {
       val draw = pmod(xxhash64(col("user_id"), col("event_id")), lit(100L))
       val skewed = df.withColumn("user_id",
         when(draw < lit(hotPct.toLong), lit(-1L)).otherwise(col("user_id")))
+      // Window plan pinned: these shapes MEASURE the window stack's skew
+      // bound (the engine's Auto routing would silently swap in the very
+      // fast paths the other shapes measure against).
       val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+        .withWindowPlan
       def fstep(t: String) = SequenceStep(Seq(
         RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
         RowFilter("value", FilterOp.Gt, Scalar.Num(100))))
@@ -154,6 +170,19 @@ object Throughput {
         "fr_funnel_fast" -> (() => {
           operators.SequenceMatch.funnelCounts(skewed, "user_id", "ts",
             Seq("view", "click", "purchase").map(fstep)).collect()
+          ()
+        }),
+        // r13: the ENGINE's Auto routing end-to-end under the hot group —
+        // QueryEngine.run (default engine) must route this aggregation-free
+        // funnel to funnelCounts and track fr_funnel_fast's wall, proving
+        // the routing decision (not just the hand-picked twin) survives
+        // skew at 250M rows.
+        "fr_funnel_routed" -> (() => {
+          new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+            .run(skewed, GraftQuery(None, Nil, None, Nil,
+              Some(Funnel(Seq("view", "click", "purchase").map(fstep),
+                None, Nil, Nil))))
+            .funnel.get.collect()
           ()
         }),
         // The aggregator under the hot group: only step-matching rows
@@ -206,7 +235,12 @@ object Throughput {
       def run(): (Row, Double) = {
         val t0 = System.nanoTime()
         val out =
-          if (seqFast) {
+          if (seqRouted) {
+            new engine.QueryEngine(engine.DatasetSpec(gidCol, "ts"))
+              .run(sdf, GraftQuery(None,
+                Seq(Condition.Sequence(None, steps, None)),
+                None, Nil, None)).summary.head()
+          } else if (seqFast) {
             // fr_sequence_fast's exact summary shape (semi-join back,
             // broadcast under AQE — see the FrQueries entry for why this
             // beats pre-aggregated per-group counts here).
@@ -216,7 +250,11 @@ object Throughput {
               count_distinct(col(gidCol)).as("matching_groups"),
               count(lit(1)).as("matching_group_rows")).head()
           } else {
+            // Window plan pinned — this branch IS the window side of the
+            // head-to-head (Auto routing would collapse both branches onto
+            // the aggregator).
             val eng = new engine.QueryEngine(engine.DatasetSpec(gidCol, "ts"))
+              .withWindowPlan
             eng.run(sdf, GraftQuery(None,
               Seq(Condition.Sequence(None, steps, None)),
               None, Nil, None)).summary.head()
@@ -226,7 +264,9 @@ object Throughput {
       run() // warm
       val (out, sec) = (1 to 2).map(_ => run()).minBy(_._2)
       val perCore = rows / sec / cpus
-      val plan = (if (seqFast) "sequence6-aggregator" else "sequence6-window") +
+      val plan = (if (seqRouted) "sequence6-routed"
+        else if (seqFast) "sequence6-aggregator"
+        else "sequence6-window") +
         (if (stringGid) "-stringgid" else "")
       println(f"""{"plan": "$plan", "rows": $rows, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
@@ -253,7 +293,10 @@ object Throughput {
           RowFilter("value", FilterOp.Gt, Scalar.Num(100)))))
       val q = GraftQuery(None, Nil, None, Nil,
         Some(Funnel(steps, None, Nil, Nil)))
+      // Window plan pinned for the non-fast branch (the head-to-head's
+      // window side; Auto routing would make both branches funnelCounts).
       val eng = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+        .withWindowPlan
       def funnelDf() =
         if (funnelFast) operators.SequenceMatch.funnelCounts(df, "user_id", "ts", steps)
         else eng.run(df, q).funnel.get

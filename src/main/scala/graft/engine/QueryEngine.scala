@@ -72,9 +72,43 @@ final case class PlannedQuery(
  * `Skew.saltedSumCount`; sequences/funnels are not — [[capGroupRows]]
  * is the engine-surface mitigation: cap every group at n rows map-only
  * BEFORE the window stack.
+ *
+ * **Fast-path routing (r13, default ON — [[QueryEngine.Routing.Auto]]).**
+ * The window plan above is the GENERAL plan; for the two shapes where the
+ * typed [[graft.operators.SequenceMatch]] aggregator is semantically
+ * interchangeable and measured faster at scale, the planner routes
+ * automatically instead of making the caller pick:
+ *
+ *  - a sequence condition under the default AND relation → candidate gid
+ *    set via `SequenceMatch.matchingGroups` + a null-safe left-semi join
+ *    back into the rows (AQE broadcasts the group-sized set) — 2.2× at
+ *    250M rows on plain parquet, 2.8× bucketed, ~1.6× degradation under a
+ *    30%-hot bot group where the window stack degrades 5.2×;
+ *  - an aggregation-free funnel → `SequenceMatch.funnelCounts` — 2.3×
+ *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s).
+ *
+ * Routing is shape/type-gated, never throwing: a query leaves the fast
+ * path and falls back to the window plan whenever the aggregator's
+ * contract doesn't hold — an explicit `relation` (OR needs per-group
+ * flags), an all-negated sequence (satisfied by groups with no matching
+ * rows, which never reach an aggregation), a funnel with step/end
+ * aggregations (they consume per-row flags only the window plan
+ * materializes), a non-integral/string gid or non-integral ts (float ts
+ * compares natively only in the window plan). Both plans share every
+ * oracle (battery rows `fr_sequence[_routed]`, `fr_funnel[_routed]`; the
+ * fuzzer runs whole random queries through both). The one contract
+ * divergence: a NULL group id forms a group under `Window.partitionBy`
+ * but never joins back through the semi-join — the catalog's registration
+ * validation already requires non-null gid/ts (the same contract
+ * [[graft.operators.SequenceMatch]] documents), and string gids are
+ * joined null-safely so even that case only differs for an unregistered,
+ * contract-violating frame. `withWindowPlan` pins the general plan for
+ * callers that want the single-exchange shape regardless (small inputs:
+ * the typed aggregation's fixed overhead costs ~20% at sf0.1).
  */
 final class QueryEngine(spec: DatasetSpec,
-                        groupRowCap: Option[(Int, String)] = None) {
+                        groupRowCap: Option[(Int, String)] = None,
+                        routing: QueryEngine.Routing = QueryEngine.Routing.Auto) {
 
   private val gid = spec.groupIdColumn
   private val ts  = spec.timestampColumn
@@ -86,12 +120,13 @@ final class QueryEngine(spec: DatasetSpec,
     * (AQE-broadcast join, nothing sorted), so a bot group holding 30% of
     * the corpus reaches `Window.partitionBy(gid)` at ~n rows instead of
     * serializing its full share into one task (the measured 5.2× bound in
-    * the class doc). `rowIdColumn` seeds the per-row keep draw and must
-    * be ~unique per row AND NON-NULL (the events schema's event id): the
-    * keep predicate hashes it, and a null hash evaluates to null and
-    * DROPS the row even in an under-cap group — so the bit-identical
-    * guarantee below is conditional on the id column's null-free
-    * contract.
+    * the class doc). `rowIdColumn` seeds the per-row keep draw and should
+    * be ~unique per row (the events schema's event id). Null ids are SAFE
+    * (r13, capPerKeyApprox's coalesced hash input): under-cap groups keep
+    * every row bit-exactly including null-id rows — the silent null-drop
+    * class is gone; in an OVER-cap group all null-id rows share one
+    * deterministic draw, so uniqueness (not nullability) remains the only
+    * contract that affects sample quality.
     *
     * SEMANTICS: groups with ≤ n rows (within the query's timeframe) are
     * untouched — set n above the max plausible real-user group size and
@@ -103,7 +138,14 @@ final class QueryEngine(spec: DatasetSpec,
     * explicit approximation, which is why this is an opt-in constructor
     * of a separate engine rather than a default. */
   def capGroupRows(n: Int, rowIdColumn: String): QueryEngine =
-    new QueryEngine(spec, Some((n, rowIdColumn)))
+    new QueryEngine(spec, Some((n, rowIdColumn)), routing)
+
+  /** Pin the chained-window plan for every query shape (see class doc
+    * "Fast-path routing"): single-exchange, per-row flags, native float-ts
+    * comparison — the better plan at small inputs and the semantic
+    * reference the fast paths are fuzzed against. */
+  def withWindowPlan: QueryEngine =
+    new QueryEngine(spec, groupRowCap, QueryEngine.Routing.WindowOnly)
 
   /** Plan `q` against `df`. Pure plan construction — nothing is executed. */
   def run(df: DataFrame, q: GraftQuery): PlannedQuery = {
@@ -148,26 +190,49 @@ final class QueryEngine(spec: DatasetSpec,
       case None => framed
     }
 
+    // Fast-path routing (class doc): under the default AND relation, a
+    // sequence condition whose shape/types fit SequenceMatch's contract is
+    // resolved by the typed aggregator + a group-sized semi-join instead of
+    // the window stack. An explicit relation needs per-group flags (an OR
+    // can't be expressed as an intersection of semi-joins), so any relation
+    // pins the whole query to the window plan.
+    val routedSeqIdx: Set[Int] =
+      if (routing == QueryEngine.Routing.Auto && q.relation.isEmpty)
+        q.conditions.zipWithIndex.collect {
+          case (s: Condition.Sequence, i)
+              if s.steps.exists(_.rowFound) && fastPathTypesOk(prepared) => i
+        }.toSet
+      else Set.empty
+
     val matched: DataFrame =
       if (q.conditions.isEmpty) prepared
+      else if (routedSeqIdx.isEmpty)
+        windowMatched(prepared, q.conditions, q.relation, framed.columns.toIndexedSeq)
       else {
-        var cur = prepared
-        val condCols = q.conditions.zipWithIndex.map { case (c, i) =>
-          val name = s"__cond_$i"
-          c match {
-            case f: Condition.Filters =>
-              cur = cur.withColumn(name, filterConditionCol(f))
-            case s: Condition.Sequence =>
-              val (df2, passed) = sequenceCols(cur, s.steps, s"__c${i}", s.maxDuration)
-              cur = df2.withColumn(name, passed)
-          }
-          name
+        // Window-plan condition flags are group-constant (every flag is an
+        // aggregate over partitionBy(gid)), so filtering on them removes
+        // WHOLE groups — computing each routed sequence over the already-
+        // restricted frame is equivalent to ANDing the flags (the relation
+        // is the default AND here, by the routing guard) and cheaper: fewer
+        // candidate rows reach the aggregation.
+        val windowed = q.conditions.zipWithIndex.collect {
+          case (c, i) if !routedSeqIdx(i) => c
         }
-        val relCol = q.relation match {
-          case Some(rel) => compileRelation(rel)
-          case None      => condCols.map(col).reduce(_ && _) // default: AND over all
+        val base =
+          if (windowed.isEmpty)
+            prepared.select(framed.columns.map(col).toIndexedSeq: _*)
+          else windowMatched(prepared, windowed, None, framed.columns.toIndexedSeq)
+        q.conditions.zipWithIndex.collect {
+          case (s: Condition.Sequence, i) if routedSeqIdx(i) => s
+        }.foldLeft(base) { (cur, s) =>
+          val groups = graft.operators.SequenceMatch
+            .matchingGroups(cur, gid, ts, s.steps, s.maxDuration)
+            .withColumnRenamed(gid, "__seq_gid")
+          // Null-safe equality so a (contract-violating) null string gid
+          // that matches the sequence survives exactly as it would under
+          // Window.partitionBy; the small gid set broadcasts under AQE.
+          cur.join(groups, cur(gid) <=> groups("__seq_gid"), "left_semi")
         }
-        cur.filter(relCol).select(framed.columns.map(col).toIndexedSeq: _*)
       }
 
     val summary = matched.agg(
@@ -176,12 +241,61 @@ final class QueryEngine(spec: DatasetSpec,
 
     val aggs = q.aggregations.map(a => aggName(a) -> runAggregation(matched, a))
 
+    // Funnel routing (class doc): counts-only funnels go to the
+    // single-candidate-pass funnelCounts; step/end aggregations consume
+    // per-row flags only the window plan materializes, so they pin it.
     val (funnelDf, funnelAggs) = q.funnel match {
+      case Some(f) if routing == QueryEngine.Routing.Auto &&
+          f.stepAggregations.isEmpty && f.endAggregations.isEmpty &&
+          f.steps.exists(_.rowFound) && fastPathTypesOk(matched) =>
+        (Some(graft.operators.SequenceMatch.funnelCounts(
+          matched, gid, ts, f.steps, f.maxDuration)), Nil)
       case Some(f) => planFunnel(matched, f)
       case None    => (None, Nil)
     }
 
     PlannedQuery(matched, summary, aggs, funnelDf, funnelAggs)
+  }
+
+  /** The general (window) condition plan: one group-constant flag column
+    * per condition via window aggregates, relation filter, then the
+    * original columns back. */
+  private def windowMatched(prepared: DataFrame, conditions: Seq[Condition],
+                            relation: Option[Relation],
+                            outCols: Seq[String]): DataFrame = {
+    var cur = prepared
+    val condCols = conditions.zipWithIndex.map { case (c, i) =>
+      val name = s"__cond_$i"
+      c match {
+        case f: Condition.Filters =>
+          cur = cur.withColumn(name, filterConditionCol(f))
+        case s: Condition.Sequence =>
+          val (df2, passed) = sequenceCols(cur, s.steps, s"__c${i}", s.maxDuration)
+          cur = df2.withColumn(name, passed)
+      }
+      name
+    }
+    val relCol = relation match {
+      case Some(rel) => compileRelation(rel)
+      case None      => condCols.map(col).reduce(_ && _) // default: AND over all
+    }
+    cur.filter(relCol).select(outCols.map(col): _*)
+  }
+
+  /** Type gate for routing to [[graft.operators.SequenceMatch]] (its
+    * enforced contract): gid integral or string, ts integral. Anything
+    * else — float/decimal ts, decimal gid, a TIMESTAMP ts — stays on the
+    * window plan, which compares those natively. */
+  private def fastPathTypesOk(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    def tpe(c: String) = df.schema.find(_.name == c).map(_.dataType)
+    tpe(gid).exists {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    } && tpe(ts).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
   }
 
   /** Parse the JSON query text and plan it. */
@@ -429,7 +543,7 @@ final class QueryEngine(spec: DatasetSpec,
       .select(explode(array(stepStructs: _*)).as("s"))
       .select(col("s.step"), col("s.step_groups"), col("s.step_rows"))
 
-    val origCols = rows.columns.map(col).toIndexedSeq
+    val origCols: IndexedSeq[Column] = rows.columns.map(col).toIndexedSeq
     val stepAggs: Seq[(String, DataFrame)] = for {
       j <- 0 until n
       a <- f.stepAggregations
@@ -440,5 +554,19 @@ final class QueryEngine(spec: DatasetSpec,
         runAggregation(flagged.filter(col(s"__f_p${n - 1}")).select(origCols: _*), a)
     }
     (Some(funnelDf), stepAggs ++ endAggs)
+  }
+}
+
+object QueryEngine {
+  /** Plan-routing policy (class doc §"Fast-path routing"). */
+  sealed trait Routing
+  object Routing {
+    /** Route shape/type-compatible sequence conditions and counts-only
+      * funnels to the [[graft.operators.SequenceMatch]] aggregator
+      * (measured 2.2-2.8× at 250M rows, 10× under 30%-hot skew for the
+      * funnel); the window plan remains the general fallback. Default. */
+    case object Auto extends Routing
+    /** Always plan the chained-window stack ([[QueryEngine.withWindowPlan]]). */
+    case object WindowOnly extends Routing
   }
 }

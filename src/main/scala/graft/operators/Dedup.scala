@@ -639,7 +639,14 @@ object Dedup {
     * would OOM the driver. So the boilerplate set is counted FIRST (one
     * narrow unit-key aggregate, cached so the collect pass reuses it)
     * and anything above `maxBroadcastUnits` falls back to the
-    * three-exchange unit path — same results, safe by construction. */
+    * three-exchange unit path — same results, safe by construction.
+    *
+    * NOTE the guard makes this method EAGER: the count runs one Spark
+    * job at CALL time (unlike the fully-lazy builders elsewhere in this
+    * package) — constructing the result without consuming it still pays
+    * that aggregate pass. When the guard trips, the oversized cached set
+    * is unpersisted before falling back, so a long-lived session never
+    * holds the degenerate vocabulary-sized block until a drain. */
   def stripBoilerplateFast(docs: DataFrame, idCol: String, textCol: String,
                            minDf: Long, sep: String = "\n",
                            maxBroadcastUnits: Long = 1L << 20): DataFrame = {
@@ -658,8 +665,14 @@ object Dedup {
         .groupBy(col("unit")).agg(countDistinct(col("doc_id")).as("__df"))
         .where(col("__df") >= minDf)
         .select(col("unit")))
-    if (boilSet.count() > maxBroadcastUnits)
+    if (boilSet.count() > maxBroadcastUnits) {
+      // Release the oversized set now (it is > maxBroadcastUnits entries —
+      // the biggest possible cached block, for exactly the misuse the
+      // guard exists for) instead of holding it until the session drains;
+      // a later Caches.drain's second unpersist is an idempotent no-op.
+      boilSet.unpersist(blocking = false)
       return stripBoilerplate(docs, idCol, textCol, minDf, sep)
+    }
     val boil = boilSet.agg(sort_array(collect_list(col("unit"))).as("__boil"))
     toks.crossJoin(broadcast(boil))
       .select(col("doc_id"), col("__toks"),

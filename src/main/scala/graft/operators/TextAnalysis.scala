@@ -383,7 +383,10 @@ object TextAnalysis {
     * Null keys are capped like any other key — the count groups them
     * together and the join matches them null-safely — because the hot
     * "null-ish default" key is exactly the pathology this variant exists
-    * for. Only keys EXCEEDING the cap join back: a key with count <= n
+    * for. Null IDS are null-safe too (r13): the hash input coalesces to
+    * the empty string, so null-id rows in an under-cap key are kept
+    * exactly (previously a null hash silently dropped them) and an
+    * over-cap key keeps/drops its null-id rows as one correlated draw. Only keys EXCEEDING the cap join back: a key with count <= n
     * keeps every row exactly (`hashUniform < n/count >= 1` is always
     * true), so the join side is pre-filtered to the over-cap keys — at
     * most rows/n of them by pigeonhole, which is why the corpus side
@@ -405,7 +408,15 @@ object TextAnalysis {
     df.join(hot, col(keyCol) <=> col("__key_k"), "left")
       // Single double division, same operation order as the oracle mirror;
       // absent key (under cap) => keep probability 1 => row kept exactly.
-      .where(hashUniform(col(idCol), salt) <
+      // The id hash input is null-coalesced (r13): a null id previously
+      // made the whole predicate NULL and silently DROPPED the row even in
+      // an under-cap key — now null ids draw one shared deterministic
+      // value (hash of the bare salt), so under-cap keys keep them exactly
+      // and an over-cap key keeps or drops its null-id rows together (a
+      // correlated draw — acceptable for the approximate cap, and the only
+      // option that stays loud-free AND bit-reproducible; non-null ids
+      // hash exactly as before since saltedMd5 casts to string anyway).
+      .where(hashUniform(coalesce(col(idCol).cast("string"), lit("")), salt) <
         coalesce(lit(n).cast("double") / col("__key_n"), lit(1.0)))
       .drop("__key_k", "__key_n")
   }

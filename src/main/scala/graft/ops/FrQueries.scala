@@ -22,7 +22,13 @@ object FrQueries {
   type QFn = (SparkSession, String) => DataFrame
 
   private val spec   = DatasetSpec("user_id", "ts")
-  private val engine = new QueryEngine(spec)
+  /** Window plan pinned: the fr_* rows keep the GENERAL plan under battery
+    * coverage; the engine's default fast-path routing (r13) is pinned by
+    * the `*_routed` twins below, sharing the same oracles. */
+  private val engine = new QueryEngine(spec).withWindowPlan
+  /** The default engine — Auto routing picks SequenceMatch for compatible
+    * sequence/funnel shapes (QueryEngine class doc §"Fast-path routing"). */
+  private val routedEngine = new QueryEngine(spec)
   /** For day-partitioned fixtures: declares dt as ts's day partition. */
   private val prunedEngine =
     new QueryEngine(spec.copy(dayPartitionColumn = Some("dt")))
@@ -177,6 +183,15 @@ object FrQueries {
       Seq(Condition.Sequence(None, valueSteps, None)),
       None, Nil, None)).summary),
 
+    // The same query through the DEFAULT engine: Auto routing resolves the
+    // sequence via SequenceMatch + semi-join inside run() — the r13
+    // planner-level routing, pinned at battery level against fr_sequence's
+    // oracle (LibrarySpec pins WHICH plan fires; this pins that the routed
+    // plan is semantically the window plan).
+    "fr_sequence_routed" -> ((s, dir) => routedEngine.run(ev(s, dir), GraftQuery(None,
+      Seq(Condition.Sequence(None, valueSteps, None)),
+      None, Nil, None)).summary),
+
     // Same semantics as fr_sequence via the single-pass Aggregator
     // (operators/SequenceMatch) instead of the chained-window plan;
     // shares fr_sequence's oracle. Summary via left-semi join back into
@@ -203,7 +218,7 @@ object FrQueries {
     "fr_sequence_stringgid" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("uid_s", concat(lit("u"), col("user_id").cast("string")))
-      new QueryEngine(DatasetSpec("uid_s", "ts")).run(e, GraftQuery(None,
+      new QueryEngine(DatasetSpec("uid_s", "ts")).withWindowPlan.run(e, GraftQuery(None,
         Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
     }),
 
@@ -225,10 +240,20 @@ object FrQueries {
     // DOUBLE milliseconds — exact below 2^53, and the millisecond
     // truncation creates the identical tie structure in both engines,
     // so the strict-after chain is deterministic. Own oracle (the tie
-    // structure differs from fr_sequence's nanos).
+    // structure differs from fr_sequence's nanos). FLOOR division to
+    // match the oracle's `//` for any sign (`div` truncates toward
+    // zero; event ts are epoch-positive so both agree today, but the
+    // floor form removes the latent negative-ts mismatch): ts minus its
+    // non-negative pmod remainder is an exact multiple, so the `div` is
+    // exact — all on longs, never through double (nanos exceed 2^53).
+    // Deliberately on the DEFAULT (Auto-routing) engine: the double ts
+    // fails the routing type gate, so this row also pins that the gate
+    // falls back to the window plan instead of truncating under
+    // SequenceMatch's long buffers.
     "fr_sequence_floatts" -> ((s, dir) => {
       val e = ev(s, dir)
-        .withColumn("ts_f", expr("ts div 1000000").cast("double"))
+        .withColumn("ts_f",
+          expr("(ts - pmod(ts, 1000000)) div 1000000").cast("double"))
       new QueryEngine(DatasetSpec("user_id", "ts_f")).run(e, GraftQuery(None,
         Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
     }),
@@ -288,6 +313,24 @@ object FrQueries {
     // step/end aggregations. Shares fr_funnel's oracle verbatim.
     "fr_funnel_fast" -> ((s, dir) =>
       graft.operators.SequenceMatch.funnelCounts(ev(s, dir), "user_id", "ts", valueSteps)),
+
+    // The same funnel through the DEFAULT engine: Auto routing picks
+    // funnelCounts for an aggregation-free funnel inside run() (r13).
+    // Shares fr_funnel's oracle verbatim.
+    "fr_funnel_routed" -> ((s, dir) => routedEngine.run(ev(s, dir),
+      GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
+
+    // funnelCounts over STRING gids (r13, the r12 verdict's missing pin):
+    // fr_sequence_fast_stringgid pins matchingGroups' native string
+    // keying; this pins the funnelCounts band — the per-group count
+    // aggregate, the group-sized left join, and the absent-group default
+    // all keyed by a non-numeric string. Counts are gid-representation-
+    // invariant, so this shares fr_funnel's oracle verbatim.
+    "fr_funnel_fast_stringgid" -> ((s, dir) =>
+      graft.operators.SequenceMatch.funnelCounts(
+        ev(s, dir).withColumn("uid_s", concat(lit("u"), col("user_id").cast("string"))),
+        "uid_s", "ts", valueSteps)),
 
     // F4: conditions + funnel combined — the funnel consumes only the rows
     // of groups passing the condition (>= 14 purchases: keeps roughly half
@@ -447,9 +490,12 @@ object FrQueries {
       "fr_count_target_capped" -> base("fr_count_target"),
       "fr_sequence_stringgid" -> base("fr_sequence"),
       "fr_sequence_fast_stringgid" -> base("fr_sequence"),
+      "fr_sequence_routed" -> base("fr_sequence"),
       "fr_seq_maxduration_fast" -> base("fr_seq_maxduration"),
       "fr_seq_negated_fast" -> base("fr_seq_negated"),
       "fr_funnel_fast" -> base("fr_funnel"),
+      "fr_funnel_routed" -> base("fr_funnel"),
+      "fr_funnel_fast_stringgid" -> base("fr_funnel"),
       "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"))
   }
 

@@ -668,7 +668,18 @@ class FuzzSpec extends SparkSpec {
       }.toMap
 
     // ---- Spark side + comparison
-    val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
+    // Window plan pinned as the primary fuzz target (the general plan every
+    // oracle mirrors step by step); the ROUTED dimension below re-runs a
+    // quarter of the draws through the default Auto engine.
+    val engine = new QueryEngine(DatasetSpec("user_id", "ts")).withWindowPlan
+    // ROUTED dimension (r13): every fourth query runs through the DEFAULT
+    // engine, whose Auto routing resolves shape/type-compatible sequence
+    // conditions via SequenceMatch + semi-join and aggregation-free funnels
+    // via funnelCounts — against the SAME oracles. This fuzzes the routing
+    // DECISION itself: whichever plan fires for a random combination of
+    // relations × negated steps × maxDuration × step/end aggregations ×
+    // string gids (i%4==2 crosses i%5==0) must be semantically invisible.
+    val engineRouted = new QueryEngine(DatasetSpec("user_id", "ts"))
     val df = fuzzFrame.cache()
     // STRING-GID dimension (r12): every fifth query runs the ENTIRE
     // engine surface — conditions, relations, sequences, aggregations,
@@ -704,7 +715,8 @@ class FuzzSpec extends SparkSpec {
     def evalOne(i: Int, q: GQuery): Seq[String] =
       try {
         val parsed = QueryParser.parse(q.json)
-        val planned = engine.runValidated(if (i % 5 == 0) dfS else df, parsed)
+        val eng = if (i % 4 == 2) engineRouted else engine
+        val planned = eng.runValidated(if (i % 5 == 0) dfS else df, parsed)
         if (planned.aggregations.size != q.aggSqls.size)
           return Seq(s"q$i: ${planned.aggregations.size} planned aggs vs " +
             s"${q.aggSqls.size} oracles\n${q.json}")

@@ -425,7 +425,10 @@ class LibrarySpec extends SparkSpec {
       StructField("etype", StringType)))
     val ev = frame(schema, (0L until 200L).map(i => Map[String, Any](
       "uid" -> i % 20, "ts" -> i, "etype" -> Seq("view", "click", "buy")((i % 3).toInt))))
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    // This test pins the WINDOW plan's layout story (bucketing removes its
+    // exchange+sort); Auto routing would swap the sequence to the
+    // aggregator and the pin would measure the wrong plan.
+    val engine = new QueryEngine(DatasetSpec("uid", "ts")).withWindowPlan
     val q = GraftQuery(None, Seq(Condition.Sequence(None, Seq(
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click"))))), None)),
@@ -520,6 +523,87 @@ class LibrarySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Sort ") && !plan.contains("Window"),
       s"funnelCounts must not sort or window the corpus:\n$plan")
+  }
+
+  test("Auto routing picks the fast paths and falls back exactly at the contract edges") {
+    import graft.query.QueryAst._
+    // Pins WHICH plan QueryEngine.run fires per shape (r13 routing): the
+    // battery rows fr_sequence_routed / fr_funnel_routed prove the routed
+    // RESULTS equal the window plan's; this proves the routed PLANS are the
+    // aggregator's (no Window node) and that every documented fallback
+    // shape really re-plans the window stack.
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val ev = frame(schema, (0L until 90L).map(i => Map[String, Any](
+      "uid" -> i % 9, "ts" -> i,
+      "etype" -> Seq("view", "click", "buy")((i % 3).toInt))))
+    def steps(ts: String*) = ts.map(t =>
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str(t)))))
+    val seq2 = Condition.Sequence(None, steps("view", "click"), None)
+    val auto = new QueryEngine(DatasetSpec("uid", "ts"))
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    // Routed sequence: no Window anywhere, the semi-join present.
+    val routedSeq = auto.run(ev,
+      GraftQuery(None, Seq(seq2), None, Nil, None)).summary
+    assert(!plan(routedSeq).contains("Window"),
+      s"routable sequence must leave the window stack:\n${plan(routedSeq)}")
+    assert(plan(routedSeq).contains("LeftSemi"),
+      s"routed sequence restricts rows via the semi-join:\n${plan(routedSeq)}")
+
+    // Routed funnel: funnelCounts' shape — no Window node anywhere. (The
+    // corpus-Sort-free pin lives in "funnel twin plans without sorting the
+    // corpus" over real parquet; on this tiny in-memory frame the twin's
+    // GROUP-sized join may legitimately sort-merge.)
+    val routedFun = auto.run(ev, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(steps("view", "click"), None, Nil, Nil)))).funnel.get
+    assert(!plan(routedFun).contains("Window"),
+      s"aggregation-free funnel must route to funnelCounts:\n${plan(routedFun)}")
+
+    // Fallback edges — each one re-plans the window stack:
+    // (1) an explicit relation (OR needs per-group flags);
+    val rel = auto.run(ev, GraftQuery(None,
+      Seq(seq2, Condition.Filters(None,
+        Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy"))),
+        Target.Count(CmpOp.Gte, 1), includeZero = false)),
+      Some(Relation.Or(Relation.Ref(0), Relation.Ref(1))), Nil, None)).summary
+    assert(plan(rel).contains("Window"), s"relation must pin the window plan:\n${plan(rel)}")
+    // (2) a non-integral ts (SequenceMatch's long buffer would truncate);
+    val evF = ev.withColumn("tsf", col("ts").cast("double"))
+    val floatTs = new QueryEngine(DatasetSpec("uid", "tsf")).run(evF,
+      GraftQuery(None, Seq(seq2), None, Nil, None)).summary
+    assert(plan(floatTs).contains("Window"), s"float ts must pin the window plan:\n${plan(floatTs)}")
+    // (3) an all-negated sequence (satisfied by groups with no matching rows);
+    val allNeg = auto.run(ev, GraftQuery(None,
+      Seq(Condition.Sequence(None,
+        Seq(SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("zzz"))),
+          rowFound = false)), None)), None, Nil, None)).summary
+    assert(plan(allNeg).contains("Window"), s"all-negated must pin the window plan:\n${plan(allNeg)}")
+    // (4) funnel step/end aggregations (they consume per-row flags);
+    val aggFun = auto.run(ev, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(steps("view", "click"), None, Nil,
+        Seq(Aggregation(None, "etype", AggType.CountPerValue, None)))))).funnel.get
+    assert(plan(aggFun).contains("Window"),
+      s"funnel with end aggregations must pin the window plan:\n${plan(aggFun)}")
+    // (5) withWindowPlan pins the general plan even for the routable shape.
+    val pinned = auto.withWindowPlan.run(ev,
+      GraftQuery(None, Seq(seq2), None, Nil, None)).summary
+    assert(plan(pinned).contains("Window"), s"withWindowPlan must pin:\n${plan(pinned)}")
+
+    // And the routed results equal the pinned window results, including a
+    // MIXED condition set (Filters stays windowed, the sequence routes).
+    val mixed = GraftQuery(None,
+      Seq(Condition.Filters(None,
+        Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy"))),
+        Target.Count(CmpOp.Gte, 3), includeZero = false), seq2),
+      None, Nil, None)
+    assert(auto.run(ev, mixed).summary.collect().toSeq ==
+      auto.withWindowPlan.run(ev, mixed).summary.collect().toSeq)
+    val mixedPlan = plan(auto.run(ev, mixed).summary)
+    assert(mixedPlan.contains("Window") && mixedPlan.contains("LeftSemi"),
+      s"mixed conditions: Filters windows, sequence semi-joins:\n$mixedPlan")
   }
 
   test("job stats settle correctly for a >1000-task job") {

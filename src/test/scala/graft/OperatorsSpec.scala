@@ -433,7 +433,7 @@ class OperatorsSpec extends SparkSpec {
 
     val viaAgg = graft.operators.SequenceMatch.matchingGroups(df, "uid", "ts", steps)
       .collect().map(_.getLong(0)).toSet
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts")).withWindowPlan // the comparison's window side
     val viaWindow = engine.run(df,
       GraftQuery(None, Seq(Condition.Sequence(None, steps, None)), None, Nil, None))
       .matchedRows.select("uid").distinct().collect().map(_.getLong(0)).toSet
@@ -468,7 +468,7 @@ class OperatorsSpec extends SparkSpec {
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts")).withWindowPlan // the comparison's window side
     def asMap(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
@@ -561,7 +561,7 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(viaAgg == Set(1L))
     // window-plan equivalence holds on the dense group too
-    val engine = new QueryEngine(DatasetSpec("uid", "ts"))
+    val engine = new QueryEngine(DatasetSpec("uid", "ts")).withWindowPlan // the comparison's window side
     val viaWindow = engine.run(df,
       GraftQuery(None, Seq(Condition.Sequence(None, steps, None)), None, Nil, None))
       .matchedRows.select("uid").distinct().collect().map(_.getLong(0)).toSet
@@ -1341,6 +1341,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.count() == 30)
     assert(kept.where(col("k").isNull).count() == 10)
     assert(kept.columns.toSeq == Seq("id", "k"))
+  }
+
+  test("capPerKeyApprox: null IDS survive under-cap keys (r13 coalesced hash input)") {
+    // The last silent-drop class (r12 verdict): a null ROW ID made the
+    // keep predicate NULL and dropped the row even in a group under the
+    // cap — breaking capGroupRows' "groups <= n rows are untouched"
+    // bit-identical contract. Now the hash input coalesces: under-cap
+    // keys keep every row, null-id or not.
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("k", StringType)))
+    val rows = (0 until 40).map(i => Map[String, Any](
+      "id" -> (if (i % 4 == 0) null else s"id$i"), "k" -> s"k${i % 2}"))
+    val d = frame(schema, rows)
+    // Cap far above every group's size: the contract says EXACT identity.
+    val kept = TextAnalysis.capPerKeyApprox(d, "k", "id", 100, "nid")
+    assert(kept.count() == 40, "under-cap keys must keep all rows, null ids included")
+    assert(kept.where(col("id").isNull).count() == 10)
+    // Over-cap: null-id rows share ONE deterministic draw — they are kept
+    // or dropped together, and the run is reproducible.
+    val hot = frame(schema, (0 until 400).map(i => Map[String, Any](
+      "id" -> (if (i % 4 == 0) null else s"id$i"), "k" -> "hot")))
+    val k1 = TextAnalysis.capPerKeyApprox(hot, "k", "id", 50, "nid2")
+    val nullKept = k1.where(col("id").isNull).count()
+    assert(nullKept == 0L || nullKept == 100L,
+      s"null-id rows must draw together, kept $nullKept of 100")
+    val k2 = TextAnalysis.capPerKeyApprox(hot, "k", "id", 50, "nid2")
+    assert(k1.count() == k2.count() && nullKept == k2.where(col("id").isNull).count())
   }
 
   test("int8 quantization matches a driver mirror; gate holds; constant vectors code to 0") {
