@@ -192,6 +192,7 @@ object Throughput {
         "fr_sequence_aggregator" -> (() => {
           val g = operators.SequenceMatch.matchingGroups(skewed,
             "user_id", "ts", Seq("view", "click", "purchase").map(fstep))
+            .repartition(col("user_id")) // AQE stats boundary (r13)
           skewed.join(g, Seq("user_id"), "left_semi").agg(
             count_distinct(col("user_id")).as("matching_groups"),
             count(lit(1)).as("matching_group_rows")).collect()
@@ -241,11 +242,13 @@ object Throughput {
                 Seq(Condition.Sequence(None, steps, None)),
                 None, Nil, None)).summary.head()
           } else if (seqFast) {
-            // fr_sequence_fast's exact summary shape (semi-join back,
-            // broadcast under AQE — see the FrQueries entry for why this
-            // beats pre-aggregated per-group counts here).
+            // fr_sequence_fast's exact summary shape: semi-join back, with
+            // the r13 repartition stage boundary on the matched-gid set so
+            // AQE broadcasts from runtime stats (without it the static
+            // estimate planned a 250M-row sort-merge join — see the
+            // FrQueries entry and BENCH.md §Sequence at reference scale).
             val groups = operators.SequenceMatch.matchingGroups(
-              sdf, gidCol, "ts", steps)
+              sdf, gidCol, "ts", steps).repartition(shuffleParts)
             sdf.join(groups, Seq(gidCol), "left_semi").agg(
               count_distinct(col(gidCol)).as("matching_groups"),
               count(lit(1)).as("matching_group_rows")).head()

@@ -98,13 +98,15 @@ final case class PlannedQuery(
  * oracle (battery rows `fr_sequence[_routed]`, `fr_funnel[_routed]`; the
  * fuzzer runs whole random queries through both). The one contract
  * divergence: a NULL group id forms a group under `Window.partitionBy`
- * but never joins back through the semi-join — the catalog's registration
- * validation already requires non-null gid/ts (the same contract
- * [[graft.operators.SequenceMatch]] documents), and string gids are
- * joined null-safely so even that case only differs for an unregistered,
- * contract-violating frame. `withWindowPlan` pins the general plan for
- * callers that want the single-exchange shape regardless (small inputs:
- * the typed aggregation's fixed overhead costs ~20% at sf0.1).
+ * but never joins back through the semi-join — and the REFERENCE agrees
+ * with the semi-join, not the window plan: pandas groupby drops NaN keys
+ * (query_engine.py:143,237), so null-gid groups never satisfy a condition
+ * there either. The catalog's registration validation rejects null gids
+ * outright (the same contract [[graft.operators.SequenceMatch]]
+ * documents), so the difference is unreachable through the serving
+ * surface. `withWindowPlan` pins the general plan for callers that want
+ * the single-exchange shape regardless (small inputs: the typed
+ * aggregation's fixed overhead costs ~20% at sf0.1).
  */
 final class QueryEngine(spec: DatasetSpec,
                         groupRowCap: Option[(Int, String)] = None,
@@ -225,13 +227,43 @@ final class QueryEngine(spec: DatasetSpec,
         q.conditions.zipWithIndex.collect {
           case (s: Condition.Sequence, i) if routedSeqIdx(i) => s
         }.foldLeft(base) { (cur, s) =>
+          // Stage boundary ON the aggregated gid set (measured at 250M
+          // rows, r13): Catalyst's static size estimate for the
+          // aggregation inherits the candidate shuffle's bytes, so
+          // without a materialized stage here the semi-join plans as a
+          // sort-merge join — a 250M-row shuffle+sort of the fact side
+          // landing in the same stage as the aggregator's group-buffer
+          // merge: intermittent UNABLE_TO_ACQUIRE_MEMORY at the 8g
+          // default heap, 23-28s when it survives. With the boundary,
+          // AQE reads the stage's RUNTIME stats (group-sized, usually
+          // tiny), converts the join to broadcast, and the fact side is
+          // scanned but never shuffled or sorted: 16.6-17.7s, 4/4 clean
+          // at the default heap. The repartition must be ROUND-ROBIN —
+          // a hash-repartition on the gid is elided as redundant (the
+          // aggregation's output already carries that partitioning), so
+          // no stage would form. It moves only the gid set — group-sized
+          // by construction — and a genuinely huge matching set just
+          // keeps the SMJ, whose gid-hash exchange AQE stacks on top.
+          val shuffleN = cur.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt
           val groups = graft.operators.SequenceMatch
             .matchingGroups(cur, gid, ts, s.steps, s.maxDuration)
             .withColumnRenamed(gid, "__seq_gid")
-          // Null-safe equality so a (contract-violating) null string gid
-          // that matches the sequence survives exactly as it would under
-          // Window.partitionBy; the small gid set broadcasts under AQE.
-          cur.join(groups, cur(gid) <=> groups("__seq_gid"), "left_semi")
+            .repartition(shuffleN)
+          // PLAIN equality, deliberately (measured at 250M rows, r13): a
+          // null-safe <=> join keys the probe on (coalesce(gid), isnull
+          // (gid)), which costs ~2× wall on the 250M probe side (41s vs
+          // 17s) and misaligns the join's output partitioning with the
+          // summary's count_distinct. Null-gid semantics: a null gid
+          // never joins back, i.e. the routed plan DROPS null-gid groups
+          // — exactly the REFERENCE's own behavior (pandas groupby
+          // dropna=True, query_engine.py:143,237 — null-gid groups never
+          // satisfy any condition there), while the window plan is
+          // GENEROUS vs the reference (partitionBy keeps a null group).
+          // The catalog's registration validation rejects null gids
+          // outright, so the difference is unreachable through the
+          // serving surface either way.
+          cur.join(groups, cur(gid) === groups("__seq_gid"), "left_semi")
         }
       }
 

@@ -195,15 +195,18 @@ object FrQueries {
     // Same semantics as fr_sequence via the single-pass Aggregator
     // (operators/SequenceMatch) instead of the chained-window plan;
     // shares fr_sequence's oracle. Summary via left-semi join back into
-    // the events: with a selective funnel the matched-gid side is small
-    // enough to broadcast (AQE), so the event rows are scanned but never
-    // shuffled — measured faster at 250M rows than pre-aggregating
+    // the events; the repartition on the matched-gid side is a stage
+    // boundary so AQE sees the set's RUNTIME size and broadcasts it —
+    // without it Catalyst's static estimate (inherited from the candidate
+    // shuffle) planned a 250M-row sort-merge join whose sort competed
+    // with the aggregation buffers for execution memory (r13, BENCH.md
+    // §Sequence at reference scale). Still beats pre-aggregating
     // per-group counts, whose partial aggregates barely compress when
-    // millions of groups scatter across every input split (BENCH.md
-    // §Sequence at reference scale).
+    // millions of groups scatter across every input split.
     "fr_sequence_fast" -> ((s, dir) => {
       val e = ev(s, dir)
       val groups = graft.operators.SequenceMatch.matchingGroups(e, "user_id", "ts", valueSteps)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       e.join(groups, Seq("user_id"), "left_semi").agg(
         count_distinct(col("user_id")).as("matching_groups"),
         count(lit(1)).as("matching_group_rows"))
@@ -230,6 +233,7 @@ object FrQueries {
       val e = ev(s, dir)
         .withColumn("uid_s", concat(lit("u"), col("user_id").cast("string")))
       val groups = graft.operators.SequenceMatch.matchingGroups(e, "uid_s", "ts", valueSteps)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt) // AQE stats boundary — see fr_sequence_fast
       e.join(groups, Seq("uid_s"), "left_semi").agg(
         count_distinct(col("uid_s")).as("matching_groups"),
         count(lit(1)).as("matching_group_rows"))
@@ -277,6 +281,7 @@ object FrQueries {
           SequenceStep(filters(eq("event_type", "click"))),
           SequenceStep(filters(eq("event_type", "purchase")))),
         maxDuration = Some(86400000000000L))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt) // AQE stats boundary — see fr_sequence_fast
       e.join(groups, Seq("user_id"), "left_semi").agg(
         count_distinct(col("user_id")).as("matching_groups"),
         count(lit(1)).as("matching_group_rows"))
@@ -299,6 +304,7 @@ object FrQueries {
         Seq(SequenceStep(filters(eq("event_type", "view"))),
           SequenceStep(filters(eq("event_type", "error"), gt("value", 150)), rowFound = false),
           SequenceStep(filters(eq("event_type", "purchase")))))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt) // AQE stats boundary — see fr_sequence_fast
       e.join(groups, Seq("user_id"), "left_semi").agg(
         count_distinct(col("user_id")).as("matching_groups"),
         count(lit(1)).as("matching_group_rows"))
