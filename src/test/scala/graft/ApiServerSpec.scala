@@ -58,6 +58,19 @@ class ApiServerSpec extends SparkSpec {
     val unk = post("/datasets/nope/query", """{"query": {}}""")
     assert(unk.statusCode() == 400, unk.body())
 
+    // Lossy-cast audit at the HTTP surface (r13): a float gid can never
+    // reach SequenceMatch's long-cast hazard through the serving path
+    // because REGISTRATION already 4xxes it with the int-or-string
+    // contract — the reference's registration_task_runner.py:85-92 rule.
+    val dblDir = java.nio.file.Files.createTempDirectory("dblgid").toString
+    spark.range(10).selectExpr("CAST(id AS DOUBLE) AS uid", "id AS ts",
+      "'x' AS etype").write.mode("overwrite").parquet(dblDir)
+    val dblReg = post("/datasets/register",
+      s"""{"name": "dblgid", "basepath": "$dblDir",
+         | "groupIdColumn": "uid", "timestampColumn": "ts"}""".stripMargin)
+    assert(dblReg.statusCode() == 400 &&
+      dblReg.body().contains("must be int or string"), dblReg.body())
+
     // unknown route → 404
     assert(get("/datasets/ev/bogus/deeper").statusCode() == 404)
   }

@@ -715,7 +715,8 @@ class FuzzSpec extends SparkSpec {
     def evalOne(i: Int, q: GQuery): Seq[String] =
       try {
         val parsed = QueryParser.parse(q.json)
-        val eng = if (i % 4 == 2) engineRouted else engine
+        val routed = i % 4 == 2
+        val eng = if (routed) engineRouted else engine
         val planned = eng.runValidated(if (i % 5 == 0) dfS else df, parsed)
         if (planned.aggregations.size != q.aggSqls.size)
           return Seq(s"q$i: ${planned.aggregations.size} planned aggs vs " +
@@ -749,16 +750,19 @@ class FuzzSpec extends SparkSpec {
               fsql, q.json).map(m => s"[$label] $m")
           case _ => Nil
         }
-        check(s"q${i}_summary", planned.summary, q.summarySql, q.json) ++
+        // Label routed-engine divergences so a failure names which planner
+        // produced it (the seed alone reproduces either way).
+        val tag = (ms: Seq[String]) =>
+          if (routed) ms.map(m => s"[routed engine] $m") else ms
+        tag(check(s"q${i}_summary", planned.summary, q.summarySql, q.json) ++
           planned.aggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_agg$k", adf, q.aggSqls(k), q.json)
           } ++
           q.funnelSql.toSeq.flatMap(fsql =>
             check(s"q${i}_funnel", planned.funnel.get, fsql, q.json)) ++
-          fastFunnel ++
           planned.funnelAggregations.zipWithIndex.flatMap { case ((_, adf), k) =>
             check(s"q${i}_fagg$k", adf, q.funnelAggSqls(k), q.json)
-          }
+          }) ++ fastFunnel
       } catch {
         case e: Exception =>
           Seq(s"q$i PLAN/EXEC FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\nquery: ${q.json}")
