@@ -231,14 +231,16 @@ final class QueryEngine(spec: DatasetSpec,
           // rows, r13): Catalyst's static size estimate for the
           // aggregation inherits the candidate shuffle's bytes, so
           // without a materialized stage here the semi-join plans as a
-          // sort-merge join — a 250M-row shuffle+sort of the fact side
-          // landing in the same stage as the aggregator's group-buffer
-          // merge: intermittent UNABLE_TO_ACQUIRE_MEMORY at the 8g
-          // default heap, 23-28s when it survives. With the boundary,
-          // AQE reads the stage's RUNTIME stats (group-sized, usually
-          // tiny), converts the join to broadcast, and the fact side is
-          // scanned but never shuffled or sorted: 16.6-17.7s, 4/4 clean
-          // at the default heap. The repartition must be ROUND-ROBIN —
+          // sort-merge join — a 250M-row sort of the fact side landing
+          // in the same stage as the aggregator's group-buffer merge:
+          // intermittent UNABLE_TO_ACQUIRE_MEMORY at the 8g default
+          // heap, 23-28s when it survives. With the boundary, AQE reads
+          // the stage's RUNTIME stats (group-sized, usually tiny) and
+          // converts the join to broadcast: the fact-side SORT
+          // disappears (the initial plan's single-join-column shuffle
+          // write still runs — AQE reads it back locally — which is the
+          // remaining gap to the bucketed layout): 16.6-17.7s, 4/4
+          // clean at the default heap. The repartition must be ROUND-ROBIN —
           // a hash-repartition on the gid is elided as redundant (the
           // aggregation's output already carries that partitioning), so
           // no stage would form. It moves only the gid set — group-sized
