@@ -178,7 +178,10 @@ object Throughput {
         // the routing decision (not just the hand-picked twin) survives
         // skew at 250M rows.
         "fr_funnel_routed" -> (() => {
+          // threshold 0: the probe measures the ROUTED plan at whatever
+          // replica count the caller picked, not the production size gate.
           new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+            .withRoutingThreshold(0)
             .run(skewed, GraftQuery(None, Nil, None, Nil,
               Some(Funnel(Seq("view", "click", "purchase").map(fstep),
                 None, Nil, Nil))))
@@ -237,7 +240,9 @@ object Throughput {
         val t0 = System.nanoTime()
         val out =
           if (seqRouted) {
+            // threshold 0: measure the routed plan at any replica count.
             new engine.QueryEngine(engine.DatasetSpec(gidCol, "ts"))
+              .withRoutingThreshold(0)
               .run(sdf, GraftQuery(None,
                 Seq(Condition.Sequence(None, steps, None)),
                 None, Nil, None)).summary.head()

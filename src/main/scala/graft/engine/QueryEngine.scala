@@ -87,14 +87,17 @@ final case class PlannedQuery(
  *  - an aggregation-free funnel → `SequenceMatch.funnelCounts` — 2.3×
  *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s).
  *
- * Routing is shape/type-gated, never throwing: a query leaves the fast
- * path and falls back to the window plan whenever the aggregator's
+ * Routing is shape/type/size-gated, never throwing: a query leaves the
+ * fast path and falls back to the window plan whenever the aggregator's
  * contract doesn't hold — an explicit `relation` (OR needs per-group
  * flags), an all-negated sequence (satisfied by groups with no matching
  * rows, which never reach an aggregation), a funnel with step/end
  * aggregations (they consume per-row flags only the window plan
  * materializes), a non-integral/string gid or non-integral ts (float ts
- * compares natively only in the window plan). Both plans share every
+ * compares natively only in the window plan) — or when Catalyst's input
+ * size estimate is under [[QueryEngine.DefaultRoutingMinBytes]] (the
+ * measured small-input crossover, where the window plan wins;
+ * `withRoutingThreshold` overrides, 0 = always route). Both plans share every
  * oracle (battery rows `fr_sequence[_routed]`, `fr_funnel[_routed]`; the
  * fuzzer runs whole random queries through both). The one contract
  * divergence: a NULL group id forms a group under `Window.partitionBy`
@@ -110,7 +113,8 @@ final case class PlannedQuery(
  */
 final class QueryEngine(spec: DatasetSpec,
                         groupRowCap: Option[(Int, String)] = None,
-                        routing: QueryEngine.Routing = QueryEngine.Routing.Auto) {
+                        routing: QueryEngine.Routing = QueryEngine.Routing.Auto,
+                        routingMinBytes: Long = QueryEngine.DefaultRoutingMinBytes) {
 
   private val gid = spec.groupIdColumn
   private val ts  = spec.timestampColumn
@@ -140,14 +144,22 @@ final class QueryEngine(spec: DatasetSpec,
     * explicit approximation, which is why this is an opt-in constructor
     * of a separate engine rather than a default. */
   def capGroupRows(n: Int, rowIdColumn: String): QueryEngine =
-    new QueryEngine(spec, Some((n, rowIdColumn)), routing)
+    new QueryEngine(spec, Some((n, rowIdColumn)), routing, routingMinBytes)
 
   /** Pin the chained-window plan for every query shape (see class doc
     * "Fast-path routing"): single-exchange, per-row flags, native float-ts
     * comparison — the better plan at small inputs and the semantic
     * reference the fast paths are fuzzed against. */
   def withWindowPlan: QueryEngine =
-    new QueryEngine(spec, groupRowCap, QueryEngine.Routing.WindowOnly)
+    new QueryEngine(spec, groupRowCap, QueryEngine.Routing.WindowOnly,
+      routingMinBytes)
+
+  /** Override the Auto-routing size gate (bytes of Catalyst's estimate for
+    * the query input below which the window plan is kept — see
+    * [[QueryEngine.DefaultRoutingMinBytes]] for the measured default).
+    * 0 routes every shape-compatible query regardless of size. */
+  def withRoutingThreshold(bytes: Long): QueryEngine =
+    new QueryEngine(spec, groupRowCap, routing, bytes)
 
   /** Plan `q` against `df`. Pure plan construction — nothing is executed. */
   def run(df: DataFrame, q: GraftQuery): PlannedQuery = {
@@ -199,7 +211,8 @@ final class QueryEngine(spec: DatasetSpec,
     // can't be expressed as an intersection of semi-joins), so any relation
     // pins the whole query to the window plan.
     val routedSeqIdx: Set[Int] =
-      if (routing == QueryEngine.Routing.Auto && q.relation.isEmpty)
+      if (routing == QueryEngine.Routing.Auto && q.relation.isEmpty &&
+          bigEnough(prepared))
         q.conditions.zipWithIndex.collect {
           case (s: Condition.Sequence, i)
               if s.steps.exists(_.rowFound) && fastPathTypesOk(prepared) => i
@@ -281,7 +294,8 @@ final class QueryEngine(spec: DatasetSpec,
     val (funnelDf, funnelAggs) = q.funnel match {
       case Some(f) if routing == QueryEngine.Routing.Auto &&
           f.stepAggregations.isEmpty && f.endAggregations.isEmpty &&
-          f.steps.exists(_.rowFound) && fastPathTypesOk(matched) =>
+          f.steps.exists(_.rowFound) && fastPathTypesOk(matched) &&
+          bigEnough(matched) =>
         (Some(graft.operators.SequenceMatch.funnelCounts(
           matched, gid, ts, f.steps, f.maxDuration)), Nil)
       case Some(f) => planFunnel(matched, f)
@@ -315,6 +329,17 @@ final class QueryEngine(spec: DatasetSpec,
     }
     cur.filter(relCol).select(outCols.map(col): _*)
   }
+
+  /** Size gate for routing (measured crossover, BENCH.md §"Sequence at
+    * reference scale", r13): Catalyst's plan-time size estimate for the
+    * query input, compared against `routingMinBytes`. File-backed sources
+    * estimate as their file bytes; an in-memory/unknown source estimates
+    * as `spark.sql.defaultSizeInBytes` (effectively infinite), so unknown
+    * sizes route — the scale-safe default. Plan-time only: forcing
+    * `optimizedPlan` runs the optimizer once, never a job. */
+  private def bigEnough(df: DataFrame): Boolean =
+    routingMinBytes <= 0L ||
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >= routingMinBytes
 
   /** Type gate for routing to [[graft.operators.SequenceMatch]] (its
     * enforced contract): gid integral or string, ts integral. Anything
@@ -592,6 +617,18 @@ final class QueryEngine(spec: DatasetSpec,
 }
 
 object QueryEngine {
+  /** Auto-routing size gate default: 32 MB of Catalyst-estimated input.
+    * MEASURED crossover (r13, 6-step selective sequence, local[32],
+    * back-to-back): at 8 MB / 1M rows the window plan wins 1.2×
+    * (1.37s vs 1.63s — the typed aggregation's fixed overhead); at
+    * 51 MB / 10M rows the aggregator already wins 1.25× (2.21s vs
+    * 2.75s), growing to 1.5× at 50M and 1.9× at 250M rows. 32 MB sits
+    * between the brackets; the asymmetry is deliberate — routing too
+    * small costs a fixed ~0.3s, windowing too big costs a factor that
+    * grows with the corpus. Unknown-size sources (in-memory frames)
+    * estimate effectively infinite and route. */
+  val DefaultRoutingMinBytes: Long = 32L << 20
+
   /** Plan-routing policy (class doc §"Fast-path routing"). */
   sealed trait Routing
   object Routing {

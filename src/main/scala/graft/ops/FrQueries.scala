@@ -26,9 +26,12 @@ object FrQueries {
     * coverage; the engine's default fast-path routing (r13) is pinned by
     * the `*_routed` twins below, sharing the same oracles. */
   private val engine = new QueryEngine(spec).withWindowPlan
-  /** The default engine — Auto routing picks SequenceMatch for compatible
-    * sequence/funnel shapes (QueryEngine class doc §"Fast-path routing"). */
-  private val routedEngine = new QueryEngine(spec)
+  /** Auto-routing engine with the size gate disabled: the battery SFs are
+    * far below the measured 32 MB crossover (where the default engine
+    * would — correctly — keep the window plan), and these rows exist to
+    * pin the ROUTED plan's semantics (QueryEngine class doc §"Fast-path
+    * routing"). */
+  private val routedEngine = new QueryEngine(spec).withRoutingThreshold(0)
   /** For day-partitioned fixtures: declares dt as ts's day partition. */
   private val prunedEngine =
     new QueryEngine(spec.copy(dayPartitionColumn = Some("dt")))

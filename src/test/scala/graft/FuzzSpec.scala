@@ -679,7 +679,10 @@ class FuzzSpec extends SparkSpec {
     // DECISION itself: whichever plan fires for a random combination of
     // relations × negated steps × maxDuration × step/end aggregations ×
     // string gids (i%4==2 crosses i%5==0) must be semantically invisible.
+    // Size gate disabled: sf0.001 is far below the measured crossover —
+    // the point here is fuzzing the ROUTED plan's semantics.
     val engineRouted = new QueryEngine(DatasetSpec("user_id", "ts"))
+      .withRoutingThreshold(0)
     val df = fuzzFrame.cache()
     // STRING-GID dimension (r12): every fifth query runs the ENTIRE
     // engine surface — conditions, relations, sequences, aggregations,

@@ -592,6 +592,23 @@ class LibrarySpec extends SparkSpec {
       GraftQuery(None, Seq(seq2), None, Nil, None)).summary
     assert(plan(pinned).contains("Window"), s"withWindowPlan must pin:\n${plan(pinned)}")
 
+    // (6) the SIZE gate: a small FILE-backed source (Catalyst estimates
+    // real file bytes, far under the measured 32 MB crossover) keeps the
+    // window plan under the default engine; threshold 0 routes it. The
+    // in-memory frames above estimate as unknown ≈ infinite and route —
+    // the scale-safe default the gate's scaladoc documents.
+    val pq = tmpDir("routegate")
+    ev.write.mode("overwrite").parquet(pq)
+    val small = spark.read.parquet(pq)
+    val gated = auto.run(small, GraftQuery(None, Seq(seq2), None, Nil, None)).summary
+    assert(plan(gated).contains("Window"),
+      s"small file-backed input must keep the window plan:\n${plan(gated)}")
+    val forced = auto.withRoutingThreshold(0)
+      .run(small, GraftQuery(None, Seq(seq2), None, Nil, None)).summary
+    assert(!plan(forced).contains("Window") && plan(forced).contains("LeftSemi"),
+      s"threshold 0 must route the same input:\n${plan(forced)}")
+    assert(gated.collect().toSeq == forced.collect().toSeq)
+
     // And the routed results equal the pinned window results, including a
     // MIXED condition set (Filters stays windowed, the sequence routes).
     val mixed = GraftQuery(None,
