@@ -63,6 +63,13 @@ object PipelineScale {
     val doStrip = !args.contains("--nostrip")
     val narrowBands = args.contains("--narrow")
     val heavyBoiler = args.contains("--heavyboiler")
+    // Unknown flags fail loudly (r13, DedupScale's fix): a typo would
+    // silently run the default configuration under the intended label.
+    val knownFlags = Set("--md5", "--nostrip", "--narrow", "--heavyboiler")
+    val unknown = args.filter(a => a.startsWith("--") &&
+      !knownFlags(a) && !a.startsWith("--bands="))
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")} " +
+      "(known: --md5, --nostrip, --narrow, --heavyboiler, --bands=K,R)")
     val sizeArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

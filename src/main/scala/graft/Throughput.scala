@@ -79,6 +79,16 @@ object Throughput {
     // Window.partitionBy(gid) necessarily lands the hot group in a single
     // task, and this measures that bound (BENCH.md §SkewScale).
     val mode = if (args.length > 1) args(1) else "plain"
+    // Unknown modes fail loudly (r13, the DedupScale flag fix's sibling):
+    // a typo like "seqence" previously fell through every startsWith test
+    // and silently ran the EMPTY-query probe under the intended label.
+    require(Set("plain", "bucketed",
+        "funnel", "funnel-bucketed", "funnel-fast", "funnel-fast-bucketed",
+        "sequence", "sequence-bucketed", "sequence-fast",
+        "sequence-fast-bucketed", "sequence-routed", "sequence-routed-bucketed",
+        "sequence-stringgid", "sequence-fast-stringgid",
+        "sequence-routed-stringgid", "skew").contains(mode),
+      s"unknown mode '$mode' — see the mode list in the scaladoc above")
     // stringgid runs are PLAIN-layout-only (the bucketed table is bucketed
     // by the LONG id, so a string-gid query over it gains nothing and the
     // layout label would mislead) — reject the combination loudly instead
