@@ -205,7 +205,7 @@ object Throughput {
         "fr_sequence_aggregator" -> (() => {
           val g = operators.SequenceMatch.matchingGroups(skewed,
             "user_id", "ts", Seq("view", "click", "purchase").map(fstep))
-            .repartition(col("user_id")) // AQE stats boundary (r13)
+            .repartition(shuffleParts) // AQE stats boundary — must be round-robin (r13)
           skewed.join(g, Seq("user_id"), "left_semi").agg(
             count_distinct(col("user_id")).as("matching_groups"),
             count(lit(1)).as("matching_group_rows")).collect()
