@@ -210,8 +210,12 @@ final class QueryEngine(spec: DatasetSpec,
     // the window stack. An explicit relation needs per-group flags (an OR
     // can't be expressed as an intersection of semi-joins), so any relation
     // pins the whole query to the window plan.
+    // Guard order matters: bigEnough forces one optimizer pass over the
+    // input, so it is only evaluated when a sequence condition exists to
+    // route — a filters-only query must not pay it.
     val routedSeqIdx: Set[Int] =
       if (routing == QueryEngine.Routing.Auto && q.relation.isEmpty &&
+          q.conditions.exists(_.isInstanceOf[Condition.Sequence]) &&
           bigEnough(prepared))
         q.conditions.zipWithIndex.collect {
           case (s: Condition.Sequence, i)
