@@ -70,9 +70,11 @@ object Throughput {
     // reference's other gid type (r12: the aggregator keys strings
     // natively). Results must equal the long-gid runs exactly
     // (representation invariance at 250M); the wall delta prices string
-    // keys in the window sort / aggregation hash map. Plain layout only
-    // (the bucketed table is bucketed by the LONG id) — ENFORCED below:
-    // combining the stringgid and bucketed tokens is rejected loudly.
+    // keys in the window sort / aggregation hash map. Plain layout only:
+    // the bucketed table is bucketed by the LONG id, so a string-gid query
+    // over it gains nothing and the layout label would mislead — which is
+    // why the mode whitelist below deliberately contains no token combining
+    // "stringgid" and "bucketed" (the whitelist IS the rejection).
     // "skew" = the fr window stack under a degenerate hot group: remap a
     // fraction of all rows (3rd arg, percent, default 10) onto ONE user id
     // and run fr_funnel's 3-step funnel + a C1 count-target condition —
@@ -89,13 +91,6 @@ object Throughput {
         "sequence-stringgid", "sequence-fast-stringgid",
         "sequence-routed-stringgid", "skew").contains(mode),
       s"unknown mode '$mode' — see the mode list in the scaladoc above")
-    // stringgid runs are PLAIN-layout-only (the bucketed table is bucketed
-    // by the LONG id, so a string-gid query over it gains nothing and the
-    // layout label would mislead) — reject the combination loudly instead
-    // of silently running whichever token parses last.
-    require(!(mode.contains("stringgid") && mode.contains("bucketed")),
-      s"mode '$mode': stringgid probes run on the plain layout only " +
-        "(the bucketed table is keyed by the LONG user_id) — drop one token")
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
     // "funnel-fast[-bucketed]": the counts-only candidate-pass funnel

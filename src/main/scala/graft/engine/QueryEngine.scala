@@ -213,9 +213,16 @@ final class QueryEngine(spec: DatasetSpec,
     // Guard order matters: bigEnough forces one optimizer pass over the
     // input, so it is only evaluated when a sequence condition exists to
     // route — a filters-only query must not pay it.
+    // The routed plan renames the aggregator's gid output to the internal
+    // name __seq_gid before the semi-join; an input frame already carrying
+    // that name would make the join condition ambiguous, so such a frame
+    // falls back to the window plan (routing never throws — same spirit as
+    // the shape/type/size gates; serving-surface schemas can't collide,
+    // registration rejects no column but datasets don't use __-names).
     val routedSeqIdx: Set[Int] =
       if (routing == QueryEngine.Routing.Auto && q.relation.isEmpty &&
           q.conditions.exists(_.isInstanceOf[Condition.Sequence]) &&
+          !prepared.columns.contains("__seq_gid") &&
           bigEnough(prepared))
         q.conditions.zipWithIndex.collect {
           case (s: Condition.Sequence, i)
@@ -337,10 +344,14 @@ final class QueryEngine(spec: DatasetSpec,
   /** Size gate for routing (measured crossover, BENCH.md §"Sequence at
     * reference scale", r13): Catalyst's plan-time size estimate for the
     * query input, compared against `routingMinBytes`. File-backed sources
-    * estimate as their file bytes; an in-memory/unknown source estimates
-    * as `spark.sql.defaultSizeInBytes` (effectively infinite), so unknown
-    * sizes route — the scale-safe default. Plan-time only: forcing
-    * `optimizedPlan` runs the optimizer once, never a job. */
+    * estimate as their file bytes; an RDD-backed or otherwise unknown-size
+    * source (LogicalRDD) estimates as `spark.sql.defaultSizeInBytes`
+    * (effectively infinite), so unknown sizes route — the scale-safe
+    * default. A LocalRelation (`Seq(...).toDF`) is the exception: its
+    * stats are computed from the actual in-memory data, so small literal
+    * frames keep the window plan like any other measured-small input.
+    * Plan-time only: forcing `optimizedPlan` runs the optimizer once,
+    * never a job. */
   private def bigEnough(df: DataFrame): Boolean =
     routingMinBytes <= 0L ||
       df.queryExecution.optimizedPlan.stats.sizeInBytes >= routingMinBytes

@@ -416,6 +416,14 @@ object TextAnalysis {
       // correlated draw — acceptable for the approximate cap, and the only
       // option that stays loud-free AND bit-reproducible; non-null ids
       // hash exactly as before since saltedMd5 casts to string anyway).
+      // KNOWN collision (r14, documented deliberately): the coalesce makes
+      // a null id hash identically to a literal empty-STRING id, so null-id
+      // and ""-id rows in the same over-cap key share one correlated draw.
+      // Disambiguating would prefix EVERY id (length-tagging is the only
+      // collision-free encoding), changing all non-null draws and every
+      // oracle mirror, to fix a corner only reachable when one key holds
+      // both null and "" ids — outside the id column's uniqueness contract
+      // either way (two ""-id rows already draw together).
       .where(hashUniform(coalesce(col(idCol).cast("string"), lit("")), salt) <
         coalesce(lit(n).cast("double") / col("__key_n"), lit(1.0)))
       .drop("__key_k", "__key_n")

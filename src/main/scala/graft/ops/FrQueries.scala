@@ -253,16 +253,20 @@ object FrQueries {
     // floor form removes the latent negative-ts mismatch): ts minus its
     // non-negative pmod remainder is an exact multiple, so the `div` is
     // exact — all on longs, never through double (nanos exceed 2^53).
-    // Deliberately on the DEFAULT (Auto-routing) engine: the double ts
-    // fails the routing type gate, so this row also pins that the gate
-    // falls back to the window plan instead of truncating under
-    // SequenceMatch's long buffers.
+    // Deliberately on an Auto-routing engine with the SIZE gate disabled
+    // (r14): under the default 32 MB threshold, battery-SF file inputs
+    // short-circuit at bigEnough before the TYPE gate is ever consulted —
+    // threshold 0 makes bigEnough pass, so this row genuinely exercises
+    // the type-gate fallback at every SF: the double ts must re-plan the
+    // window stack instead of truncating under SequenceMatch's long
+    // buffers (LibrarySpec pins the same edge on an in-memory frame).
     "fr_sequence_floatts" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("ts_f",
           expr("(ts - pmod(ts, 1000000)) div 1000000").cast("double"))
-      new QueryEngine(DatasetSpec("user_id", "ts_f")).run(e, GraftQuery(None,
-        Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
+      new QueryEngine(DatasetSpec("user_id", "ts_f")).withRoutingThreshold(0)
+        .run(e, GraftQuery(None,
+          Seq(Condition.Sequence(None, valueSteps, None)), None, Nil, None)).summary
     }),
 
     "fr_seq_maxduration" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None,

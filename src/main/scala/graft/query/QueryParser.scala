@@ -100,6 +100,18 @@ object QueryParser {
           })
         } else
           RelationParser.parse(s.trim, conditions.size, names) match {
+            // Canonicalize the EXPRESSION form of the default relation
+            // (r14): "$0 and $1" (or named refs) ANDing every condition is
+            // semantically identical to the bare "and" normalized above —
+            // fold it to None too, so the engine's fast-path routing
+            // (gated on relation.isEmpty, QueryEngine §"Fast-path
+            // routing") sees through the spelling instead of pinning the
+            // window plan on HTTP queries that spell the default out.
+            // AND is idempotent, so duplicate refs don't block the fold;
+            // any Or node or an unreferenced condition keeps the
+            // expression (a partial AND restricts to a SUBSET and is NOT
+            // the default, which ANDs all conditions).
+            case Right(r) if isCompleteAnd(r, conditions.size) => None
             case Right(r)  => Some(r)
             case Left(err) => fail("relation", err)
           }
@@ -128,6 +140,20 @@ object QueryParser {
     }
 
     GraftQuery(timeframe, conditions, relation, aggregations, funnel)
+  }
+
+  /** True iff `r` is a pure AND tree referencing EVERY one of the `n`
+    * conditions (duplicates allowed — AND is idempotent): the expression
+    * spelling of the default relation. Ref indices are parser-validated
+    * to be < n, so covering n distinct indices means covering all. */
+  private def isCompleteAnd(r: Relation, n: Int): Boolean = {
+    val refs = scala.collection.mutable.Set.empty[Int]
+    def walk(x: Relation): Boolean = x match {
+      case Relation.Ref(i)    => refs += i; true
+      case Relation.And(l, q) => walk(l) && walk(q)
+      case _: Relation.Or     => false
+    }
+    walk(r) && refs.size == n
   }
 
   // ---------------------------------------------------------------- conditions

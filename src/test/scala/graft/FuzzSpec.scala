@@ -414,7 +414,7 @@ object QueryFuzzer {
 
     val relation: Option[(String, String)] =
       if (nCond <= 1) None
-      else rnd.nextInt(5) match {
+      else rnd.nextInt(6) match {
         case 0 => None // default AND over all
         case 1 =>
           Some(("or", (0 until nCond).map(i => s"c$i.p").mkString(" OR ")))
@@ -424,6 +424,13 @@ object QueryFuzzer {
             Some((s"${ref(0)} and ${ref(1)} or ${ref(2)}", "((c0.p AND c1.p) OR c2.p)"))
           else
             Some((s"${ref(0)} or ${ref(1)} and ${ref(2)}", "(c0.p OR (c1.p AND c2.p))"))
+        case 3 =>
+          // Expression-form COMPLETE AND over every condition (r14): the
+          // parser canonicalizes this spelling to None, so the routed fuzz
+          // dimension exercises Auto routing through it — semantically the
+          // default relation, oracle identical to case 0's.
+          Some(((0 until nCond).map(ref).mkString(" and "),
+            (0 until nCond).map(i => s"c$i.p").mkString(" AND ")))
         case _ =>
           val t = genTree(rnd, nCond, 2 + rnd.nextInt(3))
           Some((treeJson(t, ref), treeSql(t)))

@@ -570,6 +570,19 @@ class LibrarySpec extends SparkSpec {
         Target.Count(CmpOp.Gte, 1), includeZero = false)),
       Some(Relation.Or(Relation.Ref(0), Relation.Ref(1))), Nil, None)).summary
     assert(plan(rel).contains("Window"), s"relation must pin the window plan:\n${plan(rel)}")
+    // (1b) ...but the EXPRESSION form of the default AND over every
+    // condition ("$0 and $1") canonicalizes to None at parse (r14,
+    // QueryParser.isCompleteAnd), so an HTTP query spelling the default
+    // out still ROUTES: the sequence semi-joins while the filters
+    // condition windows — the mixed shape, through the parser.
+    val explicitAnd = auto.runJson(ev,
+      """{"query": {"conditions": [
+        |  {"sequence": [{"filter": ["etype","==","view"]},
+        |                {"filter": ["etype","==","click"]}]},
+        |  {"filter": ["etype","==","buy"], "target": ["count",">=",1]}],
+        | "relation": "$0 and $1"}}""".stripMargin).summary
+    assert(plan(explicitAnd).contains("LeftSemi"),
+      s"explicit all-AND relation must still route the sequence:\n${plan(explicitAnd)}")
     // (2) a non-integral ts (SequenceMatch's long buffer would truncate);
     val evF = ev.withColumn("tsf", col("ts").cast("double"))
     val floatTs = new QueryEngine(DatasetSpec("uid", "tsf")).run(evF,
@@ -595,8 +608,11 @@ class LibrarySpec extends SparkSpec {
     // (6) the SIZE gate: a small FILE-backed source (Catalyst estimates
     // real file bytes, far under the measured 32 MB crossover) keeps the
     // window plan under the default engine; threshold 0 routes it. The
-    // in-memory frames above estimate as unknown ≈ infinite and route —
-    // the scale-safe default the gate's scaladoc documents.
+    // in-memory frames above are RDD-backed (LogicalRDD — `frame` goes
+    // through createDataFrame on an RDD), so they estimate as
+    // defaultSizeInBytes ≈ infinite and route, the scale-safe default the
+    // gate's scaladoc documents; a LocalRelation (`Seq(...).toDF`) would
+    // instead estimate its REAL in-memory size and stay on the window plan.
     val pq = tmpDir("routegate")
     ev.write.mode("overwrite").parquet(pq)
     val small = spark.read.parquet(pq)

@@ -98,6 +98,19 @@ class ValidatorSpec extends AnyFunSuite {
     assert(rel("or").contains(
       Relation.Or(Relation.Or(Relation.Ref(0), Relation.Ref(1)), Relation.Ref(2))))
   }
+  test("relation: expression-form complete AND canonicalizes to None (r14)") {
+    // "$0 and $1 and $2" over exactly 3 conditions IS the default relation
+    // — the parser folds it to None (like bare "and") so the engine's
+    // fast-path routing sees through the spelling. Partial ANDs ("$0 and
+    // $1" over 3 — tested above to survive) and any OR are NOT folded.
+    assert(rel("$0 and $1 and $2").isEmpty)
+    assert(rel("$a and $b and $c").isEmpty)      // named refs
+    assert(rel("($0 and $1) and $c").isEmpty)    // parens, mixed ref styles
+    assert(rel("$0 and $0 and $1 and $2").isEmpty) // duplicate ref — AND idempotent
+    assert(rel("$0 && $1 && $2").isEmpty)        // && spelling
+    assert(rel("($0 and $1) or $2").nonEmpty)    // OR keeps the expression
+    assert(rel("$0 and ($1 or $2)").nonEmpty)
+  }
   test("relation: unknown name / out-of-range index / garbage rejected") {
     intercept[QueryValidationException](rel("$nope and $a"))
     intercept[QueryValidationException](rel("$9 and $0"))
