@@ -193,6 +193,36 @@ object Throughput {
             .funnel.get.collect()
           ()
         }),
+        // r14 head-to-head: the 3-step funnel WITH one step aggregation
+        // and one end aggregation — the shape that always paid the window
+        // stack before routedFunnel. Wall is funnel counts + 3 step-agg
+        // frames + 1 end-agg frame collected in sequence (a real query's
+        // full result). Window side pinned...
+        "fr_funnel_agg" -> (() => {
+          val plan = eng.run(skewed, GraftQuery(None, Nil, None, Nil,
+            Some(Funnel(Seq("view", "click", "purchase").map(fstep), None,
+              stepAggregations = Seq(Aggregation(None, "event_type",
+                AggType.CountPerValue, None)),
+              endAggregations = Seq(Aggregation(None, "value",
+                AggType.Count, None))))))
+          plan.funnel.get.collect()
+          plan.funnelAggregations.foreach(_._2.collect())
+        }),
+        // ...vs the ROUTED plan end-to-end (threshold 0): funnelCounts for
+        // the counts + per-step survivor joins against the max-step table
+        // for each aggregation frame.
+        "fr_funnel_agg_routed" -> (() => {
+          val plan = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+            .withRoutingThreshold(0)
+            .run(skewed, GraftQuery(None, Nil, None, Nil,
+              Some(Funnel(Seq("view", "click", "purchase").map(fstep), None,
+                stepAggregations = Seq(Aggregation(None, "event_type",
+                  AggType.CountPerValue, None)),
+                endAggregations = Seq(Aggregation(None, "value",
+                  AggType.Count, None))))))
+          plan.funnel.get.collect()
+          plan.funnelAggregations.foreach(_._2.collect())
+        }),
         // The aggregator under the hot group: only step-matching rows
         // (~7% here) reach the bot group's single merge, so its sort is
         // bounded by the bot's CANDIDATE rows — the skew story the

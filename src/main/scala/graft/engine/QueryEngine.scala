@@ -42,7 +42,14 @@ final case class PlannedQuery(
     /** Funnel per-step counts: (step, step_groups, step_rows). */
     funnel: Option[DataFrame],
     /** Funnel step/end aggregations, keyed "step<i>_<name>" / "end_<name>". */
-    funnelAggregations: Seq[(String, DataFrame)])
+    funnelAggregations: Seq[(String, DataFrame)],
+    /** Which plan answered (r14, the operability twin of silent routing —
+      * a user debugging a slow query at scale needs to know WHICH plan
+      * fired without reading `.explain`): "window" (the general plan),
+      * "routed-sequence", "routed-funnel", or
+      * "routed-sequence+routed-funnel" when both fast paths fired in one
+      * query. Surfaced by the HTTP API's per-query stats block. */
+    plan: String = "window")
 
 /**
  * Spark-native implementation of the reference's query semantics
@@ -85,21 +92,35 @@ final case class PlannedQuery(
  *    250M rows on plain parquet, 2.8× bucketed, ~1.6× degradation under a
  *    30%-hot bot group where the window stack degrades 5.2×;
  *  - an aggregation-free funnel → `SequenceMatch.funnelCounts` — 2.3×
- *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s).
+ *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s);
+ *  - a funnel WITH step/end aggregations (r14) → funnelCounts for the
+ *    counts plus per-step survivor joins against the candidate pass's
+ *    max-step table ([[routedFunnel]]) — step flags are group-constant,
+ *    so each aggregation input is a group-sized semi-join, not a per-row
+ *    flag column.
  *
  * Routing is shape/type/size-gated, never throwing: a query leaves the
  * fast path and falls back to the window plan whenever the aggregator's
  * contract doesn't hold — an explicit `relation` (OR needs per-group
  * flags), an all-negated sequence (satisfied by groups with no matching
- * rows, which never reach an aggregation), a funnel with step/end
- * aggregations (they consume per-row flags only the window plan
- * materializes), a non-integral/string gid or non-integral ts (float ts
+ * rows, which never reach an aggregation), a non-integral/string gid or
+ * non-integral ts (float ts
  * compares natively only in the window plan) — or when Catalyst's input
  * size estimate is under [[QueryEngine.DefaultRoutingMinBytes]] (the
  * measured small-input crossover, where the window plan wins;
  * `withRoutingThreshold` overrides, 0 = always route). Both plans share every
  * oracle (battery rows `fr_sequence[_routed]`, `fr_funnel[_routed]`; the
- * fuzzer runs whole random queries through both). The one contract
+ * fuzzer runs whole random queries through both). Since r14 the PARSER
+ * canonicalizes the expression spelling of the default relation
+ * ("$0 and $1" over every condition) to None, so those queries route
+ * too. Mixed relations beyond that (e.g. "($a or $b) and $seq", where
+ * the sequence is a bare top-level conjunct) COULD route the sequence
+ * while the OR keeps window flags — the rewrite would split the
+ * relation into top-level AND conjuncts, route sequences appearing as
+ * bare conjuncts, and window the rest; deliberately NOT built: the
+ * fuzzer's relation corpus shows the complete-AND spelling is the only
+ * routable form real queries hit, and each routed conjunct would pay
+ * its own semi-join against an already-OR-restricted frame. The one contract
  * divergence: a NULL group id forms a group under `Window.partitionBy`
  * but never joins back through the semi-join — and the REFERENCE agrees
  * with the semi-join, not the window plan: pandas groupby drops NaN keys
@@ -299,21 +320,29 @@ final class QueryEngine(spec: DatasetSpec,
 
     val aggs = q.aggregations.map(a => aggName(a) -> runAggregation(matched, a))
 
-    // Funnel routing (class doc): counts-only funnels go to the
-    // single-candidate-pass funnelCounts; step/end aggregations consume
-    // per-row flags only the window plan materializes, so they pin it.
+    // Funnel routing (class doc): counts come from the single-candidate-
+    // pass funnelCounts; step/end aggregations (r14) no longer pin the
+    // window plan — their inputs are recovered from the same candidate
+    // pass's max-step table via group-sized joins (see routedFunnel).
+    // The __fn_gid guard mirrors the sequence path's __seq_gid one.
+    val funnelRouted = q.funnel.exists(f =>
+      routing == QueryEngine.Routing.Auto &&
+        f.steps.exists(_.rowFound) && fastPathTypesOk(matched) &&
+        !matched.columns.contains("__fn_gid") &&
+        bigEnough(matched))
     val (funnelDf, funnelAggs) = q.funnel match {
-      case Some(f) if routing == QueryEngine.Routing.Auto &&
-          f.stepAggregations.isEmpty && f.endAggregations.isEmpty &&
-          f.steps.exists(_.rowFound) && fastPathTypesOk(matched) &&
-          bigEnough(matched) =>
-        (Some(graft.operators.SequenceMatch.funnelCounts(
-          matched, gid, ts, f.steps, f.maxDuration)), Nil)
-      case Some(f) => planFunnel(matched, f)
-      case None    => (None, Nil)
+      case Some(f) if funnelRouted => routedFunnel(matched, f)
+      case Some(f)                 => planFunnel(matched, f)
+      case None                    => (None, Nil)
     }
 
-    PlannedQuery(matched, summary, aggs, funnelDf, funnelAggs)
+    val planLabel = (
+      (if (routedSeqIdx.nonEmpty) Seq("routed-sequence") else Nil) ++
+        (if (funnelRouted) Seq("routed-funnel") else Nil)) match {
+      case Nil   => "window"
+      case parts => parts.mkString("+")
+    }
+    PlannedQuery(matched, summary, aggs, funnelDf, funnelAggs, planLabel)
   }
 
   /** The general (window) condition plan: one group-constant flag column
@@ -626,6 +655,63 @@ final class QueryEngine(spec: DatasetSpec,
     val endAggs: Seq[(String, DataFrame)] = f.endAggregations.map { a =>
       s"end_${aggName(a)}" ->
         runAggregation(flagged.filter(col(s"__f_p${n - 1}")).select(origCols: _*), a)
+    }
+    (Some(funnelDf), stepAggs ++ endAggs)
+  }
+
+  /**
+   * The ROUTED funnel plan (r14): counts from
+   * [[graft.operators.SequenceMatch.funnelCounts]] exactly as the r13
+   * counts-only routing, and step/end aggregations from per-step
+   * survivor joins against the same candidate pass's max-step table —
+   * instead of the window plan's per-row flags.
+   *
+   * Step flags are GROUP-constant in the window plan (every flag is an
+   * aggregate over partitionBy(gid)), so "rows where step j passed" is
+   * exactly "all rows of groups whose greedy chain reaches step j" — a
+   * group-sized left-semi join of the corpus against `maxStep >= j`,
+   * with the r13 round-robin repartition stage boundary so AQE reads the
+   * set's RUNTIME size and broadcasts it (a hash repartition would be
+   * elided as redundant and no stage would form — the 9063275 lesson).
+   * k aggregations cost k group-sized joins + k candidate passes instead
+   * of k full window stacks; each aggregation output is an independent
+   * lazily-planned frame, so per-frame recomputation matches the window
+   * plan's (which re-runs its whole stack per aggregation frame too).
+   *
+   * LEADING NEGATED steps invert the join: a group with NO row matching
+   * any step is ABSENT from the candidate table yet passes every step
+   * before the first rowFound one (nothing witnesses against it) — for
+   * those steps the survivors are everyone EXCEPT groups witnessed to
+   * fail (present with maxStep < j), a left-ANTI join against the
+   * equally group-sized failed set. Null-gid semantics match the routed
+   * sequence path (class doc): unreachable through the serving surface.
+   */
+  private def routedFunnel(rows: DataFrame, f: Funnel): (Option[DataFrame], Seq[(String, DataFrame)]) = {
+    val funnelDf = graft.operators.SequenceMatch.funnelCounts(
+      rows, gid, ts, f.steps, f.maxDuration)
+    val n = f.steps.size
+    val absentMs = f.steps.indexWhere(_.rowFound) - 1
+    lazy val shuffleN = rows.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    def survivors(j: Int): DataFrame = {
+      val ms = graft.operators.SequenceMatch.maxStepTable(
+        rows, gid, ts, f.steps, f.maxDuration)
+      if (j <= absentMs) {
+        val failed = ms.where(col("__max_step") < j)
+          .select(col("g").as("__fn_gid")).repartition(shuffleN)
+        rows.join(failed, rows(gid) === failed("__fn_gid"), "left_anti")
+      } else {
+        val passed = ms.where(col("__max_step") >= j)
+          .select(col("g").as("__fn_gid")).repartition(shuffleN)
+        rows.join(passed, rows(gid) === passed("__fn_gid"), "left_semi")
+      }
+    }
+    val stepAggs: Seq[(String, DataFrame)] = for {
+      j <- 0 until n
+      a <- f.stepAggregations
+    } yield s"step${j}_${aggName(a)}" -> runAggregation(survivors(j), a)
+    val endAggs: Seq[(String, DataFrame)] = f.endAggregations.map { a =>
+      s"end_${aggName(a)}" -> runAggregation(survivors(n - 1), a)
     }
     (Some(funnelDf), stepAggs ++ endAggs)
   }

@@ -231,7 +231,7 @@ object SequenceMatch {
                      steps: Seq[SequenceStep],
                      maxDuration: Option[Long] = None): DataFrame = {
     val last = steps.size - 1
-    maxStepReached(df, gidCol, tsCol, steps, maxDuration)
+    maxStepTable(df, gidCol, tsCol, steps, maxDuration)
       .where(col("__max_step") === last)
       .select(col("g").as(gidCol))
   }
@@ -256,15 +256,22 @@ object SequenceMatch {
 
   /** Per candidate group, the highest funnel step its greedy anchor chain
     * reaches: (g, __max_step). Groups with no row matching any step are
-    * absent (they never survive the pre-shuffle candidate filter).
+    * absent (they never survive the pre-shuffle candidate filter) — such
+    * a group's implied max-step is `steps.indexWhere(_.rowFound) - 1`:
+    * it passes every LEADING negated step (nothing to witness against)
+    * and fails at the first rowFound one. `g` is the gidKey form of the
+    * gid (long for integral gids, native for strings). PUBLIC since r14:
+    * the engine's routed step/end-aggregation funnel consumes this table
+    * directly — step j's survivors are the groups with max-step >= j,
+    * recovered by a group-sized join instead of per-row window flags.
     * Requires non-null group ids and timestamps — the catalog's
     * registration validation enforces exactly that dataset contract.
     * Gid must be integral (keyed as long) or string (keyed natively);
     * ts must be integral — both checked up front so misuse errors
     * instead of silently collapsing groups / truncating timestamps. */
-  private def maxStepReached(df: DataFrame, gidCol: String, tsCol: String,
-                             steps: Seq[SequenceStep],
-                             maxDuration: Option[Long]): DataFrame = {
+  def maxStepTable(df: DataFrame, gidCol: String, tsCol: String,
+                   steps: Seq[SequenceStep],
+                   maxDuration: Option[Long]): DataFrame = {
     require(steps.exists(_.rowFound),
       "an all-negated sequence is satisfied by groups with NO matching rows, " +
         "which never reach this aggregation; use the window plan")
@@ -337,7 +344,7 @@ object SequenceMatch {
                    steps: Seq[SequenceStep],
                    maxDuration: Option[Long] = None): DataFrame = {
     val n = steps.size
-    val maxStep = maxStepReached(df, gidCol, tsCol, steps, maxDuration)
+    val maxStep = maxStepTable(df, gidCol, tsCol, steps, maxDuration)
     val counts = df.select(gidKey(df, gidCol).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
     // A group absent from the candidate pass has NO row matching any

@@ -379,6 +379,29 @@ object FrQueries {
       }.get
     }),
 
+    // The same step-aggregation funnel through the ROUTED plan (r14,
+    // QueryEngine.routedFunnel): the step-1 aggregation input comes from a
+    // group-sized survivor semi-join against the candidate pass's
+    // max-step table instead of window flags. Shares fr_funnel_step_agg's
+    // oracle verbatim — identical semantics, no window stack anywhere.
+    "fr_funnel_step_agg_routed" -> ((s, dir) => {
+      val plan = routedEngine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(valueSteps, None,
+          stepAggregations = Seq(Aggregation(None, "event_type", AggType.GroupsPerValue, None)),
+          endAggregations = Nil))))
+      plan.funnelAggregations.collectFirst {
+        case (name, df) if name.startsWith("step1_") => df
+      }.get
+    }),
+
+    // The end-aggregation twin through the routed plan (r14): survivors of
+    // the LAST step via the same max-step semi-join. Shares
+    // fr_funnel_end_agg's oracle verbatim.
+    "fr_funnel_end_agg_routed" -> ((s, dir) =>
+      routedEngine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(valueSteps, None, Nil,
+          Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
+
     // Sessionization: per-user session summary at a 6-hour inactivity gap
     // (one window exchange — the sequence/funnel plan shape). Timestamps
     // truncated to MICROseconds on both sides: DuckDB's TIMESTAMP is µs
@@ -509,7 +532,9 @@ object FrQueries {
       "fr_funnel_fast" -> base("fr_funnel"),
       "fr_funnel_routed" -> base("fr_funnel"),
       "fr_funnel_fast_stringgid" -> base("fr_funnel"),
-      "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"))
+      "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"),
+      "fr_funnel_step_agg_routed" -> base("fr_funnel_step_agg"),
+      "fr_funnel_end_agg_routed" -> base("fr_funnel_end_agg"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -37,7 +37,15 @@ import graft.result.{JobStats, ResultJson}
  * the sync path stays for small interactive queries.
  */
 final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int = 0,
-                      catalogStore: Option[String] = None) {
+                      catalogStore: Option[String] = None,
+                      /** Override the engine's Auto-routing size gate
+                        * (QueryEngine.DefaultRoutingMinBytes when None;
+                        * 0 = route every shape-compatible query). An ops
+                        * knob: the default crossover was measured on one
+                        * box — a deployment whose storage/CPU balance
+                        * differs can re-pin it without a rebuild
+                        * (GRAFT_ROUTING_MIN_BYTES in ApiServerMain). */
+                      routingMinBytes: Option[Long] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -268,12 +276,14 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // The registration-validated day-partition declaration flows into the
     // engine here — timeframe queries over partitionByDay layouts prune
     // whole day directories on the serving path too.
-    val engine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
+    val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
       dayPartitionColumn = ds.dayPartitionColumn))
+    val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
 
     def execute(): String = {
-      val (body, stats) = try JobStats.measure(spark) {
-        ResultJson.build(engine.runValidated(df, parsed))
+      val ((body, firedPlan), stats) = try JobStats.measure(spark) {
+        val planned = engine.runValidated(df, parsed)
+        (ResultJson.build(planned), planned.plan)
       } catch { case e: Throwable =>
         mQueryErrors.incrementAndGet()
         throw e
@@ -284,7 +294,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       mBytesScanned.addAndGet(stats.bytesScanned)
       mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
       mCoreMs.addAndGet(stats.executorRunMs)
-      body.dropRight(1) + s""", "stats": ${stats.toJson}}"""
+      // "plan" names WHICH plan answered (r14): routing is deliberately
+      // invisible in the results — the operability surface is here.
+      body.dropRight(1) +
+        s""", "stats": ${stats.toJson.dropRight(1)}, "plan": ${q(firedPlan)}}}"""
     }
 
     if (boolArg(ex, "async")) submitAsync(ex, name)(execute())
@@ -419,7 +432,8 @@ object ApiServerMain {
     spark.sparkContext.setLogLevel("WARN")
     val srv = new ApiServer(spark, port,
       unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt,
-      catalogStore = sys.env.get("GRAFT_CATALOG_STORE"))
+      catalogStore = sys.env.get("GRAFT_CATALOG_STORE"),
+      routingMinBytes = sys.env.get("GRAFT_ROUTING_MIN_BYTES").map(_.toLong))
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

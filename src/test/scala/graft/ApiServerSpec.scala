@@ -75,6 +75,48 @@ class ApiServerSpec extends SparkSpec {
     assert(get("/datasets/ev/bogus/deeper").statusCode() == 404)
   }
 
+  test("query stats surface the fired plan, flipping routed vs window (r14)") {
+    // Routing is semantically invisible by design; the stats block's
+    // "plan" field is the operability surface — a threshold-0 server
+    // routes and reports it, the default server (32 MB gate, sf0.001 is
+    // far under) answers the SAME query with "window" and says so.
+    val s2 = new ApiServer(spark, 0, routingMinBytes = Some(0))
+    s2.start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      def post2(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b2 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post2("/datasets/register",
+        """{"name": "evplan", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val seqQ = """{"query": {"conditions": [{"sequence": [
+        |  {"filter": ["event_type","==","view"]},
+        |  {"filter": ["event_type","==","purchase"]}]}]}}""".stripMargin
+      val routed = post2("/datasets/evplan/query", seqQ)
+      assert(routed.statusCode() == 200 &&
+        routed.body().contains(""""plan": "routed-sequence""""), routed.body())
+      // A funnel WITH an end aggregation routes too (r14) and is labeled.
+      val funQ = """{"funnel": {"sequence": [
+        |  {"filter": ["event_type","==","view"]},
+        |  {"filter": ["event_type","==","purchase"]}],
+        | "endAggregations": [{"column": "event_type", "type": "countPerValue"}]}}""".stripMargin
+      val routedF = post2("/datasets/evplan/query", funQ)
+      assert(routedF.statusCode() == 200 &&
+        routedF.body().contains(""""plan": "routed-funnel""""), routedF.body())
+      // Same sequence query through the DEFAULT server (shared process
+      // catalog): the size gate keeps the window plan, and the stats say so.
+      val win = post("/datasets/evplan/query", seqQ)
+      assert(win.statusCode() == 200 &&
+        win.body().contains(""""plan": "window""""), win.body())
+    } finally {
+      s2.stop()
+      graft.catalog.Catalog.unregister("evplan")
+    }
+  }
+
   test("schema routes: short lists categoricals, full carries attributes") {
     post("/datasets/register",
       """{"name": "ev2", "basepath": "/root/testdata/sf0.001/events.parquet",

@@ -594,12 +594,29 @@ class LibrarySpec extends SparkSpec {
         Seq(SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("zzz"))),
           rowFound = false)), None)), None, Nil, None)).summary
     assert(plan(allNeg).contains("Window"), s"all-negated must pin the window plan:\n${plan(allNeg)}")
-    // (4) funnel step/end aggregations (they consume per-row flags);
-    val aggFun = auto.run(ev, GraftQuery(None, Nil, None, Nil,
+    // (4) funnel step/end aggregations ROUTE too since r14: counts via
+    // funnelCounts (no Window), each aggregation input recovered by a
+    // group-sized survivor join against the max-step table — the end-agg
+    // frame must show the semi-join and no window stack.
+    val aggFunPlan = auto.run(ev, GraftQuery(None, Nil, None, Nil,
       Some(Funnel(steps("view", "click"), None, Nil,
-        Seq(Aggregation(None, "etype", AggType.CountPerValue, None)))))).funnel.get
-    assert(plan(aggFun).contains("Window"),
-      s"funnel with end aggregations must pin the window plan:\n${plan(aggFun)}")
+        Seq(Aggregation(None, "etype", AggType.CountPerValue, None))))))
+    assert(!plan(aggFunPlan.funnel.get).contains("Window"),
+      s"routed funnel counts must leave the window stack:\n${plan(aggFunPlan.funnel.get)}")
+    val endAggDf = aggFunPlan.funnelAggregations.head._2
+    assert(!plan(endAggDf).contains("Window") && plan(endAggDf).contains("LeftSemi"),
+      s"routed end-agg input is a survivor semi-join, not window flags:\n${plan(endAggDf)}")
+    // A LEADING NEGATED step inverts the join for the steps before the
+    // first rowFound one: survivors of step 0 are everyone EXCEPT groups
+    // witnessed to fail — a left-ANTI join.
+    val negLead = auto.run(ev, GraftQuery(None, Nil, None, Nil,
+      Some(Funnel(
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("zzz"))),
+          rowFound = false) +: steps("view", "click"),
+        None, Seq(Aggregation(None, "etype", AggType.Count, None)), Nil))))
+    val step0Df = negLead.funnelAggregations.head._2
+    assert(plan(step0Df).contains("LeftAnti") && !plan(step0Df).contains("Window"),
+      s"leading-negated step-0 survivors use the anti-join:\n${plan(step0Df)}")
     // (5) withWindowPlan pins the general plan even for the routable shape.
     val pinned = auto.withWindowPlan.run(ev,
       GraftQuery(None, Seq(seq2), None, Nil, None)).summary
