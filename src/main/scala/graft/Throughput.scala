@@ -86,6 +86,8 @@ object Throughput {
     // and silently ran the EMPTY-query probe under the intended label.
     require(Set("plain", "bucketed",
         "funnel", "funnel-bucketed", "funnel-fast", "funnel-fast-bucketed",
+        "funnel-agg", "funnel-agg-bucketed",
+        "funnel-agg-routed", "funnel-agg-routed-bucketed",
         "sequence", "sequence-bucketed", "sequence-fast",
         "sequence-fast-bucketed", "sequence-routed", "sequence-routed-bucketed",
         "sequence-stringgid", "sequence-fast-stringgid",
@@ -245,7 +247,12 @@ object Throughput {
         def run(): Double = {
           val t0 = System.nanoTime()
           body()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          // Per-request cache lifecycle, outside the timer (see the
+          // funnel-agg branch note): the routed agg shapes retain a
+          // group-sized table the serving surfaces drain per query.
+          util.Caches.drain()
+          sec
         }
         run() // warm
         val sec = (1 to 2).map(_ => run()).min
@@ -328,6 +335,50 @@ object Throughput {
       println(f"""{"rows": $rows, "groups": $groups, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "rows_per_sec_per_core": ${perCore}%.0f, """ +
         f""""layout": "$layout"}""")
+    } else if (mode.startsWith("funnel-agg")) {
+      // r14: the funnel WITH one step aggregation and one end aggregation —
+      // "funnel-agg[-bucketed]" pins the window plan, "funnel-agg-routed
+      // [-bucketed]" runs the engine's routedFunnel (threshold 0). Wall is
+      // funnel counts + 3 step-agg frames + 1 end-agg frame collected in
+      // sequence (a real query's full result); the skew A/B for this shape
+      // lives in the skew mode (fr_funnel_agg[_routed] shapes).
+      import query.QueryAst._
+      val steps = Seq("view", "click", "purchase").map(t =>
+        SequenceStep(Seq(
+          RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
+          RowFilter("value", FilterOp.Gt, Scalar.Num(100)))))
+      val q = GraftQuery(None, Nil, None, Nil,
+        Some(Funnel(steps, None,
+          stepAggregations = Seq(Aggregation(None, "event_type",
+            AggType.CountPerValue, None)),
+          endAggregations = Seq(Aggregation(None, "value",
+            AggType.Count, None)))))
+      val routed = mode.startsWith("funnel-agg-routed")
+      val eng =
+        if (routed) new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          .withRoutingThreshold(0)
+        else new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          .withWindowPlan
+      val rows = df.count()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val plan = eng.run(df, q)
+        plan.funnel.get.collect()
+        plan.funnelAggregations.foreach(_._2.collect())
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Per-request cache lifecycle (ApiServer drains after each query):
+        // without this, Spark's plan-matching CacheManager would hand run
+        // N+1 the candidate-pass cache run N materialized, and the timed
+        // runs would measure a warm cross-request cache no serving path
+        // keeps. Drain OUTSIDE the timer, like the server does.
+        util.Caches.drain()
+        sec
+      }
+      run() // warm
+      val sec = (1 to 2).map(_ => run()).min
+      val planName = if (routed) "funnel3-agg-routed" else "funnel3-agg-window"
+      println(f"""{"plan": "$planName", "rows": $rows, "sec": $sec%.3f, """ +
+        f""""cores": $cpus, "layout": "$layout"}""")
     } else {
       import query.QueryAst._
       val steps = Seq("view", "click", "purchase").map(t =>

@@ -293,10 +293,22 @@ final class QueryEngine(spec: DatasetSpec,
           // keeps the SMJ, whose gid-hash exchange AQE stacks on top.
           val shuffleN = cur.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toInt
-          val groups = graft.operators.SequenceMatch
+          // When the query has aggregations or a funnel, every one of
+          // those output frames (plus the summary) embeds this semi-join
+          // and would re-run the candidate pass as its own action — cache
+          // the GROUP-SIZED gid set (r14, same rationale and drain story
+          // as routedFunnel's max-step cache; the cache sits BELOW the
+          // repartition so the AQE stats boundary is unchanged per frame).
+          // A summary-only query collects one frame and keeps the exact
+          // r13 plan, cache-free.
+          val matchedGids = graft.operators.SequenceMatch
             .matchingGroups(cur, gid, ts, s.steps, s.maxDuration)
             .withColumnRenamed(gid, "__seq_gid")
-            .repartition(shuffleN)
+          val shared =
+            if (q.aggregations.nonEmpty || q.funnel.nonEmpty)
+              graft.util.Caches.retain(matchedGids)
+            else matchedGids
+          val groups = shared.repartition(shuffleN)
           // PLAIN equality, deliberately (measured at 250M rows, r13): a
           // null-safe <=> join keys the probe on (coalesce(gid), isnull
           // (gid)), which costs ~2× wall on the 250M probe side (41s vs
@@ -673,10 +685,13 @@ final class QueryEngine(spec: DatasetSpec,
    * with the r13 round-robin repartition stage boundary so AQE reads the
    * set's RUNTIME size and broadcasts it (a hash repartition would be
    * elided as redundant and no stage would form — the 9063275 lesson).
-   * k aggregations cost k group-sized joins + k candidate passes instead
-   * of k full window stacks; each aggregation output is an independent
-   * lazily-planned frame, so per-frame recomputation matches the window
-   * plan's (which re-runs its whole stack per aggregation frame too).
+   * k aggregations cost k group-sized joins + ONE shared candidate pass
+   * (the max-step table is Caches-retained when aggregations exist — see
+   * the body comment) instead of k full window stacks; the window plan
+   * re-runs its whole sort+window stack per aggregation frame, which is
+   * what the measured A/B punishes (BENCH.md §"Funnel with step/end
+   * aggregations": 1.28× plain, 1.43× bucketed, 3.4× under a 30%-hot
+   * group, all at 250M rows).
    *
    * LEADING NEGATED steps invert the join: a group with NO row matching
    * any step is ABSENT from the candidate table yet passes every step
@@ -687,15 +702,29 @@ final class QueryEngine(spec: DatasetSpec,
    * sequence path (class doc): unreachable through the serving surface.
    */
   private def routedFunnel(rows: DataFrame, f: Funnel): (Option[DataFrame], Seq[(String, DataFrame)]) = {
-    val funnelDf = graft.operators.SequenceMatch.funnelCounts(
-      rows, gid, ts, f.steps, f.maxDuration)
     val n = f.steps.size
     val absentMs = f.steps.indexWhere(_.rowFound) - 1
+    // Every output frame — counts + each step/end aggregation — derives
+    // from the SAME max-step table, but frames are collected as separate
+    // actions, so without a cache each would re-run the whole candidate
+    // pass over the corpus (measured r14, bucketed 250M: 5 frames paid
+    // ~13s each where the shared pass is ~6s once). With aggregations
+    // present, persist the GROUP-SIZED table via Caches.retain — the
+    // serving surfaces (ApiServer per request, Bench/Verify per query)
+    // drain it; the cache sits BELOW each frame's round-robin repartition
+    // so the r13 AQE stats boundary (broadcast from runtime stats) is
+    // unchanged per frame. A counts-only funnel keeps the exact r13 plan:
+    // one frame, nothing to share, no cache side-effect.
+    val hasAggs = f.stepAggregations.nonEmpty || f.endAggregations.nonEmpty
+    val msBase = graft.operators.SequenceMatch.maxStepTable(
+      rows, gid, ts, f.steps, f.maxDuration)
+    val ms = if (hasAggs) graft.util.Caches.retain(msBase) else msBase
+    val funnelDf = graft.operators.SequenceMatch.funnelCounts(
+      rows, gid, ts, f.steps, f.maxDuration,
+      precomputedMaxStep = if (hasAggs) Some(ms) else None)
     lazy val shuffleN = rows.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     def survivors(j: Int): DataFrame = {
-      val ms = graft.operators.SequenceMatch.maxStepTable(
-        rows, gid, ts, f.steps, f.maxDuration)
       if (j <= absentMs) {
         val failed = ms.where(col("__max_step") < j)
           .select(col("g").as("__fn_gid")).repartition(shuffleN)

@@ -342,9 +342,16 @@ object SequenceMatch {
     * silently collapsing groups under a lossy long cast. */
   def funnelCounts(df: DataFrame, gidCol: String, tsCol: String,
                    steps: Seq[SequenceStep],
-                   maxDuration: Option[Long] = None): DataFrame = {
+                   maxDuration: Option[Long] = None,
+                   /** A caller-precomputed [[maxStepTable]] for the SAME
+                     * (df, steps, maxDuration) — the engine's routedFunnel
+                     * passes its cached table so the counts frame and every
+                     * step-aggregation frame share one candidate pass
+                     * instead of re-running it per collected frame. */
+                   precomputedMaxStep: Option[DataFrame] = None): DataFrame = {
     val n = steps.size
-    val maxStep = maxStepTable(df, gidCol, tsCol, steps, maxDuration)
+    val maxStep = precomputedMaxStep.getOrElse(
+      maxStepTable(df, gidCol, tsCol, steps, maxDuration))
     val counts = df.select(gidKey(df, gidCol).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("__cnt"))
     // A group absent from the candidate pass has NO row matching any

@@ -365,6 +365,16 @@ object FrQueries {
           None, Nil, None)).matchedRows,
         "user_id", "ts", valueSteps)),
 
+    // Condition + funnel through the ROUTED engine end-to-end (r14): the
+    // Filters condition stays on window flags (only sequences route), the
+    // funnel routes over the condition-restricted matchedRows — the
+    // composed shape the fuzzer draws randomly, pinned deterministically
+    // at battery level. Shares fr_funnel_conditioned's oracle verbatim.
+    "fr_funnel_conditioned_routed" -> ((s, dir) => routedEngine.run(ev(s, dir), GraftQuery(None,
+      Seq(cond(filters(eq("event_type", "purchase")), Target.Count(CmpOp.Gte, 14))),
+      None, Nil,
+      Some(Funnel(valueSteps, None, Nil, Nil)))).funnel.get),
+
     "fr_funnel_end_agg" -> ((s, dir) => engine.run(ev(s, dir), GraftQuery(None, Nil, None, Nil,
       Some(Funnel(valueSteps, None, Nil,
         Seq(Aggregation(None, "event_type", AggType.CountPerValue, None)))))).funnelAggregations.head._2),
@@ -533,6 +543,7 @@ object FrQueries {
       "fr_funnel_routed" -> base("fr_funnel"),
       "fr_funnel_fast_stringgid" -> base("fr_funnel"),
       "fr_funnel_conditioned_fast" -> base("fr_funnel_conditioned"),
+      "fr_funnel_conditioned_routed" -> base("fr_funnel_conditioned"),
       "fr_funnel_step_agg_routed" -> base("fr_funnel_step_agg"),
       "fr_funnel_end_agg_routed" -> base("fr_funnel_end_agg"))
   }

@@ -536,6 +536,76 @@ class OperatorsSpec extends SparkSpec {
     assert(fastLead == winLead)
   }
 
+  test("routedFunnel step/end aggregations equal the window plan's on random data (r14)") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(14)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 2000).map { i =>
+      Map[String, Any]("uid" -> (i % 97).toLong, "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val window = new QueryEngine(DatasetSpec("uid", "ts")).withWindowPlan
+    val routed = new QueryEngine(DatasetSpec("uid", "ts")).withRoutingThreshold(0)
+    def collectAggs(p: graft.engine.PlannedQuery): Map[String, Set[Seq[Any]]] =
+      p.funnelAggregations.map { case (name, d) =>
+        name -> d.collect().map(_.toSeq).toSet
+      }.toMap
+    // Plain 3-step funnel AND a leading-negated variant (the anti-join
+    // path), each with one per-step and one end aggregation — every
+    // (step j, agg) frame must match the window plan's values exactly.
+    val plainSteps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+    val leadNegSteps =
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("other"))),
+        rowFound = false) +: plainSteps.take(2)
+    for (steps <- Seq(plainSteps, leadNegSteps)) {
+      val q = GraftQuery(None, Nil, None, Nil, Some(Funnel(steps, None,
+        stepAggregations = Seq(Aggregation(None, "etype", AggType.CountPerValue, None)),
+        endAggregations = Seq(
+          Aggregation(None, "etype", AggType.GroupsPerValue, None),
+          Aggregation(None, "ts", AggType.Count, None)))))
+      val w = collectAggs(window.run(df, q))
+      val r = collectAggs(routed.run(df, q))
+      assert(w.keySet == r.keySet)
+      for (k <- w.keySet)
+        assert(w(k) == r(k), s"funnel agg '$k' diverged (steps=${steps.size})")
+    }
+  }
+
+  test("maxStepTable: per-group greedy max step, candidate groups only (r14 public contract)") {
+    import graft.query.QueryAst._
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val df = frame(schema, Seq(
+      // uid 1: view@1, click@2, buy@3 → reaches step 2
+      Map("uid" -> 1L, "ts" -> 1L, "etype" -> "view"),
+      Map("uid" -> 1L, "ts" -> 2L, "etype" -> "click"),
+      Map("uid" -> 1L, "ts" -> 3L, "etype" -> "buy"),
+      // uid 2: view@5 only → step 0
+      Map("uid" -> 2L, "ts" -> 5L, "etype" -> "view"),
+      // uid 3: click@1 then view@2 (wrong order) → step 0 (view anchors at 2,
+      // no click strictly after)
+      Map("uid" -> 3L, "ts" -> 1L, "etype" -> "click"),
+      Map("uid" -> 3L, "ts" -> 2L, "etype" -> "view"),
+      // uid 4: no step-matching rows → ABSENT from the table
+      Map("uid" -> 4L, "ts" -> 9L, "etype" -> "other")))
+    val steps = Seq(
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
+      SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy")))))
+    val got = graft.operators.SequenceMatch.maxStepTable(df, "uid", "ts", steps, None)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 0), got.toString)
+  }
+
   test("sequence aggregator handles dense groups (10k matching rows per step)") {
     import graft.engine.{DatasetSpec, QueryEngine}
     import graft.query.QueryAst._
