@@ -91,7 +91,10 @@ object Throughput {
         "sequence", "sequence-bucketed", "sequence-fast",
         "sequence-fast-bucketed", "sequence-routed", "sequence-routed-bucketed",
         "sequence-stringgid", "sequence-fast-stringgid",
-        "sequence-routed-stringgid", "skew").contains(mode),
+        "sequence-routed-stringgid",
+        "sequence-agg", "sequence-agg-bucketed",
+        "sequence-agg-routed", "sequence-agg-routed-bucketed",
+        "skew").contains(mode),
       s"unknown mode '$mode' — see the mode list in the scaladoc above")
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
@@ -260,6 +263,45 @@ object Throughput {
       }
       println(f"""{"plan": "skew", "hot_pct": $hotPct, "rows": $rows, """ +
         f""""cores": $cpus, ${results.mkString(", ")}, "layout": "$layout"}""")
+    } else if (mode.startsWith("sequence-agg")) {
+      // r14: the 6-step sequence WITH aggregations — the shape where the
+      // routed path's matched-gid set is consumed by THREE separate
+      // actions (summary + 2 aggregation frames), each of which would
+      // re-run the candidate pass without the Caches.retain sharing.
+      // "sequence-agg[-bucketed]" pins the window plan,
+      // "sequence-agg-routed[-bucketed]" the routed one (threshold 0).
+      import query.QueryAst._
+      def step(t: String, minValue: Double) = SequenceStep(Seq(
+        RowFilter("event_type", FilterOp.Eq, Scalar.Str(t)),
+        RowFilter("value", FilterOp.Gt, Scalar.Num(minValue))))
+      val steps = Seq(
+        step("signup", 100), step("view", 100), step("click", 100),
+        step("view", 150), step("purchase", 100), step("purchase", 200))
+      val q = GraftQuery(None, Seq(Condition.Sequence(None, steps, None)), None,
+        Seq(Aggregation(None, "value", AggType.Count, None),
+          Aggregation(None, "event_type", AggType.CountPerValue, None)),
+        None)
+      val routed = mode.startsWith("sequence-agg-routed")
+      val eng =
+        if (routed) new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          .withRoutingThreshold(0)
+        else new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          .withWindowPlan
+      val rows = df.count()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val plan = eng.run(df, q)
+        plan.summary.collect()
+        plan.aggregations.foreach(_._2.collect())
+        val sec = (System.nanoTime() - t0) / 1e9
+        util.Caches.drain() // per-request lifecycle, outside the timer
+        sec
+      }
+      run() // warm
+      val sec = (1 to 2).map(_ => run()).min
+      val planName = if (routed) "sequence6-agg-routed" else "sequence6-agg-window"
+      println(f"""{"plan": "$planName", "rows": $rows, "sec": $sec%.3f, """ +
+        f""""cores": $cpus, "layout": "$layout"}""")
     } else if (seqMode) {
       import query.QueryAst._
       // 6 steps, every one value-filtered (~12% of rows match any step):
