@@ -228,6 +228,24 @@ object Throughput {
           plan.funnel.get.collect()
           plan.funnelAggregations.foreach(_._2.collect())
         }),
+        // r14: the ROUTED sequence + 2 aggregations (3 frames sharing the
+        // cached matched-gid set) under the hot group — the round's
+        // biggest-win shape (5.6x uniform), here measuring how the win
+        // holds when the bot's candidate rows reach one merge per pass.
+        "fr_sequence_agg_routed" -> (() => {
+          val plan = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+            .withRoutingThreshold(0)
+            .run(skewed, GraftQuery(None,
+              Seq(Condition.Sequence(None, Seq(
+                fstep("signup"), fstep("view"), fstep("click")), None)),
+              None,
+              Seq(Aggregation(None, "value", AggType.Count, None),
+                Aggregation(None, "event_type", AggType.CountPerValue, None)),
+              None))
+          plan.summary.collect()
+          plan.aggregations.foreach(_._2.collect())
+          ()
+        }),
         // The aggregator under the hot group: only step-matching rows
         // (~7% here) reach the bot group's single merge, so its sort is
         // bounded by the bot's CANDIDATE rows — the skew story the
