@@ -125,10 +125,18 @@ final case class PlannedQuery(
  * but never joins back through the semi-join — and the REFERENCE agrees
  * with the semi-join, not the window plan: pandas groupby drops NaN keys
  * (query_engine.py:143,237), so null-gid groups never satisfy a condition
- * there either. The catalog's registration validation rejects null gids
+ * there either. Since r14 this divergence also covers two MORE spellings a
+ * direct library caller on an un-validated frame can hit: (1) the parser's
+ * complete-AND relation fold means an EXPLICIT `relation: "$0 and $1"`
+ * query now routes too, flipping its null-gid groups from
+ * window-plan-visible to dropped; (2) [[routedFunnel]]'s leading-negated
+ * branch is a left-ANTI against the witnessed-failed gid set, and an
+ * anti-join's null keys never match — so that one branch KEEPS null-gid
+ * rows unconditionally (the window plan evaluates the negation per
+ * group). The catalog's registration validation rejects null gids
  * outright (the same contract [[graft.operators.SequenceMatch]]
- * documents), so the difference is unreachable through the serving
- * surface. `withWindowPlan` pins the general plan for callers that want
+ * documents), so all of these differences are unreachable through the
+ * serving surface. `withWindowPlan` pins the general plan for callers that want
  * the single-exchange shape regardless (small inputs: the typed
  * aggregation's fixed overhead costs ~20% at sf0.1).
  */
@@ -698,8 +706,11 @@ final class QueryEngine(spec: DatasetSpec,
    * before the first rowFound one (nothing witnesses against it) — for
    * those steps the survivors are everyone EXCEPT groups witnessed to
    * fail (present with maxStep < j), a left-ANTI join against the
-   * equally group-sized failed set. Null-gid semantics match the routed
-   * sequence path (class doc): unreachable through the serving surface.
+   * equally group-sized failed set. Null-gid caveat: an anti-join's null
+   * keys never MATCH, so this branch KEEPS null-gid rows unconditionally —
+   * the opposite edge of the semi-join branch, which drops them (class
+   * doc's divergence note). Unreachable through the serving surface: the
+   * catalog rejects null gids at registration.
    */
   private def routedFunnel(rows: DataFrame, f: Funnel): (Option[DataFrame], Seq[(String, DataFrame)]) = {
     val n = f.steps.size

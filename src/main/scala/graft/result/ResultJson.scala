@@ -41,6 +41,23 @@ object ResultJson {
     parts.toString
   }
 
+  /** Append `"key": valueJson` as a trailing top-level field of an
+    * already-serialized JSON object. The checked replacement for slicing
+    * serialized strings by hand (r14 assembled the response via two
+    * `dropRight(1)`s that silently produced invalid JSON if either
+    * serializer ever gained trailing whitespace): callers (ApiServer's
+    * stats block) compose objects through this, and a non-object input
+    * fails fast instead of corrupting the response. `valueJson` must be
+    * pre-rendered JSON. */
+  def addTopLevelField(objJson: String, key: String, valueJson: String): String = {
+    val trimmed = objJson.trim
+    require(trimmed.startsWith("{") && trimmed.endsWith("}"),
+      s"not a JSON object: ${trimmed.take(40)}...")
+    val bodyIsEmpty = trimmed.drop(1).dropRight(1).trim.isEmpty
+    val sep = if (bodyIsEmpty) "" else ", "
+    s"${trimmed.dropRight(1)}$sep${quote(key)}: $valueJson}"
+  }
+
   /** One aggregation result: scalar → "value"; per-value → "values" dict
     * with stringified keys (reference behavior, query_engine.py:281). */
   private def aggJson(name: String, df: org.apache.spark.sql.DataFrame): String = {

@@ -281,13 +281,19 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
 
     def execute(): String = {
-      val ((body, firedPlan), stats) = try JobStats.measure(spark) {
+      // Caches.scoped: each query owns (and on exit drains) exactly the
+      // frames IT retained — async/stream queries run concurrently on
+      // their own threads, and the r14 global drain-per-request let one
+      // query's finally unpersist another's in-flight shared
+      // candidate-pass table (perf-only, but it silently re-introduced
+      // the per-frame recomputation the cache exists to avoid).
+      val ((body, firedPlan), stats) = try graft.util.Caches.scoped(JobStats.measure(spark) {
         val planned = engine.runValidated(df, parsed)
         (ResultJson.build(planned), planned.plan)
-      } catch { case e: Throwable =>
+      }) catch { case e: Throwable =>
         mQueryErrors.incrementAndGet()
         throw e
-      } finally graft.util.Caches.drain() // no cache build-up in a long-lived server
+      }
       mQueries.incrementAndGet()
       mQueryMs.addAndGet(stats.wallTimeMs)
       mRowsScanned.addAndGet(stats.rowsScanned)
@@ -295,9 +301,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
       mCoreMs.addAndGet(stats.executorRunMs)
       // "plan" names WHICH plan answered (r14): routing is deliberately
-      // invisible in the results — the operability surface is here.
-      body.dropRight(1) +
-        s""", "stats": ${stats.toJson.dropRight(1)}, "plan": ${q(firedPlan)}}}"""
+      // invisible in the results — the operability surface is the stats
+      // block, where "plan" rides as a trailing key.
+      ResultJson.addTopLevelField(body, "stats",
+        stats.toJsonWith("plan" -> q(firedPlan)))
     }
 
     if (boolArg(ex, "async")) submitAsync(ex, name)(execute())

@@ -179,6 +179,87 @@ class ApiServerSpec extends SparkSpec {
     assert(get("/queries/zzz/status").statusCode() == 404)
   }
 
+  test("concurrent queries own their caches and stats (r15)") {
+    // Threshold-0 server: funnel-with-aggregation queries route and retain
+    // a shared candidate-pass table per query — exactly the regime where
+    // r14's global per-request drain let one query evict another's cache
+    // mid-flight and the global stats listener cross-attributed tasks.
+    val s4 = new ApiServer(spark, 0, routingMinBytes = Some(0))
+    s4.start()
+    try {
+      val b4 = s"http://127.0.0.1:${s4.boundPort}"
+      def post4(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b4 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get4(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b4 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post4("/datasets/register",
+        """{"name": "evconc", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val qA = """{"funnel": {"sequence": [
+        |  {"filter": ["event_type","==","view"]},
+        |  {"filter": ["event_type","==","purchase"]}],
+        | "endAggregations": [{"column": "event_type", "type": "countPerValue"}]}}""".stripMargin
+      val qB = """{"funnel": {"sequence": [
+        |  {"filter": ["event_type","==","click"]},
+        |  {"filter": ["event_type","==","purchase"]}],
+        | "stepAggregations": [{"column": "event_type", "type": "countPerValue"}]}}""".stripMargin
+
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def rowsScanned(j: JValue): BigInt = (j \ "stats" \ "rowsScanned") match {
+        case JInt(n) => n
+        case other   => fail(s"no rowsScanned in response: $other")
+      }
+      def resultPart(j: JValue): JValue = j.removeField { case (k, _) => k == "stats" }
+
+      // Solo baselines — each query's scope drains on completion. The
+      // response must parse as ONE valid JSON document end-to-end (advice
+      // r14: no more string-surgery assembly), with "plan" inside stats.
+      val soloA = JsonMethods.parse(post4("/datasets/evconc/query", qA).body())
+      val soloB = JsonMethods.parse(post4("/datasets/evconc/query", qB).body())
+      assert((soloA \ "stats" \ "plan") == JString("routed-funnel"),
+        JsonMethods.compact(soloA))
+      assert((soloB \ "stats" \ "plan") == JString("routed-funnel"),
+        JsonMethods.compact(soloB))
+
+      // Fire both concurrently: each async query runs on its own thread.
+      val subA = post4("/datasets/evconc/query?async=true", qA)
+      val subB = post4("/datasets/evconc/query?async=true", qB)
+      assert(subA.statusCode() == 202 && subB.statusCode() == 202)
+      def awaitResult(sub: HttpResponse[String]): JValue = {
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100)
+          status = JsonMethods.parse(get4(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        status \ "result"
+      }
+      val concA = awaitResult(subA)
+      val concB = awaitResult(subB)
+      // (a) both concurrent results correct: identical to their solo twins.
+      assert(resultPart(concA) == resultPart(soloA), "concurrent A diverged from solo A")
+      assert(resultPart(concB) == resultPart(soloB), "concurrent B diverged from solo B")
+      // (b) no cross-drain, no cross-attribution: each concurrent query
+      // reports exactly its solo rowsScanned. A cross-drain would force
+      // candidate-pass recomputation (extra scanned rows); the old global
+      // listener would have added the OTHER query's scan on overlap.
+      assert(rowsScanned(concA) == rowsScanned(soloA),
+        s"A: concurrent=${rowsScanned(concA)} solo=${rowsScanned(soloA)}")
+      assert(rowsScanned(concB) == rowsScanned(soloB),
+        s"B: concurrent=${rowsScanned(concB)} solo=${rowsScanned(soloB)}")
+    } finally {
+      s4.stop()
+      graft.catalog.Catalog.unregister("evconc")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",

@@ -665,6 +665,81 @@ class LibrarySpec extends SparkSpec {
     assert(stats.tasks >= 1200, s"expected all 1200 tasks counted, got ${stats.tasks}")
   }
 
+  test("job stats attribute metrics per measurement under concurrency (r15)") {
+    // Two measurements racing on their own threads (ApiServer's async
+    // regime): each must count ONLY its own tasks. Pre-r15 the listener
+    // summed every task that ended while attached, so concurrent queries
+    // cross-attributed rowsScanned/coreSecs — the cost basis.
+    val dirA = java.nio.file.Files.createTempDirectory("statsA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("statsB").toString
+    spark.range(5000).selectExpr("id", "id % 7 AS v").write.mode("overwrite").parquet(dirA)
+    spark.range(50000).selectExpr("id", "id % 7 AS v").write.mode("overwrite").parquet(dirB)
+    val dfA = spark.read.parquet(dirA)
+    val dfB = spark.read.parquet(dirB)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var snapA: graft.result.JobStats.Snapshot = null
+    @volatile var snapB: graft.result.JobStats.Snapshot = null
+    val tA = new Thread(() => {
+      val (_, s) = graft.result.JobStats.measure(spark) {
+        barrier.await(); dfA.agg(sum("v")).collect()
+      }
+      snapA = s
+    }, "stats-conc-a")
+    val tB = new Thread(() => {
+      val (_, s) = graft.result.JobStats.measure(spark) {
+        barrier.await(); dfB.agg(sum("v")).collect()
+      }
+      snapB = s
+    }, "stats-conc-b")
+    tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+    assert(snapA != null && snapB != null, "measurement threads timed out")
+    assert(snapA.rowsScanned == 5000,
+      s"A must see exactly its own 5000 rows, got ${snapA.rowsScanned}")
+    assert(snapB.rowsScanned == 50000,
+      s"B must see exactly its own 50000 rows, got ${snapB.rowsScanned}")
+
+    // Broadcast-exchange jobs run on Spark's internal thread pool; SQL
+    // captures the submitting thread's local properties onto them, so the
+    // broadcast build's scan still lands in ITS query's measurement.
+    val (_, sJoin) = graft.result.JobStats.measure(spark) {
+      dfB.join(org.apache.spark.sql.functions.broadcast(dfA), "id")
+        .agg(sum(dfB("v"))).collect()
+    }
+    assert(sJoin.rowsScanned == 55000,
+      s"broadcast build side must be attributed (50000+5000), got ${sJoin.rowsScanned}")
+  }
+
+  test("Caches.scoped: a query's exit drains only its own frames (r15)") {
+    import java.util.concurrent.CountDownLatch
+    import org.apache.spark.storage.StorageLevel
+    // Distinct plans so CacheManager gives each thread its own entry.
+    val dfA = spark.range(100).toDF("a").filter("a >= 0")
+    val dfB = spark.range(200).toDF("b").filter("b >= 0")
+    val bothRetained = new CountDownLatch(2)
+    val aExited = new CountDownLatch(1)
+    @volatile var bLevelAfterAExit: StorageLevel = null
+    val tA = new Thread(() => graft.util.Caches.scoped {
+      graft.util.Caches.retain(dfA); dfA.count()
+      bothRetained.countDown()
+      bothRetained.await()
+    }, "caches-scope-a") // scope exit drains dfA — and must NOT touch dfB
+    val tB = new Thread(() => graft.util.Caches.scoped {
+      graft.util.Caches.retain(dfB); dfB.count()
+      bothRetained.countDown()
+      aExited.await()
+      bLevelAfterAExit = dfB.storageLevel
+    }, "caches-scope-b")
+    tA.start(); tB.start()
+    tA.join(60000); aExited.countDown(); tB.join(60000)
+    assert(bLevelAfterAExit != null, "scope threads timed out")
+    // Pre-r15 this was the bug: A's per-request drain emptied the GLOBAL
+    // bin, unpersisting B's in-flight shared candidate-pass cache.
+    assert(bLevelAfterAExit != StorageLevel.NONE,
+      "A's scope exit must not drain B's in-flight retained frame")
+    assert(dfA.storageLevel == StorageLevel.NONE, "A's own frame must be drained")
+    assert(dfB.storageLevel == StorageLevel.NONE, "B's frame drains when B exits")
+  }
+
   test("pair-generation battery queries plan without cartesian products") {
     // The VERDICT-r2 scale-killers: these must stay equi-join-shaped. The
     // assertion is on the physical plan, so a regression to crossJoin (or a

@@ -558,6 +558,10 @@ class OperatorsSpec extends SparkSpec {
     // Plain 3-step funnel AND a leading-negated variant (the anti-join
     // path), each with one per-step and one end aggregation — every
     // (step j, agg) frame must match the window plan's values exactly.
+    // Each shape also runs with maxDuration (r15, advice): the per-step
+    // duration cut is where the routed plan's "passed step j iff
+    // maxStep >= j" monotonicity leans on anchors being increasing, so
+    // the equivalence must hold with the cut biting too.
     val plainSteps = Seq(
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click")))),
@@ -565,17 +569,37 @@ class OperatorsSpec extends SparkSpec {
     val leadNegSteps =
       SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("other"))),
         rowFound = false) +: plainSteps.take(2)
-    for (steps <- Seq(plainSteps, leadNegSteps)) {
-      val q = GraftQuery(None, Nil, None, Nil, Some(Funnel(steps, None,
+    for {
+      steps <- Seq(plainSteps, leadNegSteps)
+      maxDur <- Seq(None, Some(30000L))
+    } {
+      val q = GraftQuery(None, Nil, None, Nil, Some(Funnel(steps, maxDur,
         stepAggregations = Seq(Aggregation(None, "etype", AggType.CountPerValue, None)),
         endAggregations = Seq(
           Aggregation(None, "etype", AggType.GroupsPerValue, None),
           Aggregation(None, "ts", AggType.Count, None)))))
-      val w = collectAggs(window.run(df, q))
-      val r = collectAggs(routed.run(df, q))
+      val wPlan = window.run(df, q)
+      val rPlan = routed.run(df, q)
+      assert(rPlan.plan.contains("routed-funnel"),
+        s"variant (steps=${steps.size}, maxDur=$maxDur) must actually route, got '${rPlan.plan}'")
+      val w = collectAggs(wPlan)
+      val r = collectAggs(rPlan)
       assert(w.keySet == r.keySet)
       for (k <- w.keySet)
-        assert(w(k) == r(k), s"funnel agg '$k' diverged (steps=${steps.size})")
+        assert(w(k) == r(k),
+          s"funnel agg '$k' diverged (steps=${steps.size}, maxDur=$maxDur)")
+      // the duration cut must actually bite (plain shape only — the
+      // leading-negated funnel already ends at 0 groups on this corpus,
+      // so there is nothing left for the cut to remove there): with it,
+      // strictly fewer groups finish than without (ts spans ~100k/group)
+      if (maxDur.nonEmpty && (steps eq plainSteps)) {
+        def endGroups(p: graft.engine.PlannedQuery): Long =
+          p.funnel.get.collect().maxBy(_.getInt(0)).getLong(1)
+        val qFree = q.copy(funnel = Some(q.funnel.get.copy(maxDuration = None)))
+        val (cut, free) = (endGroups(rPlan), endGroups(routed.run(df, qFree)))
+        assert(cut < free && cut > 0,
+          s"maxDuration=$maxDur must cut some-but-not-all groups, got $cut vs $free")
+      }
     }
   }
 
