@@ -57,9 +57,9 @@ object ServingScale {
     // routable shape the routed engine still pays bigEnough's optimizer
     // pass and the window engine doesn't, which is exactly the difference
     // worth a number.
-    def planMs(engine: QueryEngine, json: String, iters: Int = 300): Double = {
+    def planMs(engine: QueryEngine, json: String, iters: Int = 100): Double = {
       val q = graft.query.QueryParser.parse(json)
-      (1 to 50).foreach(_ => engine.runValidated(ev, q)) // JIT + analysis warm
+      (1 to 20).foreach(_ => engine.runValidated(ev, q)) // JIT + analysis warm
       val t0 = System.nanoTime()
       (1 to iters).foreach(_ => engine.runValidated(ev, graft.query.QueryParser.parse(json)))
       (System.nanoTime() - t0) / 1e6 / iters

@@ -94,7 +94,7 @@ object Throughput {
         "sequence-routed-stringgid",
         "sequence-agg", "sequence-agg-bucketed",
         "sequence-agg-routed", "sequence-agg-routed-bucketed",
-        "skew").contains(mode),
+        "skew", "skew-bucketed").contains(mode),
       s"unknown mode '$mode' — see the mode list in the scaladoc above")
     val bucketed = mode.endsWith("bucketed")
     val funnelMode = mode.startsWith("funnel")
@@ -109,7 +109,7 @@ object Throughput {
     val seqRouted = mode.startsWith("sequence-routed")
     val skewMode = mode.startsWith("skew")
     val df =
-      if (!bucketed) spark.read.parquet(target)
+      if (!bucketed || skewMode) spark.read.parquet(target)
       else {
         val table = s"throughput_events_x$replicas"
         if (!spark.catalog.tableExists(table))
@@ -126,8 +126,26 @@ object Throughput {
       // (a "bot" group holding that share of the corpus). hotPct=0 is the
       // unskewed control on the identical remap-bearing plan.
       val draw = pmod(xxhash64(col("user_id"), col("event_id")), lit(100L))
-      val skewed = df.withColumn("user_id",
-        when(draw < lit(hotPct.toLong), lit(-1L)).otherwise(col("user_id")))
+      val skewed =
+        if (!bucketed) df.withColumn("user_id",
+          when(draw < lit(hotPct.toLong), lit(-1L)).otherwise(col("user_id")))
+        else {
+          // "skew-bucketed" (r15): the hot group must live IN the layout —
+          // a remap projection on top of a bucketed scan discards the very
+          // partitioning invariant the bucketed cell measures (Catalyst
+          // can no longer trust hash(user_id) after the remap, so every
+          // plan re-exchanges). Write the remapped corpus bucketBy(gid)
+          // once, keyed by hotPct; the bot's single bucket holds hotPct%
+          // of the corpus in one sorted file — the honest physical shape
+          // a bot group has in a group-partitioned 100 TB layout.
+          val table = s"throughput_events_x${replicas}_hot$hotPct"
+          if (!spark.catalog.tableExists(table))
+            sources.GroupedWriter.bucketBy(
+              df.withColumn("user_id",
+                when(draw < lit(hotPct.toLong), lit(-1L)).otherwise(col("user_id"))),
+              "user_id", cpus * 4, table)
+          spark.table(table)
+        }
       // Window plan pinned: these shapes MEASURE the window stack's skew
       // bound (the engine's Auto routing would silently swap in the very
       // fast paths the other shapes measure against).

@@ -65,11 +65,20 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     server.createContext("/queries", (ex: HttpExchange) => handle(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handle(ex))
     // Two worker threads: one can poll /queries status while a query runs.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    server.setExecutor(pool)
     server.start()
   }
 
-  def stop(): Unit = server.stop(0)
+  // HttpServer.stop does NOT shut down a user-supplied executor, and the
+  // pool's non-daemon threads otherwise keep the JVM alive after stop()
+  // (observed: probe mains printing their result and then hanging).
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  def stop(): Unit = {
+    server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   // ------------------------------------------------------------ async jobs
 

@@ -777,6 +777,16 @@ class LibrarySpec extends SparkSpec {
     val values = (parsed \ "query" \ "aggregations")(0) \ "values"
     assert(values == JObject(List("x" -> JInt(2), "y" -> JInt(1))))
     assert(((parsed \ "funnel" \ "sequence")(0) \ "sequenceGroups") == JInt(2))
+
+    // r15: the checked top-level append the server composes responses with
+    // (replaced the dropRight string surgery) — appended keys must parse,
+    // empty objects must not gain a stray comma, non-objects fail fast.
+    val withStats = ResultJson.addTopLevelField(json, "stats", """{"x": 1}""")
+    assert((JsonMethods.parse(withStats) \ "stats" \ "x") == JInt(1))
+    assert((JsonMethods.parse(withStats) \ "query" \ "matchingGroups") == JInt(2))
+    assert(ResultJson.addTopLevelField("{}", "a", "1") == """{"a": 1}""")
+    intercept[IllegalArgumentException](
+      ResultJson.addTopLevelField("[1, 2]", "a", "1"))
   }
 
   test("windowed rates with watermark aggregate event-time windows") {
