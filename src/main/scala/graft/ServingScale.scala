@@ -118,9 +118,44 @@ object ServingScale {
       require(errs.get() == 0, s"${errs.get()} concurrent requests failed")
       println(f"[serving] 2 clients: $rps2%.1f req/s")
 
+      // Cached repeats (r15): the same query against a server with the
+      // versioned result cache ON — the repeated-dashboard-query regime.
+      // The floor collapses to parse + key lookup + HTTP; at 100 TB this
+      // is the difference between re-scanning the corpus and answering
+      // from the driver's LRU.
+      val cServer = new graft.server.ApiServer(spark, 0,
+        routingMinBytes = Some(0), resultCacheSize = 64)
+      cServer.start()
+      val (rpsC, p50C) = try {
+        val cBase = s"http://127.0.0.1:${cServer.boundPort}"
+        def postC(path: String, body: String): HttpResponse[String] =
+          client.send(HttpRequest.newBuilder(URI.create(cBase + path))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+            HttpResponse.BodyHandlers.ofString())
+        val regC = postC("/datasets/register",
+          s"""{"name": "srvcache", "basepath": "$sfDir/events.parquet",
+             | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+        require(regC.statusCode() == 200, regC.body())
+        def oneCached(): Long = {
+          val t = System.nanoTime()
+          val r = postC("/datasets/srvcache/query", seqJson)
+          require(r.statusCode() == 200, r.body())
+          System.nanoTime() - t
+        }
+        oneCached() // cold fill
+        (1 to 30).foreach(_ => oneCached()) // warm
+        val nC = 500
+        val wC = System.nanoTime()
+        val latC = Array.fill(nC)(oneCached()).sorted
+        val wallC = (System.nanoTime() - wC) / 1e9
+        (nC / wallC, latC(((latC.length - 1) * 0.5).toInt) / 1e6)
+      } finally cServer.stop()
+      println(f"[serving] cached repeats: $rpsC%.1f req/s, p50 $p50C%.2f ms")
+
       println(s"""{"metric": "serving_latency", "sf": "$sfDir", """ +
         f""""planning_ms": {"seq_routed": $planSeqRouted%.2f, "seq_window": $planSeqWindow%.2f, "filters": $planFilters%.2f}, """ +
-        f""""http": {"rps_1client": $rps1%.1f, "p50_ms": ${pct(0.5)}%.1f, "p95_ms": ${pct(0.95)}%.1f, "rps_2clients": $rps2%.1f}}""")
+        f""""http": {"rps_1client": $rps1%.1f, "p50_ms": ${pct(0.5)}%.1f, "p95_ms": ${pct(0.95)}%.1f, "rps_2clients": $rps2%.1f, """ +
+        f""""rps_cached": $rpsC%.1f, "p50_cached_ms": $p50C%.2f}}""")
     } finally {
       server.stop()
       spark.stop()

@@ -390,6 +390,13 @@ object Catalog {
   def lastUsed(name: String): Option[Long] =
     Option(lastUsedAt.get(name)).map(_.longValue)
 
+  /** Mark a dataset used WITHOUT loading it — the serving result cache
+    * answers repeats without touching the data, but a cached query is
+    * still a use for the unregister safety interval. */
+  def touch(name: String): Unit =
+    if (datasets.containsKey(name))
+      lastUsedAt.put(name, System.currentTimeMillis())
+
   def list(): Seq[RegisteredDataset] =
     { import scala.jdk.CollectionConverters._; datasets.values.asScala.toSeq }
 

@@ -34,7 +34,9 @@ import graft.result.{JobStats, ResultJson}
  * The Spark driver hosts the server; queries run as ordinary Spark jobs.
  * At 100 TB a query takes minutes — `stream`/`async` are how clients
  * actually call this (the reference's run_streamable, apiserver.py:125-172);
- * the sync path stays for small interactive queries.
+ * the sync path stays for small interactive queries. Repeated queries can
+ * opt into the versioned result cache (`resultCacheSize` — see the field
+ * scaladoc below).
  */
 final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int = 0,
                       catalogStore: Option[String] = None,
@@ -45,7 +47,13 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * box — a deployment whose storage/CPU balance
                         * differs can re-pin it without a rebuild
                         * (GRAFT_ROUTING_MIN_BYTES in ApiServerMain). */
-                      routingMinBytes: Option[Long] = None) {
+                      routingMinBytes: Option[Long] = None,
+                      /** Entries in the versioned query-result cache;
+                        * 0 (default) disables. See `resultCache` below —
+                        * sound under the reference's dataset-immutability
+                        * contract. GRAFT_RESULT_CACHE_SIZE in
+                        * ApiServerMain. */
+                      resultCacheSize: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -90,6 +98,33 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   private val jobs = new ConcurrentHashMap[String, AsyncJob]()
   private val jobSeq = new AtomicLong()
+
+  // ---------------------------------------------------------- result cache
+
+  /** Versioned query-result cache (extension). The reference's analog is
+    * the worker-side parquet part cache (part_loader.py LRU), and both
+    * lean on the same contract: a registered dataset's files are IMMUTABLE
+    * — updating data means re-registering under a new DatasetId
+    * (dataset.py:36-53 `DatasetId.now()`). The key is therefore dataset
+    * name + registeredAt + the parsed query's canonical case-class AST —
+    * re-registration invalidates naturally (new registeredAt → new keys;
+    * stale entries age out of the LRU), and two textual spellings of one
+    * query share an entry. Values are final result bodies WITHOUT the
+    * per-execution stats block, plus the plan that produced them. Every
+    * battery query is deterministic (exact aggregations; top-K has a
+    * total-order tie-break), so a hit is bit-identical to a re-run.
+    * At 100 TB a repeated dashboard query re-scans the corpus — minutes of
+    * cluster time; this answers it at the HTTP floor. Two identical
+    * queries racing a cold key both execute (no stampede latch — the
+    * second put is idempotent); access-order LRU bounded at
+    * `resultCacheSize`, 0 disables. */
+  private val resultCache: java.util.Map[String, (String, String)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, String)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, String)]): Boolean =
+          size() > resultCacheSize
+      })
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -281,39 +316,64 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     val bodyText = if (emptyBody) "{}" else readBody(ex)
     val parsed = QueryParser.parse(bodyText)
     SchemaValidator.validateTimeframeScale(parsed, ds.minTimestamp, ds.maxTimestamp)
-    val df = Catalog.load(spark, name)
-    // The registration-validated day-partition declaration flows into the
-    // engine here — timeframe queries over partitionByDay layouts prune
-    // whole day directories on the serving path too.
-    val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
-      dayPartitionColumn = ds.dayPartitionColumn))
-    val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
+
+    // Cache key captured with the SAME catalog snapshot the query runs on
+    // (ds fetched once at request entry): registeredAt versions the entry.
+    val cacheKey = s"${ds.name}@${ds.registeredAt}|$parsed"
 
     def execute(): String = {
-      // Caches.scoped: each query owns (and on exit drains) exactly the
-      // frames IT retained — async/stream queries run concurrently on
-      // their own threads, and the r14 global drain-per-request let one
-      // query's finally unpersist another's in-flight shared
-      // candidate-pass table (perf-only, but it silently re-introduced
-      // the per-frame recomputation the cache exists to avoid).
-      val ((body, firedPlan), stats) = try graft.util.Caches.scoped(JobStats.measure(spark) {
-        val planned = engine.runValidated(df, parsed)
-        (ResultJson.build(planned), planned.plan)
-      }) catch { case e: Throwable =>
-        mQueryErrors.incrementAndGet()
-        throw e
+      val hit = if (resultCacheSize > 0) resultCache.get(cacheKey) else null
+      if (hit != null) {
+        mQueries.incrementAndGet()
+        mCacheHits.incrementAndGet()
+        // A cached query is still a use for the unregister safety interval.
+        Catalog.touch(name)
+        val (body, firedPlan) = hit
+        // Zero-cost stats block, schema-identical to a real run's (clients
+        // read stats.rowsScanned/coreSecs as the cost basis — a hit's cost
+        // IS zero), with "cached": true and the plan that produced the
+        // entry.
+        ResultJson.addTopLevelField(body, "stats",
+          JobStats.Snapshot(0, 0, 0, 0, 0, 0, 0)
+            .toJsonWith("plan" -> q(firedPlan), "cached" -> "true"))
+      } else {
+        // Loaded on the miss path only: a hit must not pay the parquet
+        // footer/file-index read (Catalog.load runs a small Spark job on
+        // multi-part datasets — the cache test's zero-jobs assertion
+        // watches exactly this).
+        val df = Catalog.load(spark, name)
+        // The registration-validated day-partition declaration flows into
+        // the engine here — timeframe queries over partitionByDay layouts
+        // prune whole day directories on the serving path too.
+        val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
+          dayPartitionColumn = ds.dayPartitionColumn))
+        val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
+        // Caches.scoped: each query owns (and on exit drains) exactly the
+        // frames IT retained — async/stream queries run concurrently on
+        // their own threads, and the r14 global drain-per-request let one
+        // query's finally unpersist another's in-flight shared
+        // candidate-pass table (perf-only, but it silently re-introduced
+        // the per-frame recomputation the cache exists to avoid).
+        val ((body, firedPlan), stats) = try graft.util.Caches.scoped(JobStats.measure(spark) {
+          val planned = engine.runValidated(df, parsed)
+          (ResultJson.build(planned), planned.plan)
+        }) catch { case e: Throwable =>
+          mQueryErrors.incrementAndGet()
+          throw e
+        }
+        mQueries.incrementAndGet()
+        mQueryMs.addAndGet(stats.wallTimeMs)
+        mRowsScanned.addAndGet(stats.rowsScanned)
+        mBytesScanned.addAndGet(stats.bytesScanned)
+        mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
+        mCoreMs.addAndGet(stats.executorRunMs)
+        if (resultCacheSize > 0) resultCache.put(cacheKey, (body, firedPlan))
+        // "plan" names WHICH plan answered (r14): routing is deliberately
+        // invisible in the results — the operability surface is the stats
+        // block, where "plan" rides as a trailing key.
+        ResultJson.addTopLevelField(body, "stats",
+          stats.toJsonWith("plan" -> q(firedPlan), "cached" -> "false"))
       }
-      mQueries.incrementAndGet()
-      mQueryMs.addAndGet(stats.wallTimeMs)
-      mRowsScanned.addAndGet(stats.rowsScanned)
-      mBytesScanned.addAndGet(stats.bytesScanned)
-      mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
-      mCoreMs.addAndGet(stats.executorRunMs)
-      // "plan" names WHICH plan answered (r14): routing is deliberately
-      // invisible in the results — the operability surface is the stats
-      // block, where "plan" rides as a trailing key.
-      ResultJson.addTopLevelField(body, "stats",
-        stats.toJsonWith("plan" -> q(firedPlan)))
     }
 
     if (boolArg(ex, "async")) submitAsync(ex, name)(execute())
@@ -386,6 +446,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   // metrics.py:126-174, invoker/stats_builder.py). Per-query detail stays
   // in each response's "stats" block; this is the fleet-scrape view.
   private val mQueries      = new AtomicLong()
+  private val mCacheHits    = new AtomicLong()
   private val mQueryErrors  = new AtomicLong()
   private val mQueryMs      = new AtomicLong()
   private val mRowsScanned  = new AtomicLong()
@@ -398,6 +459,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       s"# HELP $name $help\n# TYPE $name $kind\n$name $value\n"
     val body =
       m("graft_queries_total", "counter", "Queries executed successfully", mQueries.get) +
+      m("graft_query_cache_hits_total", "counter", "Queries answered from the versioned result cache", mCacheHits.get) +
       m("graft_query_errors_total", "counter", "Queries that failed", mQueryErrors.get) +
       m("graft_query_wall_ms_total", "counter", "Total query wall time (ms)", mQueryMs.get) +
       m("graft_rows_scanned_total", "counter", "Rows read by queries", mRowsScanned.get) +
@@ -449,7 +511,8 @@ object ApiServerMain {
     val srv = new ApiServer(spark, port,
       unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt,
       catalogStore = sys.env.get("GRAFT_CATALOG_STORE"),
-      routingMinBytes = sys.env.get("GRAFT_ROUTING_MIN_BYTES").map(_.toLong))
+      routingMinBytes = sys.env.get("GRAFT_ROUTING_MIN_BYTES").map(_.toLong),
+      resultCacheSize = sys.env.getOrElse("GRAFT_RESULT_CACHE_SIZE", "0").toInt)
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

@@ -260,6 +260,77 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("versioned result cache answers repeats without Spark jobs (r15)") {
+    val s5 = new ApiServer(spark, 0, resultCacheSize = 8)
+    s5.start()
+    try {
+      val b5 = s"http://127.0.0.1:${s5.boundPort}"
+      def post5(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b5 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get5(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b5 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post5("/datasets/register",
+        """{"name": "evcache", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val q1 = """{"query": {"conditions": [
+        |  {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]}]}}""".stripMargin
+      // Textually different spelling, same canonical AST → must share the entry.
+      val q2 = """{"query":{"conditions":[{"filter":["event_type","==","purchase"],"target":["count",">=",2]}]}}"""
+
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def resultPart(j: JValue): JValue = j.removeField { case (k, _) => k == "stats" }
+
+      val first = JsonMethods.parse(post5("/datasets/evcache/query", q1).body())
+      assert((first \ "query" \ "matchingGroups") == JInt(15), JsonMethods.compact(first))
+      assert((first \ "stats" \ "cached") == JBool(false), JsonMethods.compact(first))
+
+      // Count Spark jobs during the repeat: a hit must run ZERO jobs.
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        val second = JsonMethods.parse(post5("/datasets/evcache/query", q2).body())
+        org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 10000)
+        assert((second \ "stats" \ "cached") == JBool(true), JsonMethods.compact(second))
+        assert((second \ "stats" \ "plan") == (first \ "stats" \ "plan"))
+        // bit-identical result, zero reported cost, zero jobs run
+        assert(resultPart(second) == resultPart(first), "cached result diverged")
+        assert((second \ "stats" \ "rowsScanned") == JInt(0))
+        assert(jobCount.get() == 0, s"cache hit ran ${jobCount.get()} Spark jobs")
+      } finally spark.sparkContext.removeSparkListener(counter)
+
+      assert(get5("/metrics").body().contains("graft_query_cache_hits_total 1"))
+
+      // Re-registration versions the key: the same query re-executes on the
+      // new registration (reference contract: data updates re-register,
+      // DatasetId.now() — dataset.py:36-53).
+      val rereg = post5("/datasets/register",
+        """{"name": "evcache", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(rereg.statusCode() == 200, rereg.body())
+      val third = JsonMethods.parse(post5("/datasets/evcache/query", q1).body())
+      assert((third \ "stats" \ "cached") == JBool(false), JsonMethods.compact(third))
+      assert(resultPart(third) == resultPart(first))
+
+      // The default server has the cache OFF: repeats re-execute.
+      val r1 = JsonMethods.parse(post("/datasets/evcache/query", q1).body())
+      val r2 = JsonMethods.parse(post("/datasets/evcache/query", q1).body())
+      assert((r1 \ "stats" \ "cached") == JBool(false))
+      assert((r2 \ "stats" \ "cached") == JBool(false))
+    } finally {
+      s5.stop()
+      graft.catalog.Catalog.unregister("evcache")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",
