@@ -55,6 +55,13 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * ApiServerMain. */
                       resultCacheSize: Int = 0) {
 
+  // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
+  // reads this once, at first server creation): without it a small
+  // response's header+body writes can sit behind the peer's 40ms
+  // delayed-ACK timer — measured as ~40ms of the per-request serving
+  // floor (BENCH.md §"Serving-path latency floor").
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def boundPort: Int = server.getAddress.getPort
