@@ -124,9 +124,10 @@ object ServingScale {
       // is the difference between re-scanning the corpus and answering
       // from the driver's LRU.
       val cServer = new graft.server.ApiServer(spark, 0,
-        routingMinBytes = Some(0), resultCacheSize = 64)
+        routingMinBytes = Some(0), resultCacheSize = 64,
+        httpThreads = 4) // 4 sync workers so the herd probe below genuinely overlaps
       cServer.start()
-      val (rpsC, p50C) = try {
+      val (rpsC, p50C, soloColdMs, herdWallMs) = try {
         val cBase = s"http://127.0.0.1:${cServer.boundPort}"
         def postC(path: String, body: String): HttpResponse[String] =
           client.send(HttpRequest.newBuilder(URI.create(cBase + path))
@@ -148,14 +149,44 @@ object ServingScale {
         val wC = System.nanoTime()
         val latC = Array.fill(nC)(oneCached()).sorted
         val wallC = (System.nanoTime() - wC) / 1e9
-        (nC / wallC, latC(((latC.length - 1) * 0.5).toInt) / 1e6)
+
+        // Cold-key herd (r15): 4 concurrent clients fire the SAME query
+        // right after a re-registration invalidated its key — the regime
+        // the single-flight latch exists for. Per iteration: re-register
+        // (fresh key), measure one solo cold request; re-register again,
+        // measure the 4-client batch wall. With coalescing the batch costs
+        // ONE execution, so its wall tracks the solo cold request instead
+        // of stacking four. Min of 3 iterations (drift protocol: paired,
+        // back-to-back).
+        def reRegister(): Unit = {
+          val r = postC("/datasets/register",
+            s"""{"name": "srvcache", "basepath": "$sfDir/events.parquet",
+               | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+          require(r.statusCode() == 200, r.body())
+        }
+        val herdErrs = new java.util.concurrent.atomic.AtomicInteger
+        val (soloCold, herdWall) = (1 to 3).map { _ =>
+          reRegister()
+          val solo = oneCached() / 1e6
+          reRegister()
+          val t0 = System.nanoTime()
+          val threads = (1 to 4).map(_ => new Thread(() =>
+            try oneCached() catch { case _: Throwable => herdErrs.incrementAndGet() }))
+          threads.foreach(_.start()); threads.foreach(_.join())
+          (solo, (System.nanoTime() - t0) / 1e6)
+        }.minBy(_._2)
+        require(herdErrs.get() == 0, s"${herdErrs.get()} herd requests failed")
+
+        (nC / wallC, latC(((latC.length - 1) * 0.5).toInt) / 1e6, soloCold, herdWall)
       } finally cServer.stop()
       println(f"[serving] cached repeats: $rpsC%.1f req/s, p50 $p50C%.2f ms")
+      println(f"[serving] cold-key herd of 4: $herdWallMs%.1f ms wall vs solo cold $soloColdMs%.1f ms")
 
       println(s"""{"metric": "serving_latency", "sf": "$sfDir", """ +
         f""""planning_ms": {"seq_routed": $planSeqRouted%.2f, "seq_window": $planSeqWindow%.2f, "filters": $planFilters%.2f}, """ +
         f""""http": {"rps_1client": $rps1%.1f, "p50_ms": ${pct(0.5)}%.1f, "p95_ms": ${pct(0.95)}%.1f, "rps_2clients": $rps2%.1f, """ +
-        f""""rps_cached": $rpsC%.1f, "p50_cached_ms": $p50C%.2f}}""")
+        f""""rps_cached": $rpsC%.1f, "p50_cached_ms": $p50C%.2f, """ +
+        f""""herd4_wall_ms": $herdWallMs%.1f, "solo_cold_ms": $soloColdMs%.1f}}""")
     } finally {
       server.stop()
       spark.stop()

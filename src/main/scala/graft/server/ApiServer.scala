@@ -53,7 +53,24 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * sound under the reference's dataset-immutability
                         * contract. GRAFT_RESULT_CACHE_SIZE in
                         * ApiServerMain. */
-                      resultCacheSize: Int = 0) {
+                      resultCacheSize: Int = 0,
+                      /** Per-entry byte ceiling for the result cache: the
+                        * LRU bounds entry COUNT, so without this a handful
+                        * of giant results (countPerValue over a
+                        * high-cardinality column) could pin GBs on the
+                        * driver. Oversized results are still served (and
+                        * still coalesce concurrent identical requests via
+                        * the in-flight future) — they just don't persist in
+                        * the LRU. GRAFT_RESULT_CACHE_MAX_ENTRY_BYTES in
+                        * ApiServerMain. */
+                      resultCacheMaxEntryBytes: Long = 8L << 20,
+                      /** HTTP worker threads. The measured serving floor
+                        * scales with this up to the sync-path concurrency a
+                        * deployment wants to allow (async queries spawn
+                        * their own threads regardless); 2 keeps the default
+                        * behavior — one query can run while /queries status
+                        * polls answer. GRAFT_HTTP_THREADS in ApiServerMain. */
+                      httpThreads: Int = 2) {
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -79,8 +96,9 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex))
     server.createContext("/queries", (ex: HttpExchange) => handle(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handle(ex))
-    // Two worker threads: one can poll /queries status while a query runs.
-    pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // Worker threads (default 2: one can poll /queries status while a
+    // sync query runs).
+    pool = java.util.concurrent.Executors.newFixedThreadPool(httpThreads)
     server.setExecutor(pool)
     server.start()
   }
@@ -121,10 +139,8 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     * battery query is deterministic (exact aggregations; top-K has a
     * total-order tie-break), so a hit is bit-identical to a re-run.
     * At 100 TB a repeated dashboard query re-scans the corpus — minutes of
-    * cluster time; this answers it at the HTTP floor. Two identical
-    * queries racing a cold key both execute (no stampede latch — the
-    * second put is idempotent); access-order LRU bounded at
-    * `resultCacheSize`, 0 disables. */
+    * cluster time; this answers it at the HTTP floor. Access-order LRU
+    * bounded at `resultCacheSize`, 0 disables. */
   private val resultCache: java.util.Map[String, (String, String)] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, (String, String)](16, 0.75f, true) {
@@ -132,6 +148,20 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
             e: java.util.Map.Entry[String, (String, String)]): Boolean =
           size() > resultCacheSize
       })
+
+  /** Single-flight latch (with the cache on): N concurrent requests for
+    * the SAME cold key would each run the full query — at 100 TB that's N
+    * simultaneous corpus scans for one dashboard panel, hit hardest right
+    * after a re-registration invalidates a popular key (the thundering
+    * herd). The first request computes; the rest await its future and are
+    * answered from the fresh value (counted as cache hits, plus the
+    * coalesced counter). An execution failure propagates to every waiter
+    * (same deterministic query, same dataset version) and the latch is
+    * dropped, so the next fresh request retries. Off when the cache is
+    * off: coalescing would silently break the every-query-executes stats
+    * contract uncached clients rely on. */
+  private val inFlight =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[(String, String)]]()
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -328,58 +358,103 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // (ds fetched once at request entry): registeredAt versions the entry.
     val cacheKey = s"${ds.name}@${ds.registeredAt}|$parsed"
 
+    // Answer from a (body, plan) already paid for by someone else — a
+    // cache hit or a coalesced wait. Zero-cost stats block,
+    // schema-identical to a real run's (clients read
+    // stats.rowsScanned/coreSecs as the cost basis — a hit's cost IS
+    // zero), with "cached": true and the plan that produced the entry.
+    def cachedResponse(body: String, firedPlan: String): String = {
+      mQueries.incrementAndGet()
+      mCacheHits.incrementAndGet()
+      // A cached query is still a use for the unregister safety interval.
+      Catalog.touch(name)
+      ResultJson.addTopLevelField(body, "stats",
+        JobStats.Snapshot(0, 0, 0, 0, 0, 0, 0)
+          .toJsonWith("plan" -> q(firedPlan), "cached" -> "true"))
+    }
+
+    def runQuery(): ((String, String), JobStats.Snapshot) = {
+      // Loaded on the miss path only: a hit must not pay the parquet
+      // footer/file-index read (Catalog.load runs a small Spark job on
+      // multi-part datasets — the cache test's zero-jobs assertion
+      // watches exactly this).
+      val df = Catalog.load(spark, name)
+      // The registration-validated day-partition declaration flows into
+      // the engine here — timeframe queries over partitionByDay layouts
+      // prune whole day directories on the serving path too.
+      val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
+        dayPartitionColumn = ds.dayPartitionColumn))
+      val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
+      // Caches.scoped: each query owns (and on exit drains) exactly the
+      // frames IT retained — async/stream queries run concurrently on
+      // their own threads, and the r14 global drain-per-request let one
+      // query's finally unpersist another's in-flight shared
+      // candidate-pass table (perf-only, but it silently re-introduced
+      // the per-frame recomputation the cache exists to avoid).
+      val result = try graft.util.Caches.scoped(JobStats.measure(spark) {
+        val planned = engine.runValidated(df, parsed)
+        (ResultJson.build(planned), planned.plan)
+      }) catch { case e: Throwable =>
+        mQueryErrors.incrementAndGet()
+        throw e
+      }
+      val stats = result._2
+      mQueries.incrementAndGet()
+      mQueryMs.addAndGet(stats.wallTimeMs)
+      mRowsScanned.addAndGet(stats.rowsScanned)
+      mBytesScanned.addAndGet(stats.bytesScanned)
+      mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
+      mCoreMs.addAndGet(stats.executorRunMs)
+      result
+    }
+
+    // "plan" names WHICH plan answered (r14): routing is deliberately
+    // invisible in the results — the operability surface is the stats
+    // block, where "plan" rides as a trailing key.
+    def freshResponse(body: String, firedPlan: String, stats: JobStats.Snapshot): String =
+      ResultJson.addTopLevelField(body, "stats",
+        stats.toJsonWith("plan" -> q(firedPlan), "cached" -> "false"))
+
     def execute(): String = {
       val hit = if (resultCacheSize > 0) resultCache.get(cacheKey) else null
-      if (hit != null) {
-        mQueries.incrementAndGet()
-        mCacheHits.incrementAndGet()
-        // A cached query is still a use for the unregister safety interval.
-        Catalog.touch(name)
-        val (body, firedPlan) = hit
-        // Zero-cost stats block, schema-identical to a real run's (clients
-        // read stats.rowsScanned/coreSecs as the cost basis — a hit's cost
-        // IS zero), with "cached": true and the plan that produced the
-        // entry.
-        ResultJson.addTopLevelField(body, "stats",
-          JobStats.Snapshot(0, 0, 0, 0, 0, 0, 0)
-            .toJsonWith("plan" -> q(firedPlan), "cached" -> "true"))
-      } else {
-        // Loaded on the miss path only: a hit must not pay the parquet
-        // footer/file-index read (Catalog.load runs a small Spark job on
-        // multi-part datasets — the cache test's zero-jobs assertion
-        // watches exactly this).
-        val df = Catalog.load(spark, name)
-        // The registration-validated day-partition declaration flows into
-        // the engine here — timeframe queries over partitionByDay layouts
-        // prune whole day directories on the serving path too.
-        val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
-          dayPartitionColumn = ds.dayPartitionColumn))
-        val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
-        // Caches.scoped: each query owns (and on exit drains) exactly the
-        // frames IT retained — async/stream queries run concurrently on
-        // their own threads, and the r14 global drain-per-request let one
-        // query's finally unpersist another's in-flight shared
-        // candidate-pass table (perf-only, but it silently re-introduced
-        // the per-frame recomputation the cache exists to avoid).
-        val ((body, firedPlan), stats) = try graft.util.Caches.scoped(JobStats.measure(spark) {
-          val planned = engine.runValidated(df, parsed)
-          (ResultJson.build(planned), planned.plan)
-        }) catch { case e: Throwable =>
-          mQueryErrors.incrementAndGet()
-          throw e
+      if (hit != null) cachedResponse(hit._1, hit._2)
+      else if (resultCacheSize > 0) {
+        val fresh = new java.util.concurrent.CompletableFuture[(String, String)]()
+        val winner = inFlight.putIfAbsent(cacheKey, fresh)
+        if (winner != null) {
+          // Coalesced: an identical query is executing right now — await
+          // it instead of running a second full scan. An
+          // ExecutionException unwraps to the winner's own failure so the
+          // waiter's status code matches (400 stays 400).
+          val (body, firedPlan) =
+            try winner.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          mCoalesced.incrementAndGet()
+          cachedResponse(body, firedPlan)
+        } else {
+          try {
+            // Won the latch; re-check the cache — the prior winner may
+            // have completed between our get() and putIfAbsent().
+            val nowCached = resultCache.get(cacheKey)
+            if (nowCached != null) {
+              fresh.complete(nowCached)
+              cachedResponse(nowCached._1, nowCached._2)
+            } else {
+              val (pair, stats) = try runQuery()
+              catch { case e: Throwable => fresh.completeExceptionally(e); throw e }
+              // String length ~ bytes for the ASCII-escaped JSON bodies
+              // ResultJson emits; an oversized result serves but is not
+              // retained (see resultCacheMaxEntryBytes).
+              if (pair._1.length <= resultCacheMaxEntryBytes)
+                resultCache.put(cacheKey, pair)
+              fresh.complete(pair)
+              freshResponse(pair._1, pair._2, stats)
+            }
+          } finally inFlight.remove(cacheKey, fresh)
         }
-        mQueries.incrementAndGet()
-        mQueryMs.addAndGet(stats.wallTimeMs)
-        mRowsScanned.addAndGet(stats.rowsScanned)
-        mBytesScanned.addAndGet(stats.bytesScanned)
-        mShuffleBytes.addAndGet(stats.shuffleBytesWritten)
-        mCoreMs.addAndGet(stats.executorRunMs)
-        if (resultCacheSize > 0) resultCache.put(cacheKey, (body, firedPlan))
-        // "plan" names WHICH plan answered (r14): routing is deliberately
-        // invisible in the results — the operability surface is the stats
-        // block, where "plan" rides as a trailing key.
-        ResultJson.addTopLevelField(body, "stats",
-          stats.toJsonWith("plan" -> q(firedPlan), "cached" -> "false"))
+      } else {
+        val (pair, stats) = runQuery()
+        freshResponse(pair._1, pair._2, stats)
       }
     }
 
@@ -454,6 +529,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   // in each response's "stats" block; this is the fleet-scrape view.
   private val mQueries      = new AtomicLong()
   private val mCacheHits    = new AtomicLong()
+  private val mCoalesced    = new AtomicLong()
   private val mQueryErrors  = new AtomicLong()
   private val mQueryMs      = new AtomicLong()
   private val mRowsScanned  = new AtomicLong()
@@ -467,6 +543,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     val body =
       m("graft_queries_total", "counter", "Queries executed successfully", mQueries.get) +
       m("graft_query_cache_hits_total", "counter", "Queries answered from the versioned result cache", mCacheHits.get) +
+      m("graft_query_coalesced_total", "counter", "Queries coalesced onto an identical in-flight execution", mCoalesced.get) +
       m("graft_query_errors_total", "counter", "Queries that failed", mQueryErrors.get) +
       m("graft_query_wall_ms_total", "counter", "Total query wall time (ms)", mQueryMs.get) +
       m("graft_rows_scanned_total", "counter", "Rows read by queries", mRowsScanned.get) +
@@ -519,7 +596,10 @@ object ApiServerMain {
       unregisterSafetySec = sys.env.getOrElse("GRAFT_UNREGISTER_SAFETY_SEC", "0").toInt,
       catalogStore = sys.env.get("GRAFT_CATALOG_STORE"),
       routingMinBytes = sys.env.get("GRAFT_ROUTING_MIN_BYTES").map(_.toLong),
-      resultCacheSize = sys.env.getOrElse("GRAFT_RESULT_CACHE_SIZE", "0").toInt)
+      resultCacheSize = sys.env.getOrElse("GRAFT_RESULT_CACHE_SIZE", "0").toInt,
+      resultCacheMaxEntryBytes =
+        sys.env.getOrElse("GRAFT_RESULT_CACHE_MAX_ENTRY_BYTES", (8L << 20).toString).toLong,
+      httpThreads = sys.env.getOrElse("GRAFT_HTTP_THREADS", "2").toInt)
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

@@ -331,6 +331,127 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("result cache skips entries over the per-entry byte ceiling (r15)") {
+    // The LRU bounds entry COUNT; the byte ceiling keeps a few giant
+    // results (countPerValue over a high-cardinality column) from pinning
+    // GBs on the driver. With a 16-byte ceiling every result is oversized:
+    // it must serve correctly but never persist, so repeats re-execute.
+    val s7 = new ApiServer(spark, 0, resultCacheSize = 8, resultCacheMaxEntryBytes = 16)
+    s7.start()
+    try {
+      val b7 = s"http://127.0.0.1:${s7.boundPort}"
+      def post7(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b7 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post7("/datasets/register",
+        """{"name": "evbig", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val q1 = """{"query": {"conditions": [
+        |  {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]}]}}""".stripMargin
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def resultPart(j: JValue): JValue = j.removeField { case (k, _) => k == "stats" }
+      val r1 = JsonMethods.parse(post7("/datasets/evbig/query", q1).body())
+      val r2 = JsonMethods.parse(post7("/datasets/evbig/query", q1).body())
+      assert((r1 \ "stats" \ "cached") == JBool(false))
+      assert((r2 \ "stats" \ "cached") == JBool(false), "oversized entry was cached")
+      assert(resultPart(r1) == resultPart(r2))
+    } finally {
+      s7.stop()
+      graft.catalog.Catalog.unregister("evbig")
+    }
+  }
+
+  test("concurrent identical cold-key queries coalesce to one execution (r15)") {
+    // Thundering herd: N clients fire the SAME query right after a
+    // re-registration invalidated its cache key. Without the single-flight
+    // latch each would run the full scan (at 100 TB, N simultaneous corpus
+    // scans for one dashboard panel); with it exactly one executes and the
+    // rest answer from its result.
+    val s6 = new ApiServer(spark, 0, resultCacheSize = 8)
+    s6.start()
+    try {
+      val b6 = s"http://127.0.0.1:${s6.boundPort}"
+      def post6(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b6 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get6(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b6 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def registerHerd(): Unit = {
+        val reg = post6("/datasets/register",
+          """{"name": "evherd", "basepath": "/root/testdata/sf0.001/events.parquet",
+            | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+        assert(reg.statusCode() == 200, reg.body())
+      }
+      registerHerd()
+      val q1 = """{"query": {"conditions": [
+        |  {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]}]}}""".stripMargin
+
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def resultPart(j: JValue): JValue = j.removeField { case (k, _) => k == "stats" }
+      def countingJobs[A](count: java.util.concurrent.atomic.AtomicInteger)(work: => A): A = {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            count.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val r = work
+          org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 10000)
+          r
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+
+      // Solo cold-key baseline: the Spark jobs ONE execution costs.
+      val soloCount = new java.util.concurrent.atomic.AtomicInteger
+      val solo = countingJobs(soloCount) {
+        JsonMethods.parse(post6("/datasets/evherd/query", q1).body())
+      }
+      assert((solo \ "stats" \ "cached") == JBool(false), JsonMethods.compact(solo))
+
+      // Re-register: new registeredAt → the key is cold again. Fire 4
+      // identical queries concurrently (async: each runs on its own thread).
+      registerHerd()
+      val herdCount = new java.util.concurrent.atomic.AtomicInteger
+      val results = countingJobs(herdCount) {
+        val subs = (1 to 4).map(_ => post6("/datasets/evherd/query?async=true", q1))
+        subs.foreach(s => assert(s.statusCode() == 202, s.body()))
+        subs.map { sub =>
+          val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+          val deadline = System.currentTimeMillis() + 120000
+          var status: JValue = JNothing
+          while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            status = JsonMethods.parse(get6(s"/queries/$id/status").body())
+          }
+          assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+          status \ "result"
+        }
+      }
+
+      // (a) all four answers are the solo answer
+      results.foreach(r => assert(resultPart(r) == resultPart(solo), "herd result diverged"))
+      // (b) the herd cost exactly ONE execution's jobs — the single-flight
+      // contract (a non-winner either coalesced onto the in-flight run or
+      // hit the entry it left behind; both run zero jobs).
+      assert(herdCount.get() == soloCount.get(),
+        s"herd of 4 ran ${herdCount.get()} jobs vs solo ${soloCount.get()}")
+      // (c) the three non-winners are counted as hits, and the coalesced
+      // counter is exposed (its exact value depends on overlap timing).
+      val metrics = get6("/metrics").body()
+      assert(metrics.contains("graft_query_cache_hits_total 3"), metrics)
+      assert(metrics.contains("graft_query_coalesced_total"), metrics)
+    } finally {
+      s6.stop()
+      graft.catalog.Catalog.unregister("evherd")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",
