@@ -133,10 +133,13 @@ object ServingScale {
           client.send(HttpRequest.newBuilder(URI.create(cBase + path))
             .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
             HttpResponse.BodyHandlers.ofString())
-        val regC = postC("/datasets/register",
-          s"""{"name": "srvcache", "basepath": "$sfDir/events.parquet",
-             | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
-        require(regC.statusCode() == 200, regC.body())
+        def reRegister(): Unit = {
+          val r = postC("/datasets/register",
+            s"""{"name": "srvcache", "basepath": "$sfDir/events.parquet",
+               | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+          require(r.statusCode() == 200, r.body())
+        }
+        reRegister()
         def oneCached(): Long = {
           val t = System.nanoTime()
           val r = postC("/datasets/srvcache/query", seqJson)
@@ -158,12 +161,6 @@ object ServingScale {
         // ONE execution, so its wall tracks the solo cold request instead
         // of stacking four. Min of 3 iterations (drift protocol: paired,
         // back-to-back).
-        def reRegister(): Unit = {
-          val r = postC("/datasets/register",
-            s"""{"name": "srvcache", "basepath": "$sfDir/events.parquet",
-               | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
-          require(r.statusCode() == 200, r.body())
-        }
         val herdErrs = new java.util.concurrent.atomic.AtomicInteger
         val (soloCold, herdWall) = (1 to 3).map { _ =>
           reRegister()

@@ -72,6 +72,12 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * polls answer. GRAFT_HTTP_THREADS in ApiServerMain. */
                       httpThreads: Int = 2) {
 
+  // Validated BEFORE the server field binds the port: start() would
+  // otherwise throw out of newFixedThreadPool with the socket still held,
+  // and a corrected retry on the same fixed port would hit BindException
+  // (the same asymmetry the catalog-store failure path guards against).
+  require(httpThreads >= 1, s"httpThreads must be >= 1, got $httpThreads")
+
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
   // response's header+body writes can sit behind the peer's 40ms
@@ -423,13 +429,21 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
         val winner = inFlight.putIfAbsent(cacheKey, fresh)
         if (winner != null) {
           // Coalesced: an identical query is executing right now — await
-          // it instead of running a second full scan. An
-          // ExecutionException unwraps to the winner's own failure so the
-          // waiter's status code matches (400 stays 400).
+          // it instead of running a second full scan. Counted coalesced
+          // whatever the outcome (the request DID ride the latch); a
+          // propagated failure is this client's own visible failure too,
+          // so it counts in graft_query_errors_total — N herding clients
+          // seeing the one failed scan is N failed requests. The
+          // ExecutionException unwraps to the winner's own exception so
+          // the waiter's status code matches (400 stays 400).
+          mCoalesced.incrementAndGet()
           val (body, firedPlan) =
             try winner.get()
-            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-          mCoalesced.incrementAndGet()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                mQueryErrors.incrementAndGet()
+                throw e.getCause
+            }
           cachedResponse(body, firedPlan)
         } else {
           try {
@@ -442,15 +456,26 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
             } else {
               val (pair, stats) = try runQuery()
               catch { case e: Throwable => fresh.completeExceptionally(e); throw e }
-              // String length ~ bytes for the ASCII-escaped JSON bodies
-              // ResultJson emits; an oversized result serves but is not
-              // retained (see resultCacheMaxEntryBytes).
-              if (pair._1.length <= resultCacheMaxEntryBytes)
+              // Byte ceiling measured on the actual UTF-8 encoding (body
+              // data can carry non-ASCII ≥ 0x20, which q() passes through
+              // raw — String.length would undercount those up to 3×). An
+              // oversized result serves but is not retained.
+              if (pair._1.getBytes(StandardCharsets.UTF_8).length <= resultCacheMaxEntryBytes)
                 resultCache.put(cacheKey, pair)
               fresh.complete(pair)
               freshResponse(pair._1, pair._2, stats)
             }
-          } finally inFlight.remove(cacheKey, fresh)
+          } finally {
+            // Belt-and-braces liveness: if anything above exited without
+            // completing the future (e.g. a VirtualMachineError between
+            // runQuery() returning and complete()), waiters already hold
+            // a reference to it and sit in an untimed get() — complete it
+            // exceptionally so they fail instead of blocking HTTP worker
+            // threads forever. No-op when already completed.
+            fresh.completeExceptionally(
+              new IllegalStateException("in-flight query abandoned before completion"))
+            inFlight.remove(cacheKey, fresh)
+          }
         }
       } else {
         val (pair, stats) = runQuery()
