@@ -94,6 +94,7 @@ object Throughput {
         "sequence-routed-stringgid",
         "sequence-agg", "sequence-agg-bucketed",
         "sequence-agg-routed", "sequence-agg-routed-bucketed",
+        "sequence-agg-shared", "sequence-agg-shared-bucketed",
         "skew", "skew-bucketed").contains(mode),
       s"unknown mode '$mode' — see the mode list in the scaladoc above")
     val bucketed = mode.endsWith("bucketed")
@@ -251,7 +252,8 @@ object Throughput {
         // biggest-win shape (5.6x uniform), here measuring how the win
         // holds when the bot's candidate rows reach one merge per pass.
         "fr_sequence_agg_routed" -> (() => {
-          val plan = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          val plan = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts",
+              numGroups = Some(1500L * replicas)))
             .withRoutingThreshold(0)
             .run(skewed, GraftQuery(None,
               Seq(Condition.Sequence(None, Seq(
@@ -262,6 +264,31 @@ object Throughput {
               None))
           plan.summary.collect()
           plan.aggregations.foreach(_._2.collect())
+          ()
+        }),
+        // The shared-SURVIVOR variant of fr_sequence_agg_routed under the
+        // hot group (r15 probe): the bot's 30% of the corpus matches, so
+        // the retained survivor table is ~30% of all rows — the worst
+        // case for caching the semi-join output instead of re-scanning
+        // per frame. This cell decides whether the lever needs a gate.
+        "fr_sequence_agg_shared" -> (() => {
+          val steps3 = Seq(fstep("signup"), fstep("view"), fstep("click"))
+          val gids = operators.SequenceMatch
+            .matchingGroups(skewed, "user_id", "ts", steps3)
+            .withColumnRenamed("user_id", "__seq_gid")
+          val g = util.Caches.retain(gids).repartition(shuffleParts)
+          // Explicit broadcast: see the sequence-agg-shared mode's note —
+          // the persisted plan would otherwise freeze a sort-merge join.
+          val survivors = util.Caches.retain(
+            skewed.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+              .join(broadcast(g), col("user_id") === g("__seq_gid"), "left_semi"))
+          survivors.agg(count_distinct(col("user_id")).as("matching_groups"),
+            count(lit(1)).as("matching_group_rows")).collect()
+          val e = new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
+          e.runAggregation(survivors,
+            Aggregation(None, "value", AggType.Count, None)).collect()
+          e.runAggregation(survivors,
+            Aggregation(None, "event_type", AggType.CountPerValue, None)).collect()
           ()
         }),
         // The aggregator under the hot group: only step-matching rows
@@ -318,24 +345,73 @@ object Throughput {
           Aggregation(None, "event_type", AggType.CountPerValue, None)),
         None)
       val routed = mode.startsWith("sequence-agg-routed")
+      // "sequence-agg-shared[-bucketed]" (r15, probe-first for a candidate
+      // engine lever): the routed plan's output frames each re-scan the
+      // corpus for their broadcast semi-join — at 1B rows those scans ARE
+      // most of the routed wall (BENCH.md §sequence-with-aggregations,
+      // 88.5s ≈ 3 × ~25s scans + candidate pass). This variant retains the
+      // semi-join OUTPUT (the matching groups' rows, projected to the used
+      // columns) once, so the summary and both aggregation frames
+      // aggregate the cached survivors instead of re-scanning. Whether
+      // that wins depends on survivor volume: tiny matched sets should
+      // win big; a hot group holding 30% of the corpus makes the cache
+      // write itself the cost — which is why this is a PROBE, not yet an
+      // engine behavior (the engine can't know survivor volume at plan
+      // time).
+      val sharedMode = mode.startsWith("sequence-agg-shared")
+      // numGroups: the replicated corpus has ~1.5k distinct users per
+      // replica of sf0.1 events — the routed engine's survivor-sharing
+      // broadcast gate reads it exactly as ApiServer passes the catalog's
+      // registration stat.
       val eng =
-        if (routed) new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
-          .withRoutingThreshold(0)
+        if (routed || sharedMode)
+          new engine.QueryEngine(engine.DatasetSpec("user_id", "ts",
+            numGroups = Some(1500L * replicas)))
+            .withRoutingThreshold(0)
         else new engine.QueryEngine(engine.DatasetSpec("user_id", "ts"))
           .withWindowPlan
       val rows = df.count()
       def run(): Double = {
         val t0 = System.nanoTime()
-        val plan = eng.run(df, q)
-        plan.summary.collect()
-        plan.aggregations.foreach(_._2.collect())
+        if (sharedMode) {
+          val gids = operators.SequenceMatch
+            .matchingGroups(df, "user_id", "ts", steps)
+            .withColumnRenamed("user_id", "__seq_gid")
+          val g = util.Caches.retain(gids).repartition(shuffleParts)
+          // A persisted plan is normally frozen BEFORE AQE's runtime
+          // broadcast conversion, so the cache materialization would pay
+          // the full-corpus sort-merge join the r13 stage boundary exists
+          // to avoid — measured 73.2s vs 35.1s routed at 1B un-hinted
+          // (and an explicit broadcast(g) hint fixed it to 28.8s,
+          // confirming the SMJ diagnosis). This conf (SPARK-35332) lets
+          // AQE re-optimize cached plans instead, keeping the join
+          // decision ADAPTIVE — the explicit hint would fail hard on a
+          // genuinely huge matched set, which the engine cannot rule out.
+          spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+          val survivors = util.Caches.retain(
+            df.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+              .join(g, col("user_id") === g("__seq_gid"), "left_semi"))
+          survivors.agg(count_distinct(col("user_id")).as("matching_groups"),
+            count(lit(1)).as("matching_group_rows")).collect()
+          eng.runAggregation(survivors,
+            Aggregation(None, "value", AggType.Count, None)).collect()
+          eng.runAggregation(survivors,
+            Aggregation(None, "event_type", AggType.CountPerValue, None)).collect()
+        } else {
+          val plan = eng.run(df, q)
+          plan.summary.collect()
+          plan.aggregations.foreach(_._2.collect())
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         util.Caches.drain() // per-request lifecycle, outside the timer
         sec
       }
       run() // warm
       val sec = (1 to 2).map(_ => run()).min
-      val planName = if (routed) "sequence6-agg-routed" else "sequence6-agg-window"
+      val planName =
+        if (sharedMode) "sequence6-agg-shared"
+        else if (routed) "sequence6-agg-routed" else "sequence6-agg-window"
       println(f"""{"plan": "$planName", "rows": $rows, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "layout": "$layout"}""")
     } else if (seqMode) {

@@ -23,7 +23,15 @@ import graft.query.QueryAst._
  * happens to be called "dt" would silently drop in-timeframe rows.
  */
 final case class DatasetSpec(groupIdColumn: String, timestampColumn: String,
-                             dayPartitionColumn: Option[String] = None)
+                             dayPartitionColumn: Option[String] = None,
+                             /** Registered distinct-group count, when the
+                               * caller knows it (ApiServer passes the
+                               * catalog's registration stat; library
+                               * callers may omit). Bounds the matched-gid
+                               * set statically — the survivor-sharing
+                               * broadcast gate reads it (see the routed
+                               * sequence fold). */
+                             numGroups: Option[Long] = None)
 
 /**
  * The planned query: every output is a lazily-evaluated DataFrame, so Catalyst
@@ -87,10 +95,14 @@ final case class PlannedQuery(
  * automatically instead of making the caller pick:
  *
  *  - a sequence condition under the default AND relation → candidate gid
- *    set via `SequenceMatch.matchingGroups` + a null-safe left-semi join
- *    back into the rows (AQE broadcasts the group-sized set) — 2.2× at
- *    250M rows on plain parquet, 2.8× bucketed, ~1.6× degradation under a
- *    30%-hot bot group where the window stack degrades 5.2×;
+ *    set via `SequenceMatch.matchingGroups` + a plain-equality left-semi
+ *    join back into the rows (AQE broadcasts the group-sized set) — 2.2×
+ *    at 250M rows on plain parquet, 2.8× bucketed, ~1.6× degradation
+ *    under a 30%-hot bot group where the window stack degrades 5.2×;
+ *    multi-frame queries (aggregations and/or a funnel) materialize the
+ *    semi-joined SURVIVORS once via a lazy localCheckpoint (r15) so each
+ *    extra output frame reads cached blocks instead of re-scanning the
+ *    corpus — see the body comment for the measured cells;
  *  - an aggregation-free funnel → `SequenceMatch.funnelCounts` — 2.3×
  *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s);
  *  - a funnel WITH step/end aggregations (r14) → funnelCounts for the
@@ -301,22 +313,10 @@ final class QueryEngine(spec: DatasetSpec,
           // keeps the SMJ, whose gid-hash exchange AQE stacks on top.
           val shuffleN = cur.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toInt
-          // When the query has aggregations or a funnel, every one of
-          // those output frames (plus the summary) embeds this semi-join
-          // and would re-run the candidate pass as its own action — cache
-          // the GROUP-SIZED gid set (r14, same rationale and drain story
-          // as routedFunnel's max-step cache; the cache sits BELOW the
-          // repartition so the AQE stats boundary is unchanged per frame).
-          // A summary-only query collects one frame and keeps the exact
-          // r13 plan, cache-free.
           val matchedGids = graft.operators.SequenceMatch
             .matchingGroups(cur, gid, ts, s.steps, s.maxDuration)
             .withColumnRenamed(gid, "__seq_gid")
-          val shared =
-            if (q.aggregations.nonEmpty || q.funnel.nonEmpty)
-              graft.util.Caches.retain(matchedGids)
-            else matchedGids
-          val groups = shared.repartition(shuffleN)
+          val groups = matchedGids.repartition(shuffleN)
           // PLAIN equality, deliberately (measured at 250M rows, r13): a
           // null-safe <=> join keys the probe on (coalesce(gid), isnull
           // (gid)), which costs ~2× wall on the 250M probe side (41s vs
@@ -330,7 +330,62 @@ final class QueryEngine(spec: DatasetSpec,
           // The catalog's registration validation rejects null gids
           // outright, so the difference is unreachable through the
           // serving surface either way.
-          cur.join(groups, cur(gid) === groups("__seq_gid"), "left_semi")
+          // Multi-frame queries (aggregations and/or a funnel) — r15:
+          // every output frame consumes this semi-joined SURVIVOR frame
+          // as its own action, so each would re-scan the corpus and
+          // re-run the candidate pass. r14 cached only the group-sized
+          // gid set (the candidate pass); the per-frame corpus re-scan
+          // remained, and at 1B rows those scans dominate the routed
+          // wall. When the broadcast gate below holds, persist the
+          // SURVIVORS once with an explicit broadcast-hinted join;
+          // each extra frame then reads cached blocks. Probe-first
+          // evidence (BENCH.md §sequence-with-aggregations): the shared
+          // survivors beat the gid-set-only plan in every measured cell
+          // — 1B bucketed 28.8s vs 31.9s, 250M plain 0-hot 16.1s vs
+          // 20.5s, and 2.2× under a 30%-hot group (15.8s vs 35.1s — the
+          // presumed worst case, where caching ~30% of the corpus is
+          // still far cheaper than two more scan+join+aggregate passes
+          // over it).
+          //
+          // The hint is EXPLICIT and statically GATED, both deliberately
+          // (all three adaptive alternatives were measured failing at 1B
+          // before this shape was chosen): a persisted plan never gets
+          // AQE's runtime broadcast conversion — plain persist ran the
+          // full-corpus sort-merge join the repartition boundary above
+          // exists to avoid (73.2s vs 28.8s hinted), a lazy
+          // localCheckpoint froze the same SMJ (73.0s), and persist
+          // under spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+          // =true still did (75.2s). So sharing survivors REQUIRES the
+          // static hint — and an unbounded hint would fail hard (8 GB
+          // broadcast cap / driver memory) exactly on a huge matched
+          // set, where the r14 plan's AQE correctly keeps the SMJ. The
+          // gate: the matched set is at most the dataset's registered
+          // group count (DatasetSpec.numGroups, flowing from the
+          // catalog's registration stats on the serving path), and the
+          // per-group broadcast row is a gid — gate long-ish gids at
+          // 64M groups (≤ ~512 MB worst-case broadcast) and string gids
+          // at 8M (unbounded values; ~50-byte ids stay under ~400 MB).
+          // No numGroups (direct library callers) or over the cap → the
+          // exact r14 plan: gid set retained, per-frame AQE semi-joins.
+          // A summary-only query collects one frame and keeps the exact
+          // r13 plan, cache-free.
+          val multiFrame = q.aggregations.nonEmpty || q.funnel.nonEmpty
+          val gidIsString = cur.schema.find(_.name == gid)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)
+          val broadcastable = spec.numGroups.exists(n =>
+            n <= (if (gidIsString) QueryEngine.SurvivorShareMaxStringGroups
+                  else QueryEngine.SurvivorShareMaxGroups))
+          if (multiFrame && broadcastable)
+            // The hint makes the repartition boundary unnecessary — join
+            // the gid set directly (one fewer tiny shuffle).
+            graft.util.Caches.retain(
+              cur.join(broadcast(matchedGids),
+                cur(gid) === matchedGids("__seq_gid"), "left_semi"))
+          else if (multiFrame) {
+            val shared = graft.util.Caches.retain(matchedGids).repartition(shuffleN)
+            cur.join(shared, cur(gid) === shared("__seq_gid"), "left_semi")
+          } else
+            cur.join(groups, cur(gid) === groups("__seq_gid"), "left_semi")
         }
       }
 
@@ -769,6 +824,19 @@ object QueryEngine {
     * grows with the corpus. Unknown-size sources (in-memory frames)
     * estimate effectively infinite and route. */
   val DefaultRoutingMinBytes: Long = 32L << 20
+
+  /** Survivor-sharing broadcast gate (routed sequence fold, r15): the
+    * matched-gid set is at most the dataset's registered group count, so
+    * a known count under these caps makes the explicit broadcast hint
+    * safe by construction. Integral gids: 64M × 8 B ≈ 512 MB worst-case
+    * broadcast — heavy but well under Spark's 8 GB hard cap and sized
+    * for real executors; string gids carry unbounded values, so the cap
+    * is 8× tighter (~50-byte ids stay under ~400 MB). Over the cap (or
+    * numGroups unknown), the engine keeps the r14 plan — per-frame
+    * AQE-converted semi-joins — which degrades gracefully instead of
+    * failing on a giant broadcast. */
+  val SurvivorShareMaxGroups: Long = 64L * 1000 * 1000
+  val SurvivorShareMaxStringGroups: Long = 8L * 1000 * 1000
 
   /** Plan-routing policy (class doc §"Fast-path routing"). */
   sealed trait Routing

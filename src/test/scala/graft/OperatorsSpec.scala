@@ -603,6 +603,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("survivor-sharing broadcast gate: identical results under and over the cap (r15)") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    import graft.query.QueryAst._
+    // A multi-frame routed query (sequence condition + aggregations +
+    // funnel) through three engines: the window plan, the r14 routed plan
+    // (no numGroups → per-frame AQE semi-joins), and the r15
+    // survivor-sharing plan (numGroups under the gate → broadcast-hinted
+    // cached survivors). All frames must be identical; a numGroups OVER
+    // the cap must fall back to the r14 plan, also identical.
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(15)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 2000).map { i =>
+      Map[String, Any]("uid" -> (i % 97).toLong, "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val q = GraftQuery(None,
+      Seq(Condition.Sequence(None, Seq(
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click"))))), None)),
+      None,
+      Seq(Aggregation(None, "ts", AggType.Count, None),
+        Aggregation(None, "etype", AggType.CountPerValue, None)),
+      Some(Funnel(Seq(
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy"))))), None,
+        Nil, Seq(Aggregation(None, "etype", AggType.CountPerValue, None)))))
+    def run(spec: DatasetSpec, window: Boolean) = {
+      val eng =
+        if (window) new QueryEngine(spec).withWindowPlan
+        else new QueryEngine(spec).withRoutingThreshold(0)
+      val p = eng.run(df, q)
+      val frames =
+        Seq("summary" -> p.summary) ++ p.aggregations ++
+          p.funnel.map("funnel" -> _).toSeq ++ p.funnelAggregations
+      (p.plan, frames.map { case (n, d) => n -> d.collect().map(_.toSeq).toSet }.toMap)
+    }
+    val base = DatasetSpec("uid", "ts")
+    val (_, w) = run(base, window = true)
+    val variants = Seq(
+      "no numGroups (r14 plan)" -> base,
+      "under the cap (hinted survivors)" -> base.copy(numGroups = Some(97L)),
+      "over the cap (r14 fallback)" ->
+        base.copy(numGroups = Some(QueryEngine.SurvivorShareMaxGroups + 1)))
+    for ((label, spec) <- variants) {
+      val (plan, r) = run(spec, window = false)
+      assert(plan.contains("routed"), s"$label must route, got '$plan'")
+      assert(r.keySet == w.keySet, label)
+      for (k <- w.keySet)
+        assert(r(k) == w(k), s"$label: frame '$k' diverged from the window plan")
+    }
+    graft.util.Caches.drain()
+  }
+
   test("maxStepTable: per-group greedy max step, candidate groups only (r14 public contract)") {
     import graft.query.QueryAst._
     val schema = StructType(Seq(
