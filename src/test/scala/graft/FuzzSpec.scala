@@ -687,8 +687,14 @@ class FuzzSpec extends SparkSpec {
     // relations × negated steps × maxDuration × step/end aggregations ×
     // string gids (i%4==2 crosses i%5==0) must be semantically invisible.
     // Size gate disabled: sf0.001 is far below the measured crossover —
-    // the point here is fuzzing the ROUTED plan's semantics.
-    val engineRouted = new QueryEngine(DatasetSpec("user_id", "ts"))
+    // the point here is fuzzing the ROUTED plan's semantics. numGroups is
+    // SET (r15): an under-cap registered group count turns on the
+    // survivor-sharing broadcast plan for every multi-frame routed draw,
+    // so the fuzzer exercises the hinted cached-survivors path on random
+    // shapes (the gate-off r14 plan stays covered by the battery rows and
+    // the OperatorsSpec gate test's no-numGroups variant).
+    val engineRouted = new QueryEngine(DatasetSpec("user_id", "ts",
+        numGroups = Some(1000L)))
       .withRoutingThreshold(0)
     val df = fuzzFrame.cache()
     // STRING-GID dimension (r12): every fifth query runs the ENTIRE
