@@ -66,17 +66,43 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                       resultCacheMaxEntryBytes: Long = 8L << 20,
                       /** HTTP worker threads. The measured serving floor
                         * scales with this up to the sync-path concurrency a
-                        * deployment wants to allow (async queries spawn
-                        * their own threads regardless); 2 keeps the default
-                        * behavior — one query can run while /queries status
-                        * polls answer. GRAFT_HTTP_THREADS in ApiServerMain. */
-                      httpThreads: Int = 2) {
+                        * deployment wants to allow (async queries run on
+                        * their own bounded pool regardless); 2 keeps the
+                        * default behavior — one query can run while
+                        * /queries status polls answer. Note coalescing
+                        * (result cache ON): waiters hold their HTTP worker
+                        * thread for up to `coalesceWaitSec`, so a herd of
+                        * SYNC clients on a slow cold query can occupy the
+                        * whole pool for the scan's duration — size
+                        * httpThreads for the sync herd a deployment allows,
+                        * or point herding dashboards at ?async=true.
+                        * GRAFT_HTTP_THREADS in ApiServerMain. */
+                      httpThreads: Int = 2,
+                      /** Async-query executor size (r16; the reference
+                        * bounds this identically with a sized pool,
+                        * invoker_api.py:36,147-161). A burst beyond the
+                        * pool QUEUES (stage "QUEUED" in /queries status)
+                        * instead of spawning one driver thread + one
+                        * concurrent Spark job per request — at the measured
+                        * O(10) req/s floor an unbounded client burst would
+                        * otherwise degrade the whole driver. Queued jobs
+                        * are never evicted from the job registry (eviction
+                        * removes only finished jobs). GRAFT_ASYNC_THREADS
+                        * in ApiServerMain. */
+                      asyncThreads: Int = 8,
+                      /** Ceiling on how long a coalesced waiter blocks on
+                        * the in-flight winner before giving up and
+                        * executing the query itself (uncoalesced but
+                        * correct). Bounds the worker-thread starvation
+                        * window described on `httpThreads`. */
+                      coalesceWaitSec: Int = 600) {
 
   // Validated BEFORE the server field binds the port: start() would
   // otherwise throw out of newFixedThreadPool with the socket still held,
   // and a corrected retry on the same fixed port would hit BindException
   // (the same asymmetry the catalog-store failure path guards against).
   require(httpThreads >= 1, s"httpThreads must be >= 1, got $httpThreads")
+  require(asyncThreads >= 1, s"asyncThreads must be >= 1, got $asyncThreads")
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -105,18 +131,31 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // Worker threads (default 2: one can poll /queries status while a
     // sync query runs).
     pool = java.util.concurrent.Executors.newFixedThreadPool(httpThreads)
+    // Bounded async-query pool (r16): a fixed pool with its unbounded
+    // queue gives the explicit overflow semantics — burst N > pool size
+    // runs `asyncThreads` jobs concurrently and queues the rest in FIFO
+    // order (visible as stage "QUEUED"). Named threads so boundedness is
+    // observable (the burst test counts live graft-async-* threads).
+    val seq = new AtomicLong()
+    asyncPool = java.util.concurrent.Executors.newFixedThreadPool(asyncThreads,
+      (r: Runnable) => new Thread(r, s"graft-async-${seq.incrementAndGet()}"))
     server.setExecutor(pool)
     server.start()
   }
 
   // HttpServer.stop does NOT shut down a user-supplied executor, and the
-  // pool's non-daemon threads otherwise keep the JVM alive after stop()
+  // pools' non-daemon threads otherwise keep the JVM alive after stop()
   // (observed: probe mains printing their result and then hanging).
   private var pool: java.util.concurrent.ExecutorService = _
+  private var asyncPool: java.util.concurrent.ExecutorService = _
 
   def stop(): Unit = {
     server.stop(0)
     if (pool != null) pool.shutdown()
+    // shutdownNow: stop() must not wait for queued async jobs; running
+    // queries' waiters are covered by the in-flight latch's
+    // belt-and-braces completeExceptionally.
+    if (asyncPool != null) asyncPool.shutdownNow()
   }
 
   // ------------------------------------------------------------ async jobs
@@ -132,26 +171,38 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   // ---------------------------------------------------------- result cache
 
+  /** Cache/latch key: dataset name + registration version + the parsed
+    * query's case-class AST, compared STRUCTURALLY (r16). The r15 key
+    * rendered the AST through case-class `toString`, which does not quote
+    * embedded strings — a filter value containing AST-rendering text
+    * (`")), RowFilter("`…) could make two structurally different queries
+    * render identical keys, serving one query's cached result to the
+    * other (and riding its single-flight latch). The AST already has
+    * structural equality/hashCode, so the key holds it directly — no
+    * string rendering, no injection surface (pinned by the
+    * toString-collision test in ApiServerSpec). */
+  private final case class QueryKey(dataset: String, registeredAt: Long,
+                                    query: graft.query.QueryAst.GraftQuery)
+
   /** Versioned query-result cache (extension). The reference's analog is
     * the worker-side parquet part cache (part_loader.py LRU), and both
     * lean on the same contract: a registered dataset's files are IMMUTABLE
     * — updating data means re-registering under a new DatasetId
-    * (dataset.py:36-53 `DatasetId.now()`). The key is therefore dataset
-    * name + registeredAt + the parsed query's canonical case-class AST —
-    * re-registration invalidates naturally (new registeredAt → new keys;
-    * stale entries age out of the LRU), and two textual spellings of one
-    * query share an entry. Values are final result bodies WITHOUT the
-    * per-execution stats block, plus the plan that produced them. Every
-    * battery query is deterministic (exact aggregations; top-K has a
-    * total-order tie-break), so a hit is bit-identical to a re-run.
-    * At 100 TB a repeated dashboard query re-scans the corpus — minutes of
-    * cluster time; this answers it at the HTTP floor. Access-order LRU
-    * bounded at `resultCacheSize`, 0 disables. */
-  private val resultCache: java.util.Map[String, (String, String)] =
+    * (dataset.py:36-53 `DatasetId.now()`). The key is therefore a
+    * [[QueryKey]] — re-registration invalidates naturally (new
+    * registeredAt → new keys; stale entries age out of the LRU), and two
+    * textual spellings of one query share an entry. Values are final
+    * result bodies WITHOUT the per-execution stats block, plus the plan
+    * that produced them. Every battery query is deterministic (exact
+    * aggregations; top-K has a total-order tie-break), so a hit is
+    * bit-identical to a re-run. At 100 TB a repeated dashboard query
+    * re-scans the corpus — minutes of cluster time; this answers it at the
+    * HTTP floor. Access-order LRU bounded at `resultCacheSize`, 0 disables. */
+  private val resultCache: java.util.Map[QueryKey, (String, String)] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, (String, String)](16, 0.75f, true) {
+      new java.util.LinkedHashMap[QueryKey, (String, String)](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (String, String)]): Boolean =
+            e: java.util.Map.Entry[QueryKey, (String, String)]): Boolean =
           size() > resultCacheSize
       })
 
@@ -167,7 +218,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     * off: coalescing would silently break the every-query-executes stats
     * contract uncached clients rely on. */
   private val inFlight =
-    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[(String, String)]]()
+    new ConcurrentHashMap[QueryKey, java.util.concurrent.CompletableFuture[(String, String)]]()
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -362,7 +413,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
     // Cache key captured with the SAME catalog snapshot the query runs on
     // (ds fetched once at request entry): registeredAt versions the entry.
-    val cacheKey = s"${ds.name}@${ds.registeredAt}|$parsed"
+    val cacheKey = QueryKey(ds.name, ds.registeredAt, parsed)
 
     // Answer from a (body, plan) already paid for by someone else — a
     // cache hit or a coalesced wait. Zero-cost stats block,
@@ -440,16 +491,29 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
           // so it counts in graft_query_errors_total — N herding clients
           // seeing the one failed scan is N failed requests. The
           // ExecutionException unwraps to the winner's own exception so
-          // the waiter's status code matches (400 stays 400).
+          // the waiter's status code matches (400 stays 400). The wait is
+          // TIMED (r16): a waiter holds an HTTP worker thread, so an
+          // untimed get on a wedged winner would starve the status/metrics
+          // endpoints forever under a small pool — past `coalesceWaitSec`
+          // the waiter gives up the latch and executes the query itself
+          // (uncoalesced but correct; the belt-and-braces
+          // completeExceptionally in the winner's finally covers the
+          // abandoned-future case well before this ceiling).
           mCoalesced.incrementAndGet()
-          val (body, firedPlan) =
-            try winner.get()
-            catch {
-              case e: java.util.concurrent.ExecutionException =>
-                mQueryErrors.incrementAndGet()
-                throw e.getCause
-            }
-          cachedResponse(body, firedPlan)
+          try {
+            val (body, firedPlan) =
+              try winner.get(coalesceWaitSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  mQueryErrors.incrementAndGet()
+                  throw e.getCause
+              }
+            cachedResponse(body, firedPlan)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              val (pair, stats) = runQuery()
+              freshResponse(pair._1, pair._2, stats)
+          }
         } else {
           try {
             // Won the latch; re-check the cache — the prior winner may
@@ -520,24 +584,30 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     } else respond(ex, 200, execute())
   }
 
-  /** Run `work` on a new thread, track it in the job registry, answer 202
-    * with the id + status URL. */
+  /** Submit `work` to the bounded async pool, track it in the job
+    * registry, answer 202 with the id + status URL. Beyond `asyncThreads`
+    * concurrent jobs, submissions queue FIFO (stage "QUEUED"). */
   private def submitAsync(ex: HttpExchange, dataset: String)(work: => String): Unit = {
-    // Bound the job registry: evict finished jobs beyond the last 1000
-    // (a long-lived server would otherwise accumulate one entry per query).
+    // Bound the job registry: evict FINISHED jobs beyond the last 1000 (a
+    // long-lived server would otherwise accumulate one entry per query).
+    // Only DONE/FAILED are evictable — a QUEUED job's registry entry is
+    // the client's only handle on work the pool hasn't started yet.
     if (jobs.size > 1000) {
       import scala.jdk.CollectionConverters._
-      jobs.values.asScala.filter(_.stage != "RUNNING")
+      jobs.values.asScala.filter(j => j.stage == "DONE" || j.stage == "FAILED")
         .toSeq.sortBy(_.id.drop(1).toLong)
         .dropRight(500).foreach(j => jobs.remove(j.id))
     }
     val id = s"q${jobSeq.incrementAndGet()}"
-    val job = AsyncJob(id, dataset, stage = "RUNNING")
+    val job = AsyncJob(id, dataset, stage = "QUEUED")
     jobs.put(id, job)
-    new Thread(() => {
-      try { job.result = Some(work); job.stage = "DONE" }
-      catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
-    }, s"graft-job-$id").start()
+    asyncPool.submit(new Runnable {
+      override def run(): Unit = {
+        job.stage = "RUNNING"
+        try { job.result = Some(work); job.stage = "DONE" }
+        catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
+      }
+    })
     respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
   }
 
@@ -547,8 +617,9 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       case Some(job) =>
         val result = job.result.map(r => s""", "result": $r""").getOrElse("")
         val error = job.error.map(e => s""", "errorMessage": ${q(e)}""").getOrElse("")
+        val done = job.stage == "DONE" || job.stage == "FAILED"
         respond(ex, 200,
-          s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": ${job.stage != "RUNNING"}$error$result}""")
+          s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": $done$error$result}""")
     }
 
   // ----------------------------------------------------------------- metrics
@@ -629,7 +700,9 @@ object ApiServerMain {
       resultCacheSize = sys.env.getOrElse("GRAFT_RESULT_CACHE_SIZE", "0").toInt,
       resultCacheMaxEntryBytes =
         sys.env.getOrElse("GRAFT_RESULT_CACHE_MAX_ENTRY_BYTES", (8L << 20).toString).toLong,
-      httpThreads = sys.env.getOrElse("GRAFT_HTTP_THREADS", "2").toInt)
+      httpThreads = sys.env.getOrElse("GRAFT_HTTP_THREADS", "2").toInt,
+      asyncThreads = sys.env.getOrElse("GRAFT_ASYNC_THREADS", "8").toInt,
+      coalesceWaitSec = sys.env.getOrElse("GRAFT_COALESCE_WAIT_SEC", "600").toInt)
     srv.start()
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()

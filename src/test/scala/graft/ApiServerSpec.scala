@@ -452,6 +452,127 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("result cache keys structurally: toString-colliding queries get distinct entries (r16)") {
+    // The r15 key rendered the parsed AST via case-class toString, which
+    // does not quote embedded strings — qA below carries ONE filter whose
+    // value embeds AST-rendering text so that its rendering is
+    // char-identical to qB's TWO-filter condition. Under the string key
+    // these collided (qB would be served qA's cached result); the
+    // structural key must keep two entries with two distinct results.
+    import graft.query.QueryParser
+    val dir = java.nio.file.Files.createTempDirectory("collide").toString
+    spark.range(10).selectExpr("id % 5 AS uid", "id AS ts",
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'z' END AS a", "'y' AS b")
+      .write.mode("overwrite").parquet(dir)
+    val qA = """{"query": {"conditions": [
+      |  {"filter": ["a", "==", "x)), RowFilter(b,Eq,Str(y"]}]}}""".stripMargin
+    val qB = """{"query": {"conditions": [
+      |  {"filters": [["a", "==", "x"], ["b", "==", "y"]]}]}}""".stripMargin
+    val (astA, astB) = (QueryParser.parse(qA), QueryParser.parse(qB))
+    // The attack premise, pinned: different ASTs, identical renderings.
+    assert(astA != astB, "collision queries must differ structurally")
+    assert(astA.toString == astB.toString,
+      s"test vectors out of date — renderings differ:\n${astA.toString}\n${astB.toString}")
+
+    val s8 = new ApiServer(spark, 0, resultCacheSize = 8)
+    s8.start()
+    try {
+      val b8 = s"http://127.0.0.1:${s8.boundPort}"
+      def post8(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b8 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post8("/datasets/register",
+        s"""{"name": "evcoll", "basepath": "$dir",
+           | "groupIdColumn": "uid", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def run(q: String): JValue = JsonMethods.parse(post8("/datasets/evcoll/query", q).body())
+      def groups(j: JValue): JValue = j \ "query" \ "matchingGroups"
+
+      val a1 = run(qA) // fills qA's entry
+      val b1 = run(qB) // MUST miss (a collision would serve a1's body here)
+      assert(groups(a1) == JInt(0), JsonMethods.compact(a1))  // weird value matches nothing
+      assert(groups(b1) == JInt(5), JsonMethods.compact(b1))  // every group has (a=x, b=y) rows
+      assert((b1 \ "stats" \ "cached") == JBool(false),
+        "qB was served from qA's cache entry — key collision")
+      // Repeats: each hits ITS OWN entry with its own body.
+      val (a2, b2) = (run(qA), run(qB))
+      assert((a2 \ "stats" \ "cached") == JBool(true) && groups(a2) == JInt(0))
+      assert((b2 \ "stats" \ "cached") == JBool(true) && groups(b2) == JInt(5))
+    } finally {
+      s8.stop()
+      graft.catalog.Catalog.unregister("evcoll")
+    }
+  }
+
+  test("async burst beyond the pool queues, stays bounded, and all complete (r16)") {
+    val s9 = new ApiServer(spark, 0, asyncThreads = 2)
+    s9.start()
+    try {
+      val b9 = s"http://127.0.0.1:${s9.boundPort}"
+      def post9(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b9 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get9(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b9 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post9("/datasets/register",
+        """{"name": "evburst", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+
+      def liveAsyncThreads(): Int = {
+        val arr = new Array[Thread](Thread.activeCount() * 2 + 16)
+        Thread.enumerate(arr)
+        arr.count(t => t != null && t.getName.startsWith("graft-async-"))
+      }
+      val threadsBefore = liveAsyncThreads()
+
+      // Burst of 6 > pool of 2. Cache off (default), so every job executes.
+      val subs = (1 to 6).map(_ =>
+        post9("/datasets/evburst/query?async=true", """{"query": {}}"""))
+      subs.foreach(s => assert(s.statusCode() == 202, s.body()))
+      val ids = subs.map(s =>
+        """"queryId": "([^"]+)"""".r.findFirstMatchIn(s.body()).get.group(1))
+
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      // Boundedness: a fixed pool's threads persist once created, so the
+      // peak graft-async-* thread delta is an exact record of the burst's
+      // max concurrency. (Counting stage==RUNNING across a sequential
+      // status sweep is NOT sound — a job can finish and another start
+      // mid-sweep, so one sweep can observe >poolSize RUNNING stages.)
+      var maxThreadDelta = 0
+      val deadline = System.currentTimeMillis() + 120000
+      def statuses(): Seq[JValue] =
+        ids.map(id => JsonMethods.parse(get9(s"/queries/$id/status").body()))
+      var cur = statuses()
+      while (!cur.forall(s => (s \ "done") == JBool(true)) &&
+             System.currentTimeMillis() < deadline) {
+        maxThreadDelta = math.max(maxThreadDelta, liveAsyncThreads() - threadsBefore)
+        Thread.sleep(50)
+        cur = statuses()
+      }
+      cur.foreach { s =>
+        assert((s \ "stage") == JString("DONE"), JsonMethods.compact(s))
+        assert((s \ "result" \ "query" \ "matchingGroups") == JInt(15),
+          JsonMethods.compact(s))
+      }
+      // Pool threads persist until stop(), so sampling after completion
+      // still sees them — the measurement can't be vacuously zero.
+      maxThreadDelta = math.max(maxThreadDelta, liveAsyncThreads() - threadsBefore)
+      assert(maxThreadDelta >= 1, "no async pool thread observed — measurement broken")
+      assert(maxThreadDelta <= 2, s"burst grew the async pool by $maxThreadDelta threads")
+    } finally {
+      s9.stop()
+      graft.catalog.Catalog.unregister("evburst")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",
