@@ -273,10 +273,9 @@ object Throughput {
         // per frame. This cell decides whether the lever needs a gate.
         "fr_sequence_agg_shared" -> (() => {
           val steps3 = Seq(fstep("signup"), fstep("view"), fstep("click"))
-          val gids = operators.SequenceMatch
+          val g = operators.SequenceMatch
             .matchingGroups(skewed, "user_id", "ts", steps3)
             .withColumnRenamed("user_id", "__seq_gid")
-          val g = util.Caches.retain(gids).repartition(shuffleParts)
           // Explicit broadcast: see the sequence-agg-shared mode's note —
           // the persisted plan would otherwise freeze a sort-merge join.
           val survivors = util.Caches.retain(
@@ -374,24 +373,24 @@ object Throughput {
       def run(): Double = {
         val t0 = System.nanoTime()
         if (sharedMode) {
-          val gids = operators.SequenceMatch
+          val g = operators.SequenceMatch
             .matchingGroups(df, "user_id", "ts", steps)
             .withColumnRenamed("user_id", "__seq_gid")
-          val g = util.Caches.retain(gids).repartition(shuffleParts)
-          // A persisted plan is normally frozen BEFORE AQE's runtime
-          // broadcast conversion, so the cache materialization would pay
-          // the full-corpus sort-merge join the r13 stage boundary exists
-          // to avoid — measured 73.2s vs 35.1s routed at 1B un-hinted
-          // (and an explicit broadcast(g) hint fixed it to 28.8s,
-          // confirming the SMJ diagnosis). This conf (SPARK-35332) lets
-          // AQE re-optimize cached plans instead, keeping the join
-          // decision ADAPTIVE — the explicit hint would fail hard on a
-          // genuinely huge matched set, which the engine cannot rule out.
-          spark.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+          // EXPLICIT broadcast hint — the shape the engine ships
+          // (QueryEngine routed fold, numGroups gate). Measured history
+          // at 1B rows, all same-session pairs: a persisted plan freezes
+          // BEFORE AQE's runtime broadcast conversion, so the un-hinted
+          // cache materialization paid the full-corpus sort-merge join
+          // (73.2s; lazy localCheckpoint 73.0s; persist under
+          // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=
+          // true STILL ran the SMJ at 75.2s — SPARK-35332 lets AQE
+          // re-plan around cached-plan partitioning, it does not re-plan
+          // the cached plan's own join); the explicit hint fixed it to
+          // 28.8s. The unbounded-hint hazard is the engine's numGroups/
+          // gidMaxBytes gate, not an adaptive conf.
           val survivors = util.Caches.retain(
             df.select(col("user_id"), col("ts"), col("event_type"), col("value"))
-              .join(g, col("user_id") === g("__seq_gid"), "left_semi"))
+              .join(broadcast(g), col("user_id") === g("__seq_gid"), "left_semi"))
           survivors.agg(count_distinct(col("user_id")).as("matching_groups"),
             count(lit(1)).as("matching_group_rows")).collect()
           eng.runAggregation(survivors,

@@ -70,7 +70,16 @@ object Catalog {
         * epoch-NANOS timestamp column); validated against the data at
         * registration, consumed by the server's QueryEngine for timeframe
         * partition pruning. Never inferred from a column name. */
-      dayPartitionColumn: Option[String] = None)
+      dayPartitionColumn: Option[String] = None,
+      /** Max UTF-8 byte length of the group id column, recorded by the
+        * stats pass for STRING gids only (r16; None for integral gids and
+        * for pre-r16 persisted registrations). Consumed by the engine's
+        * survivor-sharing broadcast gate: numGroups alone can't bound a
+        * string-gid broadcast (ids have unbounded length), so the gate
+        * multiplies the two into an estimated broadcast size. Sampled
+        * registrations may undercount — the server forwards it only when
+        * statsExact, same as numGroups. */
+      gidMaxBytes: Option[Long] = None)
 
   final case class RegistrationException(msg: String) extends RuntimeException(msg)
 
@@ -235,6 +244,11 @@ object Catalog {
       case (n, t) if (t == ColType.Int || t == ColType.Float) && n != timestampColumn => n
     }.toSeq.sorted
     val stringCols = columns.collect { case (n, ColType.Str) => n }.toSeq.sorted
+    // String gids also record their max UTF-8 byte length (one more
+    // column in the same aggregate — free at any scale): the engine's
+    // survivor-sharing broadcast gate needs byte-aware sizing for string
+    // ids, whose length numGroups alone can't bound.
+    val gidIsStr = classify(field(groupIdColumn).dataType).contains(ColType.Str)
     val baseAggs = Seq(
       min(col(timestampColumn).cast("double")).as("min_ts"),
       max(col(timestampColumn).cast("double")).as("max_ts"),
@@ -242,7 +256,9 @@ object Catalog {
       count(lit(1)).as("n_rows"),
       sum(when(col(groupIdColumn).isNull, 1L).otherwise(0L)).as("null_gids"),
       sum(when(col(timestampColumn).isNull ||
-               col(timestampColumn).cast("double").isNaN, 1L).otherwise(0L)).as("bad_ts"))
+               col(timestampColumn).cast("double").isNaN, 1L).otherwise(0L)).as("bad_ts")) ++
+      (if (gidIsStr) Seq(max(octet_length(col(groupIdColumn))).as("gid_max_bytes"))
+       else Nil)
     val colAggs =
       numericCols.flatMap(n => Seq(
         min(col(n).cast("double")).as(s"__min_$n"),
@@ -367,7 +383,13 @@ object Catalog {
       dtypeNames = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap,
       statsExact = mode == ValidationMode.Full,
       sampledParts = sampled.size, totalParts = allParts.size,
-      dayPartitionColumn = dayPartitionColumn)
+      dayPartitionColumn = dayPartitionColumn,
+      // all-null-free by the validation above, but an empty dataset's max
+      // is null — guard the unboxing.
+      gidMaxBytes =
+        if (gidIsStr && !stats.isNullAt(stats.fieldIndex("gid_max_bytes")))
+          Some(stats.getAs[Int]("gid_max_bytes").toLong)
+        else None)
     datasets.put(name, ds)
     saveStore()
     ds
@@ -480,6 +502,7 @@ object Catalog {
       ("registeredAt" -> d.registeredAt) ~ ("statsExact" -> d.statsExact) ~
       ("sampledParts" -> d.sampledParts) ~ ("totalParts" -> d.totalParts) ~
       ("dayPartitionColumn" -> d.dayPartitionColumn) ~
+      ("gidMaxBytes" -> d.gidMaxBytes) ~
       ("dtypeNames" -> d.dtypeNames) ~
       ("columnAttrs" -> d.columnAttrs.map { case (k, a) =>
         k -> (("numericMin" -> a.numericMin) ~ ("numericMax" -> a.numericMax) ~
@@ -531,6 +554,7 @@ object Catalog {
       statsExact = (j \ "statsExact").extractOpt[Boolean].getOrElse(true),
       sampledParts = (j \ "sampledParts").extractOpt[Int].getOrElse(0),
       totalParts = (j \ "totalParts").extractOpt[Int].getOrElse(0),
-      dayPartitionColumn = (j \ "dayPartitionColumn").extractOpt[String])
+      dayPartitionColumn = (j \ "dayPartitionColumn").extractOpt[String],
+      gidMaxBytes = (j \ "gidMaxBytes").extractOpt[Long])
   }
 }

@@ -31,7 +31,19 @@ final case class DatasetSpec(groupIdColumn: String, timestampColumn: String,
                                * set statically — the survivor-sharing
                                * broadcast gate reads it (see the routed
                                * sequence fold). */
-                             numGroups: Option[Long] = None)
+                             numGroups: Option[Long] = None,
+                             /** Max UTF-8 byte length of a STRING group id
+                               * (r16; the catalog records it at
+                               * registration). Makes the survivor-sharing
+                               * gate byte-aware for string gids: the
+                               * broadcast estimate is numGroups ×
+                               * (gidMaxBytes + row overhead), so a dataset
+                               * with long ids is kept off the explicit
+                               * hint even under the group-count cap.
+                               * Unknown → the conservative
+                               * [[QueryEngine.SurvivorShareMaxStringGroups]]
+                               * count cap applies instead. */
+                             gidMaxBytes: Option[Long] = None)
 
 /**
  * The planned query: every output is a lazily-evaluated DataFrame, so Catalyst
@@ -99,10 +111,13 @@ final case class PlannedQuery(
  *    join back into the rows (AQE broadcasts the group-sized set) — 2.2×
  *    at 250M rows on plain parquet, 2.8× bucketed, ~1.6× degradation
  *    under a 30%-hot bot group where the window stack degrades 5.2×;
- *    multi-frame queries (aggregations and/or a funnel) materialize the
- *    semi-joined SURVIVORS once via a lazy localCheckpoint (r15) so each
- *    extra output frame reads cached blocks instead of re-scanning the
- *    corpus — see the body comment for the measured cells;
+ *    multi-frame queries (aggregations and/or a funnel) persist the
+ *    semi-joined SURVIVORS once behind an explicit broadcast hint, gated
+ *    on the registration's group count/bytes (r15; the adaptive
+ *    alternatives, including a lazy localCheckpoint, were measured
+ *    freezing a full-corpus SMJ) so each extra output frame reads cached
+ *    blocks instead of re-scanning the corpus — see the body comment for
+ *    the measured cells;
  *  - an aggregation-free funnel → `SequenceMatch.funnelCounts` — 2.3×
  *    bucketed at 250M rows and FLAT under 30%-hot skew (14.1s vs 142.1s);
  *  - a funnel WITH step/end aggregations (r14) → funnelCounts for the
@@ -361,20 +376,37 @@ final class QueryEngine(spec: DatasetSpec,
           // set, where the r14 plan's AQE correctly keeps the SMJ. The
           // gate: the matched set is at most the dataset's registered
           // group count (DatasetSpec.numGroups, flowing from the
-          // catalog's registration stats on the serving path), and the
-          // per-group broadcast row is a gid — gate long-ish gids at
-          // 64M groups (≤ ~512 MB worst-case broadcast) and string gids
-          // at 8M (unbounded values; ~50-byte ids stay under ~400 MB).
-          // No numGroups (direct library callers) or over the cap → the
-          // exact r14 plan: gid set retained, per-frame AQE semi-joins.
-          // A summary-only query collects one frame and keeps the exact
-          // r13 plan, cache-free.
+          // catalog's registration stats on the serving path) — long
+          // gids gate at 64M groups (≤ ~512 MB worst-case broadcast);
+          // string gids are BYTE-aware (r16): ids have unbounded length,
+          // so when the registration recorded the max id byte length the
+          // gate bounds numGroups × (gidMaxBytes + per-row overhead) by
+          // the same 512 MB budget, and without the stat it falls back
+          // to an 8M count cap (~50-byte ids stay under ~400 MB; longer
+          // unmeasured ids are a library-caller-only surface — the
+          // serving path always has the stat). No numGroups (direct
+          // library callers) or over the gate → the exact r14 plan: gid
+          // set retained, per-frame AQE semi-joins. A summary-only query
+          // collects one frame and keeps the exact r13 plan, cache-free.
           val multiFrame = q.aggregations.nonEmpty || q.funnel.nonEmpty
-          val gidIsString = cur.schema.find(_.name == gid)
-            .exists(_.dataType == org.apache.spark.sql.types.StringType)
-          val broadcastable = spec.numGroups.exists(n =>
-            n <= (if (gidIsString) QueryEngine.SurvivorShareMaxStringGroups
-                  else QueryEngine.SurvivorShareMaxGroups))
+          // Exact name match first, then case-insensitive (r16):
+          // fastPathTypesOk gates routing on an exact match today, but if
+          // that ever loosens, a case-mismatched string gid must not
+          // silently classify as integral and ride the 8× looser cap.
+          val gidField = cur.schema.find(_.name == gid)
+            .orElse(cur.schema.find(_.name.equalsIgnoreCase(gid)))
+          val gidIsString =
+            gidField.exists(_.dataType == org.apache.spark.sql.types.StringType)
+          val broadcastable = spec.numGroups.exists { n =>
+            if (!gidIsString) n <= QueryEngine.SurvivorShareMaxGroups
+            else spec.gidMaxBytes match {
+              // Divide, don't multiply: n × bytes can overflow Long on
+              // adversarial inputs; the bound is equivalent.
+              case Some(b) => n <= QueryEngine.SurvivorShareMaxBytes /
+                math.max(1L, b + QueryEngine.BroadcastRowOverheadBytes)
+              case None    => n <= QueryEngine.SurvivorShareMaxStringGroups
+            }
+          }
           if (multiFrame && broadcastable)
             // The hint makes the repartition boundary unnecessary — join
             // the gid set directly (one fewer tiny shuffle).
@@ -466,6 +498,15 @@ final class QueryEngine(spec: DatasetSpec,
     * window plan, which compares those natively. */
   private def fastPathTypesOk(df: DataFrame): Boolean = {
     import org.apache.spark.sql.types._
+    // EXACT name match, deliberately: SequenceMatch resolves the gid via
+    // case-sensitive StructType.fieldIndex, so routing a case-mismatched
+    // spec would throw mid-plan. A mismatch (possible only for direct
+    // library callers — registration requires exact names) falls to the
+    // window plan, whose col() lookups use Spark's case-insensitive
+    // resolver — correct, just not fast-pathed. This also means the
+    // survivor gate's gid classification below always sees an
+    // exact-matching schema field; its case-insensitive fallback is
+    // defense in depth against the two lookups drifting apart.
     def tpe(c: String) = df.schema.find(_.name == c).map(_.dataType)
     tpe(gid).exists {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -825,18 +866,28 @@ object QueryEngine {
     * estimate effectively infinite and route. */
   val DefaultRoutingMinBytes: Long = 32L << 20
 
-  /** Survivor-sharing broadcast gate (routed sequence fold, r15): the
-    * matched-gid set is at most the dataset's registered group count, so
-    * a known count under these caps makes the explicit broadcast hint
-    * safe by construction. Integral gids: 64M × 8 B ≈ 512 MB worst-case
-    * broadcast — heavy but well under Spark's 8 GB hard cap and sized
-    * for real executors; string gids carry unbounded values, so the cap
-    * is 8× tighter (~50-byte ids stay under ~400 MB). Over the cap (or
-    * numGroups unknown), the engine keeps the r14 plan — per-frame
-    * AQE-converted semi-joins — which degrades gracefully instead of
-    * failing on a giant broadcast. */
+  /** Survivor-sharing broadcast gate (routed sequence fold, r15; byte-
+    * aware for string gids r16): the matched-gid set is at most the
+    * dataset's registered group count, so a known count under these caps
+    * makes the explicit broadcast hint safe by construction. Integral
+    * gids: 64M × 8 B ≈ 512 MB worst-case broadcast — heavy but well
+    * under Spark's 8 GB hard cap and sized for real executors. String
+    * gids carry unbounded values: with the registration's max-id-bytes
+    * stat the gate bounds numGroups × (gidMaxBytes +
+    * [[BroadcastRowOverheadBytes]]) by the same 512 MB budget
+    * ([[SurvivorShareMaxBytes]]); without it, an 8× tighter count cap
+    * (~50-byte ids stay under ~400 MB — the documented assumption a
+    * stat-less library caller accepts by passing numGroups for a string
+    * gid). Over the gate (or numGroups unknown), the engine keeps the
+    * r14 plan — per-frame AQE-converted semi-joins — which degrades
+    * gracefully instead of failing on a giant broadcast. */
   val SurvivorShareMaxGroups: Long = 64L * 1000 * 1000
   val SurvivorShareMaxStringGroups: Long = 8L * 1000 * 1000
+  val SurvivorShareMaxBytes: Long = 512L << 20
+  /** Per-row overhead of a single-string-column UnsafeRow in a broadcast
+    * hash relation: 8 B null bitmap + 8 B offset/size word + padding to
+    * 8 B, rounded up. */
+  val BroadcastRowOverheadBytes: Long = 24L
 
   /** Plan-routing policy (class doc §"Fast-path routing"). */
   sealed trait Routing

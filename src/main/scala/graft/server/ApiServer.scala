@@ -439,13 +439,15 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       // The registration-validated day-partition declaration flows into
       // the engine here — timeframe queries over partitionByDay layouts
       // prune whole day directories on the serving path too.
-      // numGroups gates the routed plan's survivor-sharing broadcast
-      // (QueryEngine.SurvivorShareMaxGroups); passed only when the
-      // registration scanned every part — a sampled registration's
-      // approximate count could undercount past the gate's headroom.
+      // numGroups (+ gidMaxBytes for string gids, r16) gate the routed
+      // plan's survivor-sharing broadcast (QueryEngine.SurvivorShareMax*);
+      // passed only when the registration scanned every part — a sampled
+      // registration's approximate stats could undercount past the gate's
+      // headroom.
       val baseEngine = new QueryEngine(DatasetSpec(ds.groupIdColumn, ds.timestampColumn,
         dayPartitionColumn = ds.dayPartitionColumn,
-        numGroups = if (ds.statsExact) Some(ds.numGroups) else None))
+        numGroups = if (ds.statsExact) Some(ds.numGroups) else None,
+        gidMaxBytes = if (ds.statsExact) ds.gidMaxBytes else None))
       val engine = routingMinBytes.fold(baseEngine)(baseEngine.withRoutingThreshold)
       // Caches.scoped: each query owns (and on exit drains) exactly the
       // frames IT retained — async/stream queries run concurrently on

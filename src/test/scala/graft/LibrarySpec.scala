@@ -44,7 +44,16 @@ class LibrarySpec extends SparkSpec {
     assert(ds.unsupportedColumns.isEmpty)
     assert(ds.minTimestamp == 100.0 && ds.maxTimestamp == 300.0)
     assert(ds.numGroups == 2 && ds.numRows == 2)
+    // integral gid: no byte stat (the survivor gate's integral cap is
+    // byte-bounded by construction)
+    assert(ds.gidMaxBytes.isEmpty)
     assert(Catalog.get("t1").isDefined)
+
+    // string gid records its max UTF-8 byte length (r16): "x"/"y" → 1;
+    // the engine's byte-aware broadcast gate reads it via the server.
+    val dsStr = Catalog.register(spark, "t1s", dir, "cat", "ts")
+    assert(dsStr.gidMaxBytes.contains(1L), dsStr.gidMaxBytes.toString)
+    Catalog.unregister("t1s")
 
     // float group id rejected (reference registration_task_runner.py:85-92)
     intercept[Catalog.RegistrationException] {

@@ -660,6 +660,82 @@ class OperatorsSpec extends SparkSpec {
     graft.util.Caches.drain()
   }
 
+  test("survivor-sharing byte gate: string gids hint only within the byte budget (r16)") {
+    import graft.engine.{DatasetSpec, QueryEngine}
+    import graft.query.QueryAst._
+    // String-gid twin of the r15 gate test. The count cap alone can't
+    // bound a string broadcast (ids have unbounded length), so the gate
+    // is byte-aware when the registration recorded gidMaxBytes: under
+    // the budget → hinted survivors; a byte estimate over the budget
+    // (long ids) → the r14 fallback even though the COUNT is tiny; no
+    // byte stat → the conservative 8M count cap. Every variant must
+    // match the window plan bit-for-bit. A case-mismatched spec must
+    // stay on the window plan (SequenceMatch resolves case-sensitively;
+    // routing it would throw) and still answer correctly.
+    val schema = StructType(Seq(
+      StructField("uid_s", StringType), StructField("ts", LongType),
+      StructField("etype", StringType)))
+    val rnd = new scala.util.Random(16)
+    val types = Seq("view", "click", "buy", "other")
+    val rows = (0 until 2000).map { i =>
+      Map[String, Any]("uid_s" -> s"user-${i % 97}", "ts" -> rnd.nextInt(100000).toLong,
+        "etype" -> types(rnd.nextInt(types.length)))
+    }
+    val df = frame(schema, rows)
+    val q = GraftQuery(None,
+      Seq(Condition.Sequence(None, Seq(
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("click"))))), None)),
+      None,
+      Seq(Aggregation(None, "ts", AggType.Count, None),
+        Aggregation(None, "etype", AggType.CountPerValue, None)),
+      Some(Funnel(Seq(
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("view")))),
+        SequenceStep(Seq(RowFilter("etype", FilterOp.Eq, Scalar.Str("buy"))))), None,
+        Nil, Seq(Aggregation(None, "etype", AggType.CountPerValue, None)))))
+    def run(spec: DatasetSpec, window: Boolean) = {
+      val eng =
+        if (window) new QueryEngine(spec).withWindowPlan
+        else new QueryEngine(spec).withRoutingThreshold(0)
+      val p = eng.run(df, q)
+      val frames =
+        Seq("summary" -> p.summary) ++ p.aggregations ++
+          p.funnel.map("funnel" -> _).toSeq ++ p.funnelAggregations
+      (p.plan, frames.map { case (n, d) => n -> d.collect().map(_.toSeq).toSet }.toMap)
+    }
+    val base = DatasetSpec("uid_s", "ts")
+    val (_, w) = run(base, window = true)
+    // "user-NN" ids: max 7+2=9 bytes. 97 × (9+24) ≪ 512 MB → hinted.
+    // Long-id variant: gidMaxBytes such that even 97 groups bust the
+    // budget (97 × (8 MB + 24) > 512 MB) → r14 fallback.
+    val variants = Seq(
+      "no byte stat, under the 8M count cap (hinted)" ->
+        base.copy(numGroups = Some(97L)),
+      "no byte stat, over the 8M count cap (r14 fallback)" ->
+        base.copy(numGroups = Some(QueryEngine.SurvivorShareMaxStringGroups + 1)),
+      "byte stat under the budget (hinted)" ->
+        base.copy(numGroups = Some(97L), gidMaxBytes = Some(9L)),
+      "byte stat over the budget despite tiny count (r14 fallback)" ->
+        base.copy(numGroups = Some(97L), gidMaxBytes = Some(8L << 20)))
+    for ((label, spec) <- variants) {
+      val (plan, r) = run(spec, window = false)
+      assert(plan.contains("routed"), s"$label must route, got '$plan'")
+      assert(r.keySet == w.keySet, label)
+      for (k <- w.keySet)
+        assert(r(k) == w(k), s"$label: frame '$k' diverged from the window plan")
+    }
+    // Case-mismatched spec: never routes (SequenceMatch's case-sensitive
+    // fieldIndex would throw mid-plan), answers via the window plan whose
+    // col() lookups resolve case-insensitively.
+    val (mPlan, m) = run(
+      base.copy(groupIdColumn = "UID_S", numGroups = Some(97L), gidMaxBytes = Some(9L)),
+      window = false)
+    assert(mPlan == "window", s"case-mismatched gid must pin the window plan, got '$mPlan'")
+    for (k <- w.keySet)
+      assert(m(k) == w(k), s"case-mismatched spec: frame '$k' diverged")
+    graft.util.Caches.drain()
+  }
+
   test("maxStepTable: per-group greedy max step, candidate groups only (r14 public contract)") {
     import graft.query.QueryAst._
     val schema = StructType(Seq(
