@@ -220,6 +220,27 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   private val inFlight =
     new ConcurrentHashMap[QueryKey, java.util.concurrent.CompletableFuture[(String, String)]]()
 
+  /** Per-registration DataFrame handle cache (r16, probe-first): every
+    * uncached query paid `Catalog.load` — a parquet footer/file-index
+    * read that runs a small Spark job on multi-part datasets — before
+    * its first real job (~10% of the measured ~270ms serving floor; the
+    * A/B is in BENCH.md §"Serving-path latency floor"). A DataFrame is
+    * an immutable logical plan over the listing captured at load, and
+    * the registration contract makes that listing stable for a given
+    * (name, registeredAt): files never change under a registration —
+    * updates re-register (dataset.py:36-53), which changes registeredAt
+    * and naturally misses this cache (pinned in ApiServerSpec). Handles
+    * are plan-sized (no data pinned), so a small LRU bounds driver
+    * footprint; always on. Cache hits still mark the dataset used for
+    * the unregister safety interval. */
+  private val dfHandles: java.util.Map[(String, Long), org.apache.spark.sql.DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), org.apache.spark.sql.DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), org.apache.spark.sql.DataFrame]): Boolean =
+          size() > 16
+      })
+
   private def handle(ex: HttpExchange): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
@@ -431,11 +452,21 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     }
 
     def runQuery(): ((String, String), JobStats.Snapshot) = {
-      // Loaded on the miss path only: a hit must not pay the parquet
-      // footer/file-index read (Catalog.load runs a small Spark job on
-      // multi-part datasets — the cache test's zero-jobs assertion
-      // watches exactly this).
-      val df = Catalog.load(spark, name)
+      // Loaded on the result-cache miss path only (a hit must not pay the
+      // parquet footer/file-index read — the cache test's zero-jobs
+      // assertion watches exactly this), and even misses reuse the
+      // per-registration handle (see dfHandles): the footer/index read
+      // happens once per (name, registeredAt), not once per query.
+      val df = {
+        val hk = (ds.name, ds.registeredAt)
+        val cached = dfHandles.get(hk)
+        if (cached != null) { Catalog.touch(name); cached }
+        else {
+          val loaded = Catalog.load(spark, name)
+          dfHandles.put(hk, loaded)
+          loaded
+        }
+      }
       // The registration-validated day-partition declaration flows into
       // the engine here — timeframe queries over partitionByDay layouts
       // prune whole day directories on the serving path too.

@@ -508,6 +508,40 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("DataFrame handle cache: reused within a registration, dropped on re-register (r16)") {
+    // The handle cache is always on (result cache off on the default-ish
+    // server here), keyed (name, registeredAt): repeats of a registration
+    // reuse the loaded plan; a re-registration over CHANGED files must
+    // miss and see the new listing — the stale handle would silently
+    // answer from the old files.
+    val dir = java.nio.file.Files.createTempDirectory("handle").toString
+    def write(n: Int): Unit =
+      spark.range(n).selectExpr("id % 5 AS uid", "id AS ts", "'e' AS etype")
+        .write.mode("overwrite").parquet(dir)
+    def register(): Unit = {
+      val r = post("/datasets/register",
+        s"""{"name": "evhandle", "basepath": "$dir",
+           | "groupIdColumn": "uid", "timestampColumn": "ts"}""".stripMargin)
+      assert(r.statusCode() == 200, r.body())
+    }
+    try {
+      write(10)
+      register()
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def rows(): JValue =
+        JsonMethods.parse(post("/datasets/evhandle/query", """{"query": {}}""").body()) \
+          "query" \ "matchingGroupRows"
+      assert(rows() == JInt(10))
+      assert(rows() == JInt(10)) // handle-cache hit path answers identically
+      write(20)
+      register() // new registeredAt → fresh handle over the new listing
+      assert(rows() == JInt(20), "stale DataFrame handle survived re-registration")
+    } finally {
+      graft.catalog.Catalog.unregister("evhandle")
+    }
+  }
+
   test("async burst beyond the pool queues, stays bounded, and all complete (r16)") {
     val s9 = new ApiServer(spark, 0, asyncThreads = 2)
     s9.start()
