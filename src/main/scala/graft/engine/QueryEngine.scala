@@ -752,7 +752,11 @@ final class QueryEngine(spec: DatasetSpec,
     val aggExprs = (0 until n).flatMap { j =>
       Seq(
         count_distinct(when(col(s"__f_p$j"), col(gid))).as(s"__g$j"),
-        sum(when(col(s"__f_p$j"), 1L).otherwise(0L)).as(s"__r$j"))
+        // coalesce: sum over an EMPTY matched set is NULL, but a funnel
+        // over zero rows counts zero (reference: per-part ints, empty
+        // part → 0) — and the serving JSON reads these as longs
+        // (r16 fuzz-caught: ResultJson crashed on the NULL).
+        coalesce(sum(when(col(s"__f_p$j"), 1L).otherwise(0L)), lit(0L)).as(s"__r$j"))
     }
     val one = flagged.agg(aggExprs.head, aggExprs.tail: _*)
     val stepStructs = (0 until n).map { j =>

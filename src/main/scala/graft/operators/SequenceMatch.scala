@@ -362,12 +362,15 @@ object SequenceMatch {
     val joined = counts.join(maxStep, Seq("g"), "left")
       .select(coalesce(col("__max_step"), lit(absentMs)).as("__ms"), col("__cnt"))
     // Empty-input semantics must mirror planFunnel's aggregates exactly
-    // (fuzz-caught): count over empty = 0 for step_groups (the window
-    // plan's count_distinct), while sum(...otherwise(0)) over empty is
-    // NULL for step_rows — so no coalesce on the row sum.
+    // (fuzz-caught, twice): count over empty = 0 for step_groups (the
+    // window plan's count_distinct); and since r16 BOTH plans coalesce
+    // the row sum to 0 on an empty matched set — a funnel over zero rows
+    // counts zero (the serving JSON reads step_rows as a long; the r15
+    // NULL crashed ResultJson, ServingFuzzSpec seed=35260868).
     val aggExprs = (0 until n).flatMap { j =>
       Seq(count(when(col("__ms") >= j, lit(1))).as(s"__g$j"),
-        sum(when(col("__ms") >= j, col("__cnt")).otherwise(0L)).as(s"__r$j"))
+        coalesce(sum(when(col("__ms") >= j, col("__cnt")).otherwise(0L)), lit(0L))
+          .as(s"__r$j"))
     }
     val one = joined.agg(aggExprs.head, aggExprs.tail: _*)
     val stepStructs = (0 until n).map { j =>

@@ -158,6 +158,32 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     if (asyncPool != null) asyncPool.shutdownNow()
   }
 
+  /** Graceful stop (r16): drain in-flight work for up to `drainSec`
+    * before tearing down — an abrupt `stop()` can abandon a coalesce
+    * winner mid-latch (waiters are then failed by the belt-and-braces
+    * completeExceptionally, but a drain answers them instead). Stops
+    * accepting connections immediately, lets active HTTP exchanges and
+    * already-RUNNING async jobs finish within the budget, then force-
+    * stops whatever remains. QUEUED async jobs also run if the budget
+    * permits (pool shutdown drains its queue); leftovers are dropped —
+    * a restarted server has a fresh registry anyway, matching the
+    * reference, whose async state dies with the apiserver process.
+    * Returns true iff every submitted async job completed within the
+    * budget (false = something was force-dropped). */
+  def stopGracefully(drainSec: Int): Boolean = {
+    server.stop(drainSec)
+    if (pool != null) pool.shutdown()
+    if (asyncPool == null) true
+    else {
+      asyncPool.shutdown()
+      val drained =
+        try asyncPool.awaitTermination(drainSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt(); false }
+      asyncPool.shutdownNow()
+      drained
+    }
+  }
+
   // ------------------------------------------------------------ async jobs
 
   private final case class AsyncJob(

@@ -607,6 +607,33 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("graceful stop drains in-flight async queries (r16)") {
+    val s10 = new ApiServer(spark, 0, asyncThreads = 2)
+    s10.start()
+    val b10 = s"http://127.0.0.1:${s10.boundPort}"
+    def post10(path: String, body: String) = client.send(
+      HttpRequest.newBuilder(URI.create(b10 + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      val reg = post10("/datasets/register",
+        """{"name": "evdrain", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val subs = (1 to 4).map(_ =>
+        post10("/datasets/evdrain/query?async=true", """{"query": {}}"""))
+      subs.foreach(s => assert(s.statusCode() == 202, s.body()))
+      // Drain: every submitted job — the 2 running AND the 2 queued
+      // behind the pool of 2 — must COMPLETE inside the budget even
+      // though the server stops accepting; true = nothing force-dropped.
+      assert(s10.stopGracefully(60), "graceful stop dropped in-flight async jobs")
+      // The HTTP surface is down post-stop: a fresh request is refused.
+      intercept[Throwable] { post10("/datasets/evdrain/query", """{"query": {}}""") }
+    } finally {
+      graft.catalog.Catalog.unregister("evdrain")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",

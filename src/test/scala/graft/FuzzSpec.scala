@@ -501,7 +501,9 @@ object QueryFuzzer {
         prefix.stripSuffix("\n") + ",\n" + (ctes :+ fl).mkString(",\n") + "\n"
       val stepSelects = passed.indices.map { j =>
         s"SELECT $j AS step, count(DISTINCT CASE WHEN fl.p$j THEN me.user_id END) AS step_groups, " +
-          s"sum(CASE WHEN fl.p$j THEN 1 ELSE 0 END) AS step_rows FROM me JOIN fl USING (user_id)"
+          // COALESCE: a funnel over an empty matched set counts ZERO rows
+          // (r16, both engine plans agree) — bare SUM over empty is NULL.
+          s"COALESCE(sum(CASE WHEN fl.p$j THEN 1 ELSE 0 END), 0) AS step_rows FROM me JOIN fl USING (user_id)"
       }
       // Engine order: step aggs j-outer/agg-inner over step-j survivors,
       // then end aggs over the last step's survivors.

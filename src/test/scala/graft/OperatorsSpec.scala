@@ -490,10 +490,12 @@ class OperatorsSpec extends SparkSpec {
     assert(winD(2)._1 < viaWindow(2)._1) // duration actually restricts
     assert(winD(1) != viaWindow(1) || winD(2) != viaWindow(2))
 
-    // Empty input (no group passed the upstream condition): the window
-    // plan yields (step, 0, NULL) — count_distinct over empty is 0, the
-    // row sum is NULL — and the twin must mirror it cell-for-cell
-    // (fuzz-caught: the first cut returned (step, NULL, 0)).
+    // Empty input (no group passed the upstream condition): both plans
+    // yield (step, 0, 0) — count_distinct over empty is 0, and since r16
+    // the row sum coalesces to 0 too (a funnel over zero rows counts
+    // zero; the former NULL crashed the serving JSON's long read —
+    // ServingFuzzSpec seed=35260868). Twin must mirror cell-for-cell
+    // (fuzz-caught r11: the first cut returned (step, NULL, 0)).
     val empty = df.where(col("uid") < 0)
     val winE = engine.run(empty, GraftQuery(None, Nil, None, Nil,
       Some(Funnel(steps, None, Nil, Nil)))).funnel.get.collect()
@@ -501,7 +503,7 @@ class OperatorsSpec extends SparkSpec {
     val fastE = graft.operators.SequenceMatch.funnelCounts(empty, "uid", "ts", steps)
       .collect().map(r => (r.getInt(0), r.get(1), r.get(2))).toSet
     assert(fastE == winE)
-    assert(winE == Set((0, 0L, null), (1, 0L, null), (2, 0L, null)))
+    assert(winE == Set((0, 0L, 0L), (1, 0L, 0L), (2, 0L, 0L)))
 
     // Negated steps (r11: scalar-max evidence, no array entries). Middle
     // negated: view, then NO "other" afterwards, then buy.
@@ -733,6 +735,49 @@ class OperatorsSpec extends SparkSpec {
     assert(mPlan == "window", s"case-mismatched gid must pin the window plan, got '$mPlan'")
     for (k <- w.keySet)
       assert(m(k) == w(k), s"case-mismatched spec: frame '$k' diverged")
+    graft.util.Caches.drain()
+  }
+
+  test("routed sequence+funnel with an empty matched set answers like the window plan (r16 pinned fuzz)") {
+    // Pinned from ServingFuzzSpec seed=35260868 q6 (r16): a sequence
+    // condition whose first step matches NOTHING (matched set empty)
+    // combined with a routed funnel crashed with ROW_VALUE_IS_NULL
+    // instead of answering zero counts. Exact failing query, library
+    // path, routed engine with the survivor-share gate on.
+    val json = """{"query": {"conditions": [{"sequence": [
+      |  {"filter": {"column": "event_type", "op": "==", "value": "absent"}},
+      |  {"filters": [["props", "regex", "k\": [0-9]{2}"],
+      |               {"column": "value_n", "op": "<=", "value": 100}],
+      |   "rowFound": false}]}]},
+      | "funnel": {"sequence": [
+      |   {"filter": ["value_nan", ">", 250.5]},
+      |   {"filters": [{"column": "value", "op": ">=", "value": 10},
+      |                {"column": "event_type", "op": "==", "value": "signup"}]}]},
+      | "timeframe": {"from": 1705500000000000000, "to": 1706500000000000000}}""".stripMargin
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("value", col("value").cast("decimal(20,4)"))
+      .withColumn("value_n",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("decimal(20,4)"))
+          .otherwise(col("value")))
+      .withColumn("value_nan",
+        when(pmod(col("event_id"), lit(11)) === 0, lit(Double.NaN))
+          .otherwise(floor(col("value")).cast("double")))
+    val q = graft.query.QueryParser.parse(json)
+    def frames(p: graft.engine.PlannedQuery) =
+      (Seq("summary" -> p.summary) ++ p.aggregations ++
+        p.funnel.map("funnel" -> _).toSeq ++ p.funnelAggregations)
+        .map { case (n, d) => n -> d.collect().map(_.toSeq).toSet }.toMap
+    val spec = graft.engine.DatasetSpec("user_id", "ts", numGroups = Some(15L))
+    val w = frames(new graft.engine.QueryEngine(spec).withWindowPlan.runValidated(df, q))
+    val r = frames(new graft.engine.QueryEngine(spec).withRoutingThreshold(0).runValidated(df, q))
+    assert(r.keySet == w.keySet)
+    for (k <- w.keySet) assert(r(k) == w(k), s"frame '$k' diverged on the empty matched set")
+    // The serving path additionally builds the reference-shaped JSON
+    // (ResultJson collects each frame) — the original crash surfaced there.
+    val body = graft.result.ResultJson.build(
+      new graft.engine.QueryEngine(spec).withRoutingThreshold(0).runValidated(df, q))
+    assert(body.contains("\"funnel\""), body)
     graft.util.Caches.drain()
   }
 
