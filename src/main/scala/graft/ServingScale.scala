@@ -118,6 +118,22 @@ object ServingScale {
       require(errs.get() == 0, s"${errs.get()} concurrent requests failed")
       println(f"[serving] 2 clients: $rps2%.1f req/s")
 
+      // Chunked-stream path (r16): the long-query surface clients actually
+      // use at 100 TB — progress lines then the result. Its floor is the
+      // sync floor plus the server's completion-detection granularity.
+      def oneStream(): Long = {
+        val t = System.nanoTime()
+        val r = post("/datasets/srv/query?stream=true", seqJson)
+        require(r.statusCode() == 200, r.body())
+        require(r.body().split("\n").last.contains("matchingGroups"), r.body())
+        System.nanoTime() - t
+      }
+      (1 to 20).foreach(_ => oneStream())
+      val nS = 100
+      val latS = Array.fill(nS)(oneStream()).sorted
+      def pctS(p: Double): Double = latS(((latS.length - 1) * p).toInt) / 1e6
+      println(f"[serving] stream path: p50 ${pctS(0.5)}%.1f ms, p95 ${pctS(0.95)}%.1f ms")
+
       // Cached repeats (r15): the same query against a server with the
       // versioned result cache ON — the repeated-dashboard-query regime.
       // The floor collapses to parse + key lookup + HTTP; at 100 TB this

@@ -618,25 +618,30 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0) // length 0 → chunked
       val out = ex.getResponseBody
-      val done = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, String]]()
+      // Timed future get, not a sleep-poll (r16): the former 200ms poll
+      // granularity added ~180ms p50 to every short stream request
+      // (BENCH.md serving floor: stream p50 403ms vs sync 222ms) — the
+      // waiter now wakes the instant the query completes, emitting a
+      // progress line each second it doesn't.
+      val done = new java.util.concurrent.CompletableFuture[String]()
       val t = new Thread(() => {
-        try done.set(Right(execute()))
-        catch { case e: Throwable => done.set(Left(e)) }
+        try done.complete(execute())
+        catch { case e: Throwable => done.completeExceptionally(e) }
       }, "graft-query-stream")
       t.start()
+      var last: String = null
       var waited = 0L
-      while (done.get() == null) {
-        Thread.sleep(200)
-        waited += 200
-        if (waited % 1000 == 0) {
-          out.write(s"""{"stage": "RUNNING", "message": "query running", "elapsedMs": $waited}\n"""
-            .getBytes(StandardCharsets.UTF_8))
-          out.flush()
+      while (last == null) {
+        try last = done.get(1, java.util.concurrent.TimeUnit.SECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            waited += 1000
+            out.write(s"""{"stage": "RUNNING", "message": "query running", "elapsedMs": $waited}\n"""
+              .getBytes(StandardCharsets.UTF_8))
+            out.flush()
+          case e: java.util.concurrent.ExecutionException =>
+            last = s"""{"errorMessage": ${q(String.valueOf(e.getCause.getMessage))}}"""
         }
-      }
-      val last = done.get() match {
-        case Right(bodyJson) => bodyJson
-        case Left(e)         => s"""{"errorMessage": ${q(String.valueOf(e.getMessage))}}"""
       }
       out.write((last + "\n").getBytes(StandardCharsets.UTF_8))
       out.flush()
