@@ -95,6 +95,13 @@ object Throughput {
         "sequence-agg", "sequence-agg-bucketed",
         "sequence-agg-routed", "sequence-agg-routed-bucketed",
         "sequence-agg-shared", "sequence-agg-shared-bucketed",
+        // r16, the byte-gate evidence at scale: the same 6-step
+        // sequence-with-aggregations keyed by the derived STRING gid —
+        // "-shared-stringgid" runs the ENGINE end-to-end with
+        // numGroups+gidMaxBytes set (the byte gate admits the hint),
+        // "-routed-stringgid" the engine with no numGroups (the r14
+        // per-frame plan) as its unshared baseline.
+        "sequence-agg-routed-stringgid", "sequence-agg-shared-stringgid",
         "skew", "skew-bucketed").contains(mode),
       s"unknown mode '$mode' — see the mode list in the scaladoc above")
     val bucketed = mode.endsWith("bucketed")
@@ -358,12 +365,31 @@ object Throughput {
       // engine behavior (the engine can't know survivor volume at plan
       // time).
       val sharedMode = mode.startsWith("sequence-agg-shared")
+      // String-gid dimension (r16): derive "u<id>" and run the ENGINE
+      // end-to-end — shared-stringgid passes numGroups + gidMaxBytes so
+      // the BYTE gate itself decides the hint (150k groups × ~11B ids ≈
+      // 5 MB estimated broadcast, far under the 512 MB budget);
+      // routed-stringgid omits numGroups = the unshared r14 baseline.
+      val stringGid = mode.endsWith("stringgid")
+      val (sdf2, gidCol2) =
+        if (stringGid)
+          (df.withColumn("uid_s", concat(lit("u"), col("user_id").cast("string"))), "uid_s")
+        else (df, "user_id")
       // numGroups: the replicated corpus has ~1.5k distinct users per
       // replica of sf0.1 events — the routed engine's survivor-sharing
       // broadcast gate reads it exactly as ApiServer passes the catalog's
       // registration stat.
       val eng =
-        if (routed || sharedMode)
+        if (stringGid && sharedMode)
+          new engine.QueryEngine(engine.DatasetSpec(gidCol2, "ts",
+            numGroups = Some(1500L * replicas),
+            // "u" + up to 10 digits (ids reach ~1e9 at 1000 replicas)
+            gidMaxBytes = Some(11L)))
+            .withRoutingThreshold(0)
+        else if (stringGid)
+          new engine.QueryEngine(engine.DatasetSpec(gidCol2, "ts"))
+            .withRoutingThreshold(0)
+        else if (routed || sharedMode)
           new engine.QueryEngine(engine.DatasetSpec("user_id", "ts",
             numGroups = Some(1500L * replicas)))
             .withRoutingThreshold(0)
@@ -372,7 +398,7 @@ object Throughput {
       val rows = df.count()
       def run(): Double = {
         val t0 = System.nanoTime()
-        if (sharedMode) {
+        if (sharedMode && !stringGid) {
           val g = operators.SequenceMatch
             .matchingGroups(df, "user_id", "ts", steps)
             .withColumnRenamed("user_id", "__seq_gid")
@@ -398,7 +424,7 @@ object Throughput {
           eng.runAggregation(survivors,
             Aggregation(None, "event_type", AggType.CountPerValue, None)).collect()
         } else {
-          val plan = eng.run(df, q)
+          val plan = eng.run(sdf2, q)
           plan.summary.collect()
           plan.aggregations.foreach(_._2.collect())
         }
@@ -409,8 +435,9 @@ object Throughput {
       run() // warm
       val sec = (1 to 2).map(_ => run()).min
       val planName =
-        if (sharedMode) "sequence6-agg-shared"
-        else if (routed) "sequence6-agg-routed" else "sequence6-agg-window"
+        (if (sharedMode) "sequence6-agg-shared"
+         else if (routed) "sequence6-agg-routed" else "sequence6-agg-window") +
+          (if (stringGid) "-stringgid" else "")
       println(f"""{"plan": "$planName", "rows": $rows, "sec": $sec%.3f, """ +
         f""""cores": $cpus, "layout": "$layout"}""")
     } else if (seqMode) {

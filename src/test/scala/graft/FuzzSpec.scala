@@ -695,8 +695,12 @@ class FuzzSpec extends SparkSpec {
     // so the fuzzer exercises the hinted cached-survivors path on random
     // shapes (the gate-off r14 plan stays covered by the battery rows and
     // the OperatorsSpec gate test's no-numGroups variant).
+    // gidMaxBytes (r16): on the routed × string-gid crossings (i ≡ 10
+    // mod 20) this sends the survivor gate through its BYTE-estimate
+    // branch ("u"+4 digits ≤ 8 B; 1000 × 32 B ≪ 512 MB → hinted) instead
+    // of the stat-less count-cap fallback; integral draws ignore it.
     val engineRouted = new QueryEngine(DatasetSpec("user_id", "ts",
-        numGroups = Some(1000L)))
+        numGroups = Some(1000L), gidMaxBytes = Some(8L)))
       .withRoutingThreshold(0)
     val df = fuzzFrame.cache()
     // STRING-GID dimension (r12): every fifth query runs the ENTIRE
