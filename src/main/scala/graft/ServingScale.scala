@@ -198,6 +198,7 @@ object ServingScale {
       println(s"""{"metric": "serving_latency", "sf": "$sfDir", """ +
         f""""planning_ms": {"seq_routed": $planSeqRouted%.2f, "seq_window": $planSeqWindow%.2f, "filters": $planFilters%.2f}, """ +
         f""""http": {"rps_1client": $rps1%.1f, "p50_ms": ${pct(0.5)}%.1f, "p95_ms": ${pct(0.95)}%.1f, "rps_2clients": $rps2%.1f, """ +
+        f""""stream_p50_ms": ${pctS(0.5)}%.1f, """ +
         f""""rps_cached": $rpsC%.1f, "p50_cached_ms": $p50C%.2f, """ +
         f""""herd4_wall_ms": $herdWallMs%.1f, "solo_cold_ms": $soloColdMs%.1f}}""")
     } finally {

@@ -422,10 +422,19 @@ object Catalog {
   def list(): Seq[RegisteredDataset] =
     { import scala.jdk.CollectionConverters._; datasets.values.asScala.toSeq }
 
-  /** Load a registered dataset as a DataFrame (marks it used). */
-  def load(spark: SparkSession, name: String): DataFrame = {
-    val ds = get(name).getOrElse(throw RegistrationException(s"Unknown dataset '$name'"))
-    lastUsedAt.put(name, System.currentTimeMillis())
+  /** Load the CURRENT registration under `name` (marks it used). */
+  def load(spark: SparkSession, name: String): DataFrame =
+    load(spark, get(name).getOrElse(
+      throw RegistrationException(s"Unknown dataset '$name'")))
+
+  /** Load a specific registration SNAPSHOT (marks it used). Callers that
+    * bound a `RegisteredDataset` at request entry must load through it,
+    * not by name (r16, race fix): a re-registration landing between the
+    * bind and the load would otherwise serve the NEW basepath under the
+    * OLD registeredAt — a torn version that also poisons any
+    * (name, registeredAt)-keyed cache above. */
+  def load(spark: SparkSession, ds: RegisteredDataset): DataFrame = {
+    lastUsedAt.put(ds.name, System.currentTimeMillis())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.ops.Tables.tsToNanos(spark.read.parquet(ds.basepath))

@@ -483,12 +483,16 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       // assertion watches exactly this), and even misses reuse the
       // per-registration handle (see dfHandles): the footer/index read
       // happens once per (name, registeredAt), not once per query.
+      // Load through the ds SNAPSHOT bound at request entry, never by
+      // name (r16 race fix): a re-registration landing mid-request would
+      // otherwise swap the basepath under this request's registeredAt —
+      // a torn version that would also poison the handle cache's key.
       val df = {
         val hk = (ds.name, ds.registeredAt)
         val cached = dfHandles.get(hk)
         if (cached != null) { Catalog.touch(name); cached }
         else {
-          val loaded = Catalog.load(spark, name)
+          val loaded = Catalog.load(spark, ds)
           dfHandles.put(hk, loaded)
           loaded
         }

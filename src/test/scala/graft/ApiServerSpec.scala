@@ -607,6 +607,75 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent queries across a re-registration never mix versions (r16)") {
+    // Every request snapshots its registration (ds fetched once), and
+    // every cache — result, latch, DataFrame handle — is keyed by
+    // registeredAt. A herd racing a re-registration must therefore see
+    // ONE version per response: either the old data or the new, never a
+    // blend or a stale-handle error. Two distinct basepaths (the
+    // reference's update contract: new data registers as a new version,
+    // DatasetId.now()), distinguishable by row count.
+    val dirA = java.nio.file.Files.createTempDirectory("vrace_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("vrace_b").toString
+    spark.range(10).selectExpr("id % 5 AS uid", "id AS ts", "'e' AS etype")
+      .write.mode("overwrite").parquet(dirA)
+    spark.range(20).selectExpr("id % 5 AS uid", "id AS ts", "'e' AS etype")
+      .write.mode("overwrite").parquet(dirB)
+    val s11 = new ApiServer(spark, 0, resultCacheSize = 8, asyncThreads = 4)
+    s11.start()
+    try {
+      val b11 = s"http://127.0.0.1:${s11.boundPort}"
+      def post11(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b11 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get11(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b11 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def register(dir: String): Unit = {
+        val r = post11("/datasets/register",
+          s"""{"name": "evrace", "basepath": "$dir",
+             | "groupIdColumn": "uid", "timestampColumn": "ts"}""".stripMargin)
+        assert(r.statusCode() == 200, r.body())
+      }
+      register(dirA)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+
+      // Fire a herd of async queries; re-register to dirB mid-herd.
+      val subs1 = (1 to 4).map(_ => post11("/datasets/evrace/query?async=true", """{"query": {}}"""))
+      register(dirB)
+      val subs2 = (1 to 4).map(_ => post11("/datasets/evrace/query?async=true", """{"query": {}}"""))
+      def awaitRows(sub: HttpResponse[String]): BigInt = {
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get11(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        (status \ "result" \ "query" \ "matchingGroupRows") match {
+          case JInt(n) => n
+          case other   => fail(s"no matchingGroupRows: $other")
+        }
+      }
+      val rows1 = subs1.map(awaitRows)
+      val rows2 = subs2.map(awaitRows)
+      // Pre-re-registration submissions bind version A at REQUEST entry
+      // (the async body captured its ds snapshot synchronously); the
+      // post-re-registration herd must all see B.
+      rows1.foreach(n => assert(n == BigInt(10), s"pre-reregister response saw $n rows"))
+      rows2.foreach(n => assert(n == BigInt(20), s"post-reregister response saw $n rows"))
+      // And a fresh sync query answers from B, cached or not.
+      val fin = JsonMethods.parse(post11("/datasets/evrace/query", """{"query": {}}""").body())
+      assert((fin \ "query" \ "matchingGroupRows") == JInt(20), JsonMethods.compact(fin))
+    } finally {
+      s11.stop()
+      graft.catalog.Catalog.unregister("evrace")
+    }
+  }
+
   test("graceful stop drains in-flight async queries (r16)") {
     val s10 = new ApiServer(spark, 0, asyncThreads = 2)
     s10.start()
