@@ -607,6 +607,51 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("coalesce-wait timeout falls back to direct execution, still correct (r16)") {
+    // coalesceWaitSec=0 makes every waiter time out instantly — the
+    // starvation escape hatch. Waiters must then execute the query
+    // themselves (uncoalesced) and answer correctly as fresh responses.
+    val s12 = new ApiServer(spark, 0, resultCacheSize = 8, coalesceWaitSec = 0,
+      asyncThreads = 4)
+    s12.start()
+    try {
+      val b12 = s"http://127.0.0.1:${s12.boundPort}"
+      def post12(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b12 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get12(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b12 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post12("/datasets/register",
+        """{"name": "evwait0", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val subs = (1 to 4).map(_ =>
+        post12("/datasets/evwait0/query?async=true", """{"query": {}}"""))
+      subs.foreach(s => assert(s.statusCode() == 202, s.body()))
+      val results = subs.map { sub =>
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get12(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        status \ "result"
+      }
+      results.foreach { r =>
+        assert((r \ "query" \ "matchingGroups") == JInt(15), JsonMethods.compact(r))
+      }
+    } finally {
+      s12.stop()
+      graft.catalog.Catalog.unregister("evwait0")
+    }
+  }
+
   test("concurrent queries across a re-registration never mix versions (r16)") {
     // Every request snapshots its registration (ds fetched once), and
     // every cache — result, latch, DataFrame handle — is keyed by
