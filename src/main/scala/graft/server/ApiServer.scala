@@ -719,7 +719,9 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       m("graft_bytes_scanned_total", "counter", "Bytes read by queries", mBytesScanned.get) +
       m("graft_shuffle_bytes_total", "counter", "Shuffle bytes written by queries", mShuffleBytes.get) +
       m("graft_core_ms_total", "counter", "Executor-core milliseconds consumed by queries (cost basis)", mCoreMs.get) +
-      m("graft_datasets_registered", "gauge", "Currently registered datasets", Catalog.list().size.toLong)
+      m("graft_datasets_registered", "gauge", "Currently registered datasets", Catalog.list().size.toLong) +
+      m("graft_result_cache_entries", "gauge", "Entries currently in the versioned result cache", resultCache.size.toLong) +
+      m("graft_inflight_coalescable_queries", "gauge", "Cold-key queries executing under the single-flight latch right now", inFlight.size.toLong)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
     ex.sendResponseHeaders(200, bytes.length)

@@ -923,7 +923,9 @@ class ApiServerSpec extends SparkSpec {
       before.contains("graft_query_errors_total") &&
       before.contains("graft_rows_scanned_total") &&
       before.contains("graft_core_ms_total") &&
-      before.contains("graft_datasets_registered"), before.toString)
+      before.contains("graft_datasets_registered") &&
+      before.contains("graft_result_cache_entries") &&
+      before.contains("graft_inflight_coalescable_queries"), before.toString)
     assert(get("/metrics").body().contains("# TYPE graft_queries_total counter"))
 
     val q = post("/datasets/evm/query", """{"query": {}}""")
