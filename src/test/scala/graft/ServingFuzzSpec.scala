@@ -146,4 +146,70 @@ class ServingFuzzSpec extends SparkSpec {
       graft.catalog.Catalog.unregister("servfuzz")
     }
   }
+
+  test("re-registration storm: every response is version-consistent") {
+    // Random interleaving of re-registrations (alternating two basepaths
+    // with different row counts) and concurrent queries against one
+    // cache-enabled server. The invariant every serving cache must
+    // preserve: a response reflects exactly ONE registration version —
+    // matchingGroupRows is 10 or 20, never a blend, a stale-handle
+    // error, or a 500. Exercises the structural result-cache keys, the
+    // (name, registeredAt) handle cache, coalescing, and the r16
+    // snapshot-load fix under the exact race they exist for.
+    val rnd = new Random(Seed + 101)
+    val dirA = java.nio.file.Files.createTempDirectory("storm_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("storm_b").toString
+    spark.range(10).selectExpr("id % 5 AS uid", "id AS ts", "'e' AS etype")
+      .write.mode("overwrite").parquet(dirA)
+    spark.range(20).selectExpr("id % 5 AS uid", "id AS ts", "'e' AS etype")
+      .write.mode("overwrite").parquet(dirB)
+    val server = new ApiServer(spark, 0, resultCacheSize = 8,
+      httpThreads = 4, asyncThreads = 4)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def register(dir: String): Unit = {
+        val r = post("/datasets/register",
+          s"""{"name": "storm", "basepath": "$dir",
+             | "groupIdColumn": "uid", "timestampColumn": "ts"}""".stripMargin)
+        assert(r.statusCode() == 200, r.body())
+      }
+      register(dirA)
+      val pending = scala.collection.mutable.Buffer.empty[HttpResponse[String]]
+      (1 to 40).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => register(if (rnd.nextBoolean()) dirA else dirB)
+          case _ =>
+            val sub = post("/datasets/storm/query?async=true", """{"query": {}}""")
+            assert(sub.statusCode() == 202, sub.body())
+            pending += sub
+        }
+      }
+      assert(pending.nonEmpty)
+      pending.foreach { sub =>
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(25)
+          status = JsonMethods.parse(get(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"),
+          s"seed=$Seed storm query failed: ${JsonMethods.compact(status)}")
+        val rows = status \ "result" \ "query" \ "matchingGroupRows"
+        assert(rows == JInt(10) || rows == JInt(20),
+          s"seed=$Seed version-inconsistent response: ${JsonMethods.compact(status)}")
+      }
+    } finally {
+      server.stop()
+      graft.catalog.Catalog.unregister("storm")
+    }
+  }
 }
