@@ -147,6 +147,50 @@ class ServingFuzzSpec extends SparkSpec {
     }
   }
 
+  test("random invalid queries 400 over HTTP and never pollute the cache") {
+    // QueryFuzzer.genInvalid's randomized rule violations, pushed through
+    // the SERVING surface: each must answer 400 with the reference's
+    // errorMessage shape (never a 500 — parse/validation errors are
+    // client errors), and a valid query answered before and after the
+    // barrage must be bit-identical with the second a cache hit —
+    // rejected queries must leave no cache/latch residue.
+    val rnd = new Random(Seed + 202)
+    val server = new ApiServer(spark, 0, resultCacheSize = 8)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val reg = post("/datasets/register",
+        """{"name": "servneg", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      def resultPart(j: JValue): JValue = j.removeField { case (k, _) => k == "stats" }
+
+      val good = """{"query": {"conditions": [
+        |  {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 2]}]}}""".stripMargin
+      val first = JsonMethods.parse(post("/datasets/servneg/query", good).body())
+      assert((first \ "stats" \ "cached") == JBool(false), JsonMethods.compact(first))
+
+      (0 until 50).foreach { i =>
+        val (json, reason) = QueryFuzzer.genInvalid(rnd)
+        val r = post("/datasets/servneg/query", json)
+        assert(r.statusCode() == 400,
+          s"seed=$Seed invalid q$i ($reason) answered ${r.statusCode()}: ${r.body()}\n$json")
+        assert(r.body().contains("errorMessage"), s"seed=$Seed q$i: ${r.body()}")
+      }
+
+      val second = JsonMethods.parse(post("/datasets/servneg/query", good).body())
+      assert((second \ "stats" \ "cached") == JBool(true), JsonMethods.compact(second))
+      assert(resultPart(second) == resultPart(first), "cache polluted by rejected queries")
+    } finally {
+      server.stop()
+      graft.catalog.Catalog.unregister("servneg")
+    }
+  }
+
   test("re-registration storm: every response is version-consistent") {
     // Random interleaving of re-registrations (alternating two basepaths
     // with different row counts) and concurrent queries against one
