@@ -78,7 +78,12 @@ object Catalog {
         * string-gid broadcast (ids have unbounded length), so the gate
         * multiplies the two into an estimated broadcast size. Sampled
         * registrations may undercount — the server forwards it only when
-        * statsExact, same as numGroups. */
+        * statsExact, same as numGroups. Backfill note (r17): a pre-r16
+        * registration reloaded from a persisted catalog store has None
+        * here, so string-gid datasets take the conservative 8M-group cap
+        * (SurvivorShareMaxStringGroups) instead of the byte-sized budget —
+        * correct, just not byte-optimal. Re-registering the dataset
+        * records the stat; no migration step is needed or provided. */
       gidMaxBytes: Option[Long] = None)
 
   final case class RegistrationException(msg: String) extends RuntimeException(msg)

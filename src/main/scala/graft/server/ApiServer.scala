@@ -95,7 +95,23 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * executing the query itself (uncoalesced but
                         * correct). Bounds the worker-thread starvation
                         * window described on `httpThreads`. */
-                      coalesceWaitSec: Int = 600) {
+                      coalesceWaitSec: Int = 600,
+                      /** Cap on async jobs WAITING behind the pool (r17):
+                        * the fixed pool bounds concurrency but its FIFO
+                        * queue — and the QUEUED population of the job
+                        * registry — would otherwise grow without bound
+                        * under a sustained flood. Beyond `asyncThreads`
+                        * running + `asyncQueueMax` queued, submissions are
+                        * rejected with 429 + Retry-After (counted in
+                        * graft_query_rejected_total) instead of admitted.
+                        * This EXCEEDS the reference, whose Flask pool has
+                        * the same unbounded-queue shape
+                        * (invoker_api.py:36,147-161). Generous default:
+                        * 1000 queued jobs is hours of backlog at the
+                        * measured serving floor — the cap is an
+                        * abuse/runaway-client backstop, not a normal-load
+                        * limiter. GRAFT_ASYNC_QUEUE_MAX in ApiServerMain. */
+                      asyncQueueMax: Int = 1000) {
 
   // Validated BEFORE the server field binds the port: start() would
   // otherwise throw out of newFixedThreadPool with the socket still held,
@@ -103,6 +119,11 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   // (the same asymmetry the catalog-store failure path guards against).
   require(httpThreads >= 1, s"httpThreads must be >= 1, got $httpThreads")
   require(asyncThreads >= 1, s"asyncThreads must be >= 1, got $asyncThreads")
+  // A negative wait would silently degrade every coalesced waiter to
+  // immediate-timeout self-execution, defeating single-flight coalescing
+  // (0 is a legitimate explicit opt-out, used by the fallback tests).
+  require(coalesceWaitSec >= 0, s"coalesceWaitSec must be >= 0, got $coalesceWaitSec")
+  require(asyncQueueMax >= 0, s"asyncQueueMax must be >= 0, got $asyncQueueMax")
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -169,15 +190,20 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     * a restarted server has a fresh registry anyway, matching the
     * reference, whose async state dies with the apiserver process.
     * Returns true iff every submitted async job completed within the
-    * budget (false = something was force-dropped). */
+    * budget (false = something was force-dropped). The budget is SHARED
+    * across the two waits (r17): `server.stop` can itself block up to
+    * `drainSec` for active HTTP exchanges, so the async-pool wait gets
+    * only what remains — total blocking is bounded by ~drainSec, not 2×. */
   def stopGracefully(drainSec: Int): Boolean = {
+    val deadline = System.nanoTime() + drainSec.toLong * 1000000000L
     server.stop(drainSec)
     if (pool != null) pool.shutdown()
     if (asyncPool == null) true
     else {
       asyncPool.shutdown()
+      val remainingMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
       val drained =
-        try asyncPool.awaitTermination(drainSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+        try asyncPool.awaitTermination(remainingMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: InterruptedException => Thread.currentThread().interrupt(); false }
       asyncPool.shutdownNow()
       drained
@@ -194,6 +220,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   private val jobs = new ConcurrentHashMap[String, AsyncJob]()
   private val jobSeq = new AtomicLong()
+  /** Jobs admitted but not yet finished (QUEUED + RUNNING) — the quantity
+    * `asyncQueueMax` bounds (see submitAsync). Incremented at admission,
+    * decremented when the job's runnable exits either way. */
+  private val pendingAsync = new AtomicLong()
 
   // ---------------------------------------------------------- result cache
 
@@ -384,6 +414,22 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                | "errorMessage": "Dataset was last used ${sinceSec.get} seconds ago, which is less than safety interval $unregisterSafetySec. Use the 'force' parameter to unregister anyway."}""".stripMargin)
         else {
           Catalog.unregister(name)
+          // Sweep the serving caches (r17). Correctness never depended on
+          // this — every key is registeredAt-versioned and the name lookup
+          // fails post-unregister — but the handle LRU would otherwise pin
+          // the dead registration's logical plan + file index until churn
+          // evicted it, and its result-cache entries are unreachable
+          // driver memory. The in-flight sweep only removes the LATCH
+          // (new arrivals can't coalesce onto it); a winner mid-execution
+          // still completes its future for the waiters already holding it,
+          // and its own compare-and-remove no-ops harmlessly.
+          dfHandles.synchronized {
+            dfHandles.keySet().removeIf(k => k._1 == name)
+          }
+          resultCache.synchronized {
+            resultCache.keySet().removeIf(k => k.dataset == name)
+          }
+          inFlight.keySet().removeIf(k => k.dataset == name)
           respond(ex, 200,
             s"""{"success": true, "datasetFound": true, "datasetLastUsed": ${lastUsed.map(_.toString).getOrElse("null")}}""")
         }
@@ -574,8 +620,21 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
             cachedResponse(body, firedPlan)
           } catch {
             case _: java.util.concurrent.TimeoutException =>
-              val (pair, stats) = runQuery()
-              freshResponse(pair._1, pair._2, stats)
+              // Before paying a full scan, re-check the cache (r17): the
+              // winner — or an earlier timed-out waiter — may have
+              // completed and cached just after this waiter's deadline.
+              val late = resultCache.get(cacheKey)
+              if (late != null) cachedResponse(late._1, late._2)
+              else {
+                val (pair, stats) = runQuery()
+                // Cache the fallback's result too (r17, same byte
+                // ceiling): with a wedged winner holding the latch, every
+                // subsequent waiter times out — without this put each one
+                // would re-execute serially instead of hitting the cache.
+                if (pair._1.getBytes(StandardCharsets.UTF_8).length <= resultCacheMaxEntryBytes)
+                  resultCache.put(cacheKey, pair)
+                freshResponse(pair._1, pair._2, stats)
+              }
           }
         } else {
           try {
@@ -654,12 +713,29 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   /** Submit `work` to the bounded async pool, track it in the job
     * registry, answer 202 with the id + status URL. Beyond `asyncThreads`
-    * concurrent jobs, submissions queue FIFO (stage "QUEUED"). */
+    * concurrent jobs, submissions queue FIFO (stage "QUEUED") up to
+    * `asyncQueueMax` waiting; past that the submission is REJECTED with
+    * 429 + Retry-After (r17) — the pool queue and the QUEUED registry
+    * population stay bounded under a flood, at the price of the client
+    * retrying. Admission is exact (atomic increment-then-check, backed
+    * out on rejection), never approximate under concurrency. */
   private def submitAsync(ex: HttpExchange, dataset: String)(work: => String): Unit = {
+    if (pendingAsync.incrementAndGet() > asyncThreads.toLong + asyncQueueMax) {
+      pendingAsync.decrementAndGet()
+      mRejected.incrementAndGet()
+      // Retry-After sized to one pool-drain round at the measured floor —
+      // a hint, not a promise (RFC 6585 §4 requires no accuracy).
+      ex.getResponseHeaders.set("Retry-After", "1")
+      respond(ex, 429,
+        s"""{"errorMessage": "async queue full ($asyncQueueMax queued); retry later"}""")
+      return
+    }
     // Bound the job registry: evict FINISHED jobs beyond the last 1000 (a
     // long-lived server would otherwise accumulate one entry per query).
     // Only DONE/FAILED are evictable — a QUEUED job's registry entry is
-    // the client's only handle on work the pool hasn't started yet.
+    // the client's only handle on work the pool hasn't started yet (and
+    // with the admission cap above, the un-evictable population is now
+    // bounded by asyncThreads + asyncQueueMax).
     if (jobs.size > 1000) {
       import scala.jdk.CollectionConverters._
       jobs.values.asScala.filter(j => j.stage == "DONE" || j.stage == "FAILED")
@@ -669,13 +745,20 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     val id = s"q${jobSeq.incrementAndGet()}"
     val job = AsyncJob(id, dataset, stage = "QUEUED")
     jobs.put(id, job)
-    asyncPool.submit(new Runnable {
+    // A rejected submit (pool shut down mid-stop) must release the
+    // admission slot it claimed — the 500 it surfaces as is fine, a
+    // stuck-high pendingAsync that 429s forever is not.
+    try asyncPool.submit(new Runnable {
       override def run(): Unit = {
         job.stage = "RUNNING"
         try { job.result = Some(work); job.stage = "DONE" }
         catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
+        finally pendingAsync.decrementAndGet()
       }
     })
+    catch { case e: Throwable =>
+      pendingAsync.decrementAndGet(); jobs.remove(id); throw e
+    }
     respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
   }
 
@@ -700,6 +783,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   private val mCacheHits    = new AtomicLong()
   private val mCoalesced    = new AtomicLong()
   private val mQueryErrors  = new AtomicLong()
+  private val mRejected     = new AtomicLong()
   private val mQueryMs      = new AtomicLong()
   private val mRowsScanned  = new AtomicLong()
   private val mBytesScanned = new AtomicLong()
@@ -720,7 +804,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       m("graft_shuffle_bytes_total", "counter", "Shuffle bytes written by queries", mShuffleBytes.get) +
       m("graft_core_ms_total", "counter", "Executor-core milliseconds consumed by queries (cost basis)", mCoreMs.get) +
       m("graft_datasets_registered", "gauge", "Currently registered datasets", Catalog.list().size.toLong) +
+      m("graft_query_rejected_total", "counter", "Async submissions rejected 429 at the queue cap", mRejected.get) +
       m("graft_result_cache_entries", "gauge", "Entries currently in the versioned result cache", resultCache.size.toLong) +
+      m("graft_df_handle_entries", "gauge", "Per-registration DataFrame handles currently cached", dfHandles.size.toLong) +
+      m("graft_async_jobs_pending", "gauge", "Async jobs admitted but not yet finished (QUEUED + RUNNING)", pendingAsync.get) +
       m("graft_inflight_coalescable_queries", "gauge", "Cold-key queries executing under the single-flight latch right now", inFlight.size.toLong)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
@@ -772,8 +859,23 @@ object ApiServerMain {
         sys.env.getOrElse("GRAFT_RESULT_CACHE_MAX_ENTRY_BYTES", (8L << 20).toString).toLong,
       httpThreads = sys.env.getOrElse("GRAFT_HTTP_THREADS", "2").toInt,
       asyncThreads = sys.env.getOrElse("GRAFT_ASYNC_THREADS", "8").toInt,
-      coalesceWaitSec = sys.env.getOrElse("GRAFT_COALESCE_WAIT_SEC", "600").toInt)
+      coalesceWaitSec = sys.env.getOrElse("GRAFT_COALESCE_WAIT_SEC", "600").toInt,
+      asyncQueueMax = sys.env.getOrElse("GRAFT_ASYNC_QUEUE_MAX", "1000").toInt)
     srv.start()
+    // SIGTERM/SIGINT → graceful drain (r17): without this hook a kill is
+    // the abrupt stop() — in-flight queries die mid-latch and a coalesce
+    // winner's waiters are failed rather than answered. The JVM runs
+    // shutdown hooks on SIGTERM/SIGINT before exiting; stopGracefully
+    // bounds the drain at GRAFT_DRAIN_SEC total (default 30s), so an
+    // orchestrator's kill-grace window (e.g. Kubernetes'
+    // terminationGracePeriodSeconds) just needs to exceed it.
+    val drainSec = sys.env.getOrElse("GRAFT_DRAIN_SEC", "30").toInt
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val drained = srv.stopGracefully(drainSec)
+      // println, not a logger: logging backends may already be shut down
+      // inside a shutdown hook.
+      println(s"""{"shutdown": "graceful", "drainSec": $drainSec, "drained": $drained}""")
+    }, "graft-shutdown"))
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()
   }

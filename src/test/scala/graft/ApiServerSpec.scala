@@ -748,6 +748,175 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("async queue cap: 429 past asyncThreads+asyncQueueMax, accepted jobs all complete (r17)") {
+    // Admission cap = 1 running + 1 queued; a rapid burst of 8 must see
+    // rejections, every ACCEPTED job must still complete correctly, and
+    // the server must admit again once the backlog drains.
+    val s13 = new ApiServer(spark, 0, asyncThreads = 1, asyncQueueMax = 1)
+    s13.start()
+    try {
+      val b13 = s"http://127.0.0.1:${s13.boundPort}"
+      def post13(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b13 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get13(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b13 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post13("/datasets/register",
+        """{"name": "evqcap", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+
+      val subs = (1 to 8).map(_ =>
+        post13("/datasets/evqcap/query?async=true", """{"query": {}}"""))
+      val (accepted, rejected) = subs.partition(_.statusCode() == 202)
+      // The first two submissions land before anything can finish (the
+      // whole burst takes ms; one query takes ~1s), so both admission
+      // slots fill; a job finishing mid-burst only ADDS acceptances.
+      assert(accepted.size >= 2, subs.map(_.statusCode()).mkString(","))
+      assert(rejected.nonEmpty, "burst of 8 past a cap of 2 saw no 429")
+      rejected.foreach { r =>
+        assert(r.statusCode() == 429, s"${r.statusCode()}: ${r.body()}")
+        assert(r.body().contains("errorMessage"), r.body())
+        assert(r.headers().firstValue("Retry-After").isPresent, "429 without Retry-After")
+      }
+      // Every accepted job completes with the correct result — rejection
+      // never drops admitted work.
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      accepted.foreach { sub =>
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get13(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        assert((status \ "result" \ "query" \ "matchingGroups") == JInt(15),
+          JsonMethods.compact(status))
+      }
+      // Registry/queue bookkeeping: the rejected counter matches the 429s,
+      // and the pending gauge is back to zero (all admitted work finished).
+      val metrics = get13("/metrics").body()
+      assert(metrics.contains(s"graft_query_rejected_total ${rejected.size}"), metrics)
+      assert(metrics.contains("graft_async_jobs_pending 0"), metrics)
+      // Backlog drained → the server admits again.
+      val retry = post13("/datasets/evqcap/query?async=true", """{"query": {}}""")
+      assert(retry.statusCode() == 202, s"${retry.statusCode()}: ${retry.body()}")
+    } finally {
+      s13.stop()
+      graft.catalog.Catalog.unregister("evqcap")
+    }
+  }
+
+  test("constructor rejects negative coalesceWaitSec and asyncQueueMax (r17)") {
+    // A negative GRAFT_COALESCE_WAIT_SEC would silently degrade every
+    // coalesced waiter to immediate self-execution — fail loudly instead.
+    intercept[IllegalArgumentException] { new ApiServer(spark, 0, coalesceWaitSec = -1) }
+    intercept[IllegalArgumentException] { new ApiServer(spark, 0, asyncQueueMax = -1) }
+  }
+
+  test("unregister sweeps the serving caches: handle, results, latch (r17)") {
+    val s14 = new ApiServer(spark, 0, resultCacheSize = 8)
+    s14.start()
+    try {
+      val b14 = s"http://127.0.0.1:${s14.boundPort}"
+      def post14(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b14 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get14(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b14 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post14("/datasets/register",
+        """{"name": "evsweep", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val q1 = post14("/datasets/evsweep/query", """{"query": {}}""")
+      assert(q1.statusCode() == 200, q1.body())
+      val warm = get14("/metrics").body()
+      assert(warm.contains("graft_result_cache_entries 1"), warm)
+      assert(warm.contains("graft_df_handle_entries 1"), warm)
+      // Unregister must drop the dead registration's cached plan/handle and
+      // result entries — not leave them pinned until LRU churn ages them out.
+      val un = post14("/datasets/evsweep/unregister", "{}")
+      assert(un.statusCode() == 200 && un.body().contains(""""success": true"""), un.body())
+      val swept = get14("/metrics").body()
+      assert(swept.contains("graft_result_cache_entries 0"), swept)
+      assert(swept.contains("graft_df_handle_entries 0"), swept)
+    } finally {
+      s14.stop()
+      graft.catalog.Catalog.unregister("evsweep")
+    }
+  }
+
+  test("timed-out coalesce waiter re-checks and warms the result cache (r17)") {
+    // The wedged-winner scenario, made deterministic: a never-completing
+    // future is installed in the in-flight latch map for the exact
+    // QueryKey (white-box via reflection — production code has no test
+    // seam). With coalesceWaitSec=0 every arrival times out instantly:
+    //   waiter-1: cache miss → executes itself → MUST cache its result
+    //   waiter-2: cache re-check on timeout → MUST hit, zero execution
+    // Pre-r17, waiter-2 re-ran the full scan (fallback never consulted or
+    // fed the cache), so every waiter behind a wedged winner paid serially.
+    val s15 = new ApiServer(spark, 0, resultCacheSize = 8, coalesceWaitSec = 0)
+    s15.start()
+    val inFlightField = classOf[ApiServer].getDeclaredFields
+      .find(_.getName.endsWith("inFlight"))
+      .getOrElse(fail("inFlight field not found"))
+    inFlightField.setAccessible(true)
+    val inFlightMap = inFlightField.get(s15)
+      .asInstanceOf[java.util.concurrent.ConcurrentHashMap[AnyRef,
+        java.util.concurrent.CompletableFuture[(String, String)]]]
+    val wedge = new java.util.concurrent.CompletableFuture[(String, String)]()
+    var wedgeKey: AnyRef = null
+    try {
+      val b15 = s"http://127.0.0.1:${s15.boundPort}"
+      def post15(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b15 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post15("/datasets/register",
+        """{"name": "evwedge", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      val queryBody = """{"query": {}}"""
+      // Build the same QueryKey the server builds: (dataset, registeredAt,
+      // parsed AST) — structural AST equality is what makes this land on
+      // the identical latch entry (the r16 key design under test).
+      val ds = graft.catalog.Catalog.get("evwedge").get
+      val qkCtor = Class.forName("graft.server.ApiServer$QueryKey")
+        .getDeclaredConstructors.head
+      qkCtor.setAccessible(true)
+      wedgeKey = qkCtor.newInstance(s15, ds.name,
+        java.lang.Long.valueOf(ds.registeredAt),
+        graft.query.QueryParser.parse(queryBody)).asInstanceOf[AnyRef]
+      inFlightMap.put(wedgeKey,
+        wedge.asInstanceOf[java.util.concurrent.CompletableFuture[(String, String)]])
+
+      // Waiter-1: times out on the wedge, finds no cache entry, executes.
+      val w1 = post15("/datasets/evwedge/query", queryBody)
+      assert(w1.statusCode() == 200, w1.body())
+      assert(w1.body().contains(""""cached": false"""), w1.body())
+      assert(w1.body().contains(""""matchingGroups": 15"""), w1.body())
+      // Waiter-2: the wedge still holds the latch — the timeout path must
+      // answer from waiter-1's cached result, not run a second scan
+      // (cached response ⇒ the zero-cost stats block).
+      val w2 = post15("/datasets/evwedge/query", queryBody)
+      assert(w2.statusCode() == 200, w2.body())
+      assert(w2.body().contains(""""cached": true"""), w2.body())
+      assert(w2.body().contains(""""matchingGroups": 15"""), w2.body())
+      assert(w2.body().contains(""""rowsScanned": 0"""), w2.body())
+    } finally {
+      wedge.completeExceptionally(new IllegalStateException("test wedge released"))
+      if (wedgeKey != null) inFlightMap.remove(wedgeKey)
+      s15.stop()
+      graft.catalog.Catalog.unregister("evwedge")
+    }
+  }
+
   test("async registration: 202 + status polling to the register result") {
     val sub = post("/datasets/register?async=true",
       """{"name": "ev8", "basepath": "/root/testdata/sf0.001/events.parquet",
