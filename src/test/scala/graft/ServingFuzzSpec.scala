@@ -191,6 +191,89 @@ class ServingFuzzSpec extends SparkSpec {
     }
   }
 
+  test("submission flood against a random queue cap: exact accounting, no lost work") {
+    // The r17 admission cap under the abuse regime it exists for: a
+    // CONCURRENT flood of async submissions against a server with a
+    // randomized tiny pool (1-3 threads) and queue cap (0-3). Invariants:
+    // every response is 202 or 429 (never a 500, never a hang); every
+    // ACCEPTED job reaches DONE with the correct result (rejection never
+    // drops admitted work); graft_query_rejected_total equals the 429s
+    // the clients saw (admission accounting is exact under concurrency,
+    // not approximate); the pending gauge returns to 0; and a fresh
+    // submission after the drain is admitted again.
+    val rnd = new Random(Seed + 307)
+    val nThreads = 1 + rnd.nextInt(3)
+    val qMax = rnd.nextInt(4)
+    val server = new ApiServer(spark, 0, asyncThreads = nThreads, asyncQueueMax = qMax)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def scrape(name: String): Long =
+        get("/metrics").body().linesIterator
+          .find(_.startsWith(name + " ")).map(_.split(" ")(1).toLong).getOrElse(-1L)
+      val reg = post("/datasets/register",
+        """{"name": "evflood", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+
+      // 4 client threads × 8 submissions, genuinely concurrent.
+      val all = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[HttpResponse[String]]())
+      val clients = (1 to 4).map(_ => new Thread(() =>
+        (1 to 8).foreach { _ =>
+          all.add(post("/datasets/evflood/query?async=true", """{"query": {}}"""))
+        }))
+      clients.foreach(_.start()); clients.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val responses = all.asScala.toSeq
+      assert(responses.size == 32)
+      val (accepted, other) = responses.partition(_.statusCode() == 202)
+      other.foreach { r =>
+        assert(r.statusCode() == 429,
+          s"seed=$Seed cap=$nThreads+$qMax unexpected ${r.statusCode()}: ${r.body()}")
+        assert(r.headers().firstValue("Retry-After").isPresent, "429 without Retry-After")
+      }
+      // The first burst can't all fit a cap of at most 6 — rejections
+      // must occur; and the cap admits at least min(flood, cap) — with a
+      // 32-wide flood both sides are non-vacuous.
+      assert(accepted.nonEmpty && other.nonEmpty,
+        s"seed=$Seed cap=$nThreads+$qMax: ${accepted.size} accepted / ${other.size} rejected")
+      accepted.foreach { sub =>
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 180000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"),
+          s"seed=$Seed accepted job lost: ${JsonMethods.compact(status)}")
+        assert((status \ "result" \ "query" \ "matchingGroups") == JInt(15),
+          JsonMethods.compact(status))
+      }
+      assert(scrape("graft_query_rejected_total") == other.size.toLong,
+        s"seed=$Seed rejected-counter mismatch: metric=${scrape("graft_query_rejected_total")} clients saw ${other.size}")
+      // stage=DONE is visible a hair before the pending decrement (the
+      // runnable's finally) — poll the gauge briefly instead of racing it.
+      val gaugeDeadline = System.currentTimeMillis() + 5000
+      while (scrape("graft_async_jobs_pending") != 0L &&
+             System.currentTimeMillis() < gaugeDeadline) Thread.sleep(20)
+      assert(scrape("graft_async_jobs_pending") == 0L, "pending gauge stuck non-zero")
+      val retry = post("/datasets/evflood/query?async=true", """{"query": {}}""")
+      assert(retry.statusCode() == 202, s"post-drain submission rejected: ${retry.body()}")
+    } finally {
+      server.stop()
+      graft.catalog.Catalog.unregister("evflood")
+    }
+  }
+
   test("re-registration storm: every response is version-consistent") {
     // Random interleaving of re-registrations (alternating two basepaths
     // with different row counts) and concurrent queries against one
