@@ -225,6 +225,15 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     * decremented when the job's runnable exits either way. */
   private val pendingAsync = new AtomicLong()
 
+  /** Stage → count over the async-job registry. Ops introspection: the
+    * shutdown path reports FAILED jobs so a drain that technically
+    * completed every runnable but let the queries inside them die (e.g.
+    * Spark torn down mid-drain) is visible, not silently "drained". */
+  def asyncJobCounts: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    jobs.values.asScala.toSeq.groupBy(_.stage).map { case (k, v) => k -> v.size }
+  }
+
   // ---------------------------------------------------------- result cache
 
   /** Cache/latch key: dataset name + registration version + the parsed
@@ -864,18 +873,31 @@ object ApiServerMain {
     srv.start()
     // SIGTERM/SIGINT → graceful drain (r17): without this hook a kill is
     // the abrupt stop() — in-flight queries die mid-latch and a coalesce
-    // winner's waiters are failed rather than answered. The JVM runs
-    // shutdown hooks on SIGTERM/SIGINT before exiting; stopGracefully
-    // bounds the drain at GRAFT_DRAIN_SEC total (default 30s), so an
-    // orchestrator's kill-grace window (e.g. Kubernetes'
-    // terminationGracePeriodSeconds) just needs to exceed it.
+    // winner's waiters are failed rather than answered. Registered with
+    // HADOOP's ShutdownHookManager, not Runtime.addShutdownHook: Spark
+    // registers its ENTIRE teardown (SparkContext stop, block manager,
+    // temp dirs) as one Hadoop hook at priority 40
+    // (SparkShutdownHookManager.install), and Runtime hooks run
+    // CONCURRENTLY with it — a plain Runtime drain races Spark's teardown
+    // and in-flight queries die mid-scan (observed: FAILED_READ_FILE on a
+    // drain that still reported success). Priority 60 > 40 orders the
+    // drain strictly BEFORE Spark's hook inside Hadoop's single-threaded
+    // manager, so admitted queries FINISH on a live SparkContext, then
+    // Spark tears down. The explicit timeout keeps Hadoop's default
+    // per-hook limit from clipping a long drain. stopGracefully bounds
+    // the drain at GRAFT_DRAIN_SEC total (default 30s); an orchestrator's
+    // kill-grace window (e.g. Kubernetes' terminationGracePeriodSeconds)
+    // just needs to exceed it.
     val drainSec = sys.env.getOrElse("GRAFT_DRAIN_SEC", "30").toInt
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val drained = srv.stopGracefully(drainSec)
-      // println, not a logger: logging backends may already be shut down
-      // inside a shutdown hook.
-      println(s"""{"shutdown": "graceful", "drainSec": $drainSec, "drained": $drained}""")
-    }, "graft-shutdown"))
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(new Runnable {
+      override def run(): Unit = {
+        val drained = srv.stopGracefully(drainSec)
+        val failed = srv.asyncJobCounts.getOrElse("FAILED", 0)
+        // println, not a logger: logging backends may already be shut down
+        // inside a shutdown hook.
+        println(s"""{"shutdown": "graceful", "drainSec": $drainSec, "drained": $drained, "jobsFailed": $failed}""")
+      }
+    }, 60, drainSec.toLong + 10L, java.util.concurrent.TimeUnit.SECONDS)
     println(s"""{"serving": ${srv.boundPort}}""")
     Thread.currentThread().join()
   }

@@ -82,6 +82,12 @@ class ShutdownSpec extends AnyFunSuite {
         s"exit=${proc.exitValue()} no graceful-drain line:\n$finalLog")
       assert(finalLog.contains(""""drained": true"""),
         s"drain dropped in-flight async jobs:\n$finalLog")
+      // Hook-ORDERING pin (Hadoop priority 60 > Spark's 40): the admitted
+      // queries must have FINISHED on a live SparkContext — a drain that
+      // raced Spark's teardown completes the runnables but fails the
+      // queries inside them, which the shutdown line reports.
+      assert(finalLog.contains(""""jobsFailed": 0"""),
+        s"drained queries failed mid-drain (Spark torn down underneath?):\n$finalLog")
     } finally proc.destroyForcibly()
   }
 }
