@@ -111,7 +111,17 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * measured serving floor — the cap is an
                         * abuse/runaway-client backstop, not a normal-load
                         * limiter. GRAFT_ASYNC_QUEUE_MAX in ApiServerMain. */
-                      asyncQueueMax: Int = 1000) {
+                      asyncQueueMax: Int = 1000,
+                      /** Request-body byte ceiling (r17): readBody
+                        * otherwise buffers the whole POST on the driver —
+                        * a multi-GB body (malicious or a client bug) is
+                        * unbounded driver memory, the same vector family
+                        * the async queue cap closes. Real bodies are
+                        * KB-scale (query JSON, register request); past the
+                        * cap the request answers 413 and the connection
+                        * drops the rest. GRAFT_MAX_BODY_BYTES in
+                        * ApiServerMain. */
+                      maxBodyBytes: Int = 8 << 20) {
 
   // Validated BEFORE the server field binds the port: start() would
   // otherwise throw out of newFixedThreadPool with the socket still held,
@@ -124,6 +134,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   // (0 is a legitimate explicit opt-out, used by the fallback tests).
   require(coalesceWaitSec >= 0, s"coalesceWaitSec must be >= 0, got $coalesceWaitSec")
   require(asyncQueueMax >= 0, s"asyncQueueMax must be >= 0, got $asyncQueueMax")
+  // Strict upper bound: readBody reads limit+1 to detect overflow, which
+  // must not wrap past Int.MaxValue.
+  require(maxBodyBytes >= 1 && maxBodyBytes < Int.MaxValue,
+    s"maxBodyBytes must be in [1, ${Int.MaxValue - 1}], got $maxBodyBytes")
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -329,9 +343,16 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
         respond(ex, 400, s"""{"errorMessage": ${q(e.getMessage)}}""")
       case e: com.fasterxml.jackson.core.JacksonException =>
         respond(ex, 400, s"""{"errorMessage": ${q("malformed JSON: " + e.getOriginalMessage)}}""")
+      case e: BodyTooLargeException =>
+        // 413 Payload Too Large; ex.close() in the finally aborts whatever
+        // the client is still sending.
+        respond(ex, 413, s"""{"errorMessage": ${q(e.getMessage)}}""")
       case e: Throwable =>
         respond(ex, 500, s"""{"errorMessage": ${q(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+
+  private final class BodyTooLargeException(limit: Int) extends RuntimeException(
+    s"request body exceeds the $limit-byte limit")
 
   private def arg(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getQuery).toSeq
@@ -826,8 +847,14 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
 
   // ----------------------------------------------------------------- plumbing
 
-  private def readBody(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  // Bounded read (r17): readNBytes allocates incrementally up to the
+  // requested limit, so an oversized body costs at most maxBodyBytes+1 of
+  // driver memory before the 413, never the client's full payload.
+  private def readBody(ex: HttpExchange): String = {
+    val bytes = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+    if (bytes.length > maxBodyBytes) throw new BodyTooLargeException(maxBodyBytes)
+    new String(bytes, StandardCharsets.UTF_8)
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -869,7 +896,8 @@ object ApiServerMain {
       httpThreads = sys.env.getOrElse("GRAFT_HTTP_THREADS", "2").toInt,
       asyncThreads = sys.env.getOrElse("GRAFT_ASYNC_THREADS", "8").toInt,
       coalesceWaitSec = sys.env.getOrElse("GRAFT_COALESCE_WAIT_SEC", "600").toInt,
-      asyncQueueMax = sys.env.getOrElse("GRAFT_ASYNC_QUEUE_MAX", "1000").toInt)
+      asyncQueueMax = sys.env.getOrElse("GRAFT_ASYNC_QUEUE_MAX", "1000").toInt,
+      maxBodyBytes = sys.env.getOrElse("GRAFT_MAX_BODY_BYTES", (8 << 20).toString).toInt)
     srv.start()
     // SIGTERM/SIGINT → graceful drain (r17): without this hook a kill is
     // the abrupt stop() — in-flight queries die mid-latch and a coalesce

@@ -816,6 +816,45 @@ class ApiServerSpec extends SparkSpec {
     // coalesced waiter to immediate self-execution — fail loudly instead.
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, coalesceWaitSec = -1) }
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, asyncQueueMax = -1) }
+    intercept[IllegalArgumentException] { new ApiServer(spark, 0, maxBodyBytes = 0) }
+    intercept[IllegalArgumentException] { new ApiServer(spark, 0, maxBodyBytes = Int.MaxValue) }
+  }
+
+  test("oversized request bodies answer 413 and bound driver memory (r17)") {
+    // A tiny cap makes the bound observable without shipping megabytes:
+    // a body one byte over answers 413 (query AND register paths), a body
+    // at the cap still parses, and the server stays healthy throughout.
+    val s16 = new ApiServer(spark, 0, maxBodyBytes = 4096)
+    s16.start()
+    try {
+      val b16 = s"http://127.0.0.1:${s16.boundPort}"
+      def post16(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b16 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post16("/datasets/register",
+        """{"name": "evbody", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+
+      // Valid JSON padded with trailing whitespace to exactly cap+1 bytes:
+      // proves rejection happens on SIZE, not content.
+      val base16 = """{"query": {}}"""
+      def padded(total: Int): String = base16 + " " * (total - base16.length)
+      val over = post16("/datasets/evbody/query", padded(4097))
+      assert(over.statusCode() == 413, s"${over.statusCode()}: ${over.body()}")
+      assert(over.body().contains("errorMessage") && over.body().contains("4096"), over.body())
+      val overReg = post16("/datasets/register", padded(4097))
+      assert(overReg.statusCode() == 413, s"${overReg.statusCode()}: ${overReg.body()}")
+      // At the cap: parses and answers normally; the server survived the
+      // oversized requests.
+      val at = post16("/datasets/evbody/query", padded(4096))
+      assert(at.statusCode() == 200, at.body())
+      assert(at.body().contains(""""matchingGroups": 15"""), at.body())
+    } finally {
+      s16.stop()
+      graft.catalog.Catalog.unregister("evbody")
+    }
   }
 
   test("unregister sweeps the serving caches: handle, results, latch (r17)") {
