@@ -121,7 +121,14 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * cap the request answers 413 and the connection
                         * drops the rest. GRAFT_MAX_BODY_BYTES in
                         * ApiServerMain. */
-                      maxBodyBytes: Int = 8 << 20) {
+                      maxBodyBytes: Int = 8 << 20,
+                      /** Byte budget over retained async RESULTS (r17) —
+                        * see `retainedResultBytes`. Oldest payloads are
+                        * dropped past it (job entries stay, flagged
+                        * "resultEvicted"); the newest completion is always
+                        * retained. GRAFT_ASYNC_RESULTS_MAX_BYTES in
+                        * ApiServerMain. */
+                      asyncResultsMaxBytes: Long = 256L << 20) {
 
   // Validated BEFORE the server field binds the port: start() would
   // otherwise throw out of newFixedThreadPool with the socket still held,
@@ -138,6 +145,8 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   // must not wrap past Int.MaxValue.
   require(maxBodyBytes >= 1 && maxBodyBytes < Int.MaxValue,
     s"maxBodyBytes must be in [1, ${Int.MaxValue - 1}], got $maxBodyBytes")
+  require(asyncResultsMaxBytes >= 0,
+    s"asyncResultsMaxBytes must be >= 0, got $asyncResultsMaxBytes")
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -230,10 +239,70 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       id: String, dataset: String,
       @volatile var stage: String,
       @volatile var result: Option[String] = None,
-      @volatile var error: Option[String] = None)
+      @volatile var error: Option[String] = None,
+      @volatile var resultBytes: Long = 0L,
+      @volatile var resultEvicted: Boolean = false)
 
   private val jobs = new ConcurrentHashMap[String, AsyncJob]()
   private val jobSeq = new AtomicLong()
+
+  /** UTF-8 byte budget over RETAINED async results (r17): the registry
+    * keeps each DONE job's full result string until registry eviction —
+    * ~1000 finished entries × an unbounded body (countPerValue over a
+    * high-cardinality column is multi-MB) is the last unbounded
+    * driver-memory vector on the serving surface (the result cache has
+    * its per-entry ceiling for exactly this reason). Past the budget the
+    * OLDEST retained result payloads are dropped — the job entry stays
+    * (stage DONE, done:true) with "resultEvicted": true in its status, so
+    * a late poller learns to re-run instead of 404ing. The NEWEST
+    * completion is always retained even if it alone exceeds the budget:
+    * async delivery IS the one-shot persistence of that result — evicting
+    * it before anyone polled would silently destroy completed work, so
+    * the bound is max(budget, largest single result). The reference's
+    * analog is Redis task-result TTL eviction. */
+  private val retainedResultBytes = new AtomicLong()
+  private val resultEvictLock = new Object
+
+  private def retainResult(job: AsyncJob, r: String): Unit = {
+    job.result = Some(r)
+    job.resultBytes = utf8Length(r)
+    job.stage = "DONE"
+    val total = retainedResultBytes.addAndGet(job.resultBytes)
+    if (total > asyncResultsMaxBytes) resultEvictLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val retained = jobs.values.asScala
+        .filter(j => j.result.isDefined && (j ne job))
+        .toSeq.sortBy(_.id.drop(1).toLong)
+      val it = retained.iterator
+      while (retainedResultBytes.get() > asyncResultsMaxBytes && it.hasNext)
+        dropRetained(it.next())
+    }
+  }
+
+  /** Drop a job's retained result payload and release its budget share —
+    * idempotent and locked, so the byte-budget sweep and registry
+    * eviction can't double-release one payload between them. */
+  private def dropRetained(j: AsyncJob): Unit = resultEvictLock.synchronized {
+    if (j.result.isDefined) {
+      j.result = None
+      j.resultEvicted = true
+      retainedResultBytes.addAndGet(-j.resultBytes)
+    }
+  }
+
+  /** Exact UTF-8 length without materializing the byte copy a
+    * multi-megabyte result's getBytes would allocate. */
+  private def utf8Length(s: String): Long = {
+    var i = 0; var n = 0L
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // Surrogates count 2 each so a pair sums to its true 4 UTF-8 bytes.
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2
+            else if (Character.isSurrogate(c)) 2 else 3)
+      i += 1
+    }
+    n
+  }
   /** Jobs admitted but not yet finished (QUEUED + RUNNING) — the quantity
     * `asyncQueueMax` bounds (see submitAsync). Incremented at admission,
     * decremented when the job's runnable exits either way. */
@@ -770,7 +839,11 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       import scala.jdk.CollectionConverters._
       jobs.values.asScala.filter(j => j.stage == "DONE" || j.stage == "FAILED")
         .toSeq.sortBy(_.id.drop(1).toLong)
-        .dropRight(500).foreach(j => jobs.remove(j.id))
+        .dropRight(500).foreach { j =>
+          // Registry eviction releases the result-byte budget too — the
+          // removed entry's payload is unreachable.
+          if (jobs.remove(j.id) != null) dropRetained(j)
+        }
     }
     val id = s"q${jobSeq.incrementAndGet()}"
     val job = AsyncJob(id, dataset, stage = "QUEUED")
@@ -781,7 +854,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     try asyncPool.submit(new Runnable {
       override def run(): Unit = {
         job.stage = "RUNNING"
-        try { job.result = Some(work); job.stage = "DONE" }
+        try retainResult(job, work)
         catch { case e: Throwable => job.error = Some(String.valueOf(e.getMessage)); job.stage = "FAILED" }
         finally pendingAsync.decrementAndGet()
       }
@@ -798,9 +871,13 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       case Some(job) =>
         val result = job.result.map(r => s""", "result": $r""").getOrElse("")
         val error = job.error.map(e => s""", "errorMessage": ${q(e)}""").getOrElse("")
+        // A DONE job whose payload fell to the retained-result byte budget
+        // says so: the late poller re-runs the query instead of reading
+        // "done with no result" as a server bug.
+        val evicted = if (job.resultEvicted) s""", "resultEvicted": true""" else ""
         val done = job.stage == "DONE" || job.stage == "FAILED"
         respond(ex, 200,
-          s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": $done$error$result}""")
+          s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": $done$error$evicted$result}""")
     }
 
   // ----------------------------------------------------------------- metrics
@@ -838,6 +915,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       m("graft_result_cache_entries", "gauge", "Entries currently in the versioned result cache", resultCache.size.toLong) +
       m("graft_df_handle_entries", "gauge", "Per-registration DataFrame handles currently cached", dfHandles.size.toLong) +
       m("graft_async_jobs_pending", "gauge", "Async jobs admitted but not yet finished (QUEUED + RUNNING)", pendingAsync.get) +
+      m("graft_async_result_bytes_retained", "gauge", "UTF-8 bytes of async results currently retained in the job registry", retainedResultBytes.get) +
       m("graft_inflight_coalescable_queries", "gauge", "Cold-key queries executing under the single-flight latch right now", inFlight.size.toLong)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
@@ -897,7 +975,9 @@ object ApiServerMain {
       asyncThreads = sys.env.getOrElse("GRAFT_ASYNC_THREADS", "8").toInt,
       coalesceWaitSec = sys.env.getOrElse("GRAFT_COALESCE_WAIT_SEC", "600").toInt,
       asyncQueueMax = sys.env.getOrElse("GRAFT_ASYNC_QUEUE_MAX", "1000").toInt,
-      maxBodyBytes = sys.env.getOrElse("GRAFT_MAX_BODY_BYTES", (8 << 20).toString).toInt)
+      maxBodyBytes = sys.env.getOrElse("GRAFT_MAX_BODY_BYTES", (8 << 20).toString).toInt,
+      asyncResultsMaxBytes =
+        sys.env.getOrElse("GRAFT_ASYNC_RESULTS_MAX_BYTES", (256L << 20).toString).toLong)
     srv.start()
     // SIGTERM/SIGINT → graceful drain (r17): without this hook a kill is
     // the abrupt stop() — in-flight queries die mid-latch and a coalesce

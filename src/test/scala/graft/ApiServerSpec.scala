@@ -820,6 +820,66 @@ class ApiServerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, maxBodyBytes = Int.MaxValue) }
   }
 
+  test("retained async results respect the byte budget, newest always kept (r17)") {
+    // Budget of 1 byte: every completion exceeds it, so each new DONE
+    // evicts every OLDER payload while the newest is always retained
+    // (async delivery is that result's only persistence). Sequential
+    // submissions with a wait between make the completion order — and so
+    // the eviction order — deterministic.
+    val s17 = new ApiServer(spark, 0, asyncResultsMaxBytes = 1L)
+    s17.start()
+    try {
+      val b17 = s"http://127.0.0.1:${s17.boundPort}"
+      def post17(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b17 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get17(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b17 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val reg = post17("/datasets/register",
+        """{"name": "evres", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def runOne(): String = {
+        val sub = post17("/datasets/evres/query?async=true", """{"query": {}}""")
+        assert(sub.statusCode() == 202, sub.body())
+        val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get17(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        id
+      }
+      val ids = (1 to 3).map(_ => runOne())
+      // Newest keeps its payload; both older jobs stay DONE but flagged.
+      val newest = JsonMethods.parse(get17(s"/queries/${ids.last}/status").body())
+      assert((newest \ "result" \ "query" \ "matchingGroups") == JInt(15),
+        JsonMethods.compact(newest))
+      assert((newest \ "resultEvicted") == JNothing, JsonMethods.compact(newest))
+      ids.dropRight(1).foreach { id =>
+        val st = JsonMethods.parse(get17(s"/queries/$id/status").body())
+        assert((st \ "stage") == JString("DONE") && (st \ "done") == JBool(true),
+          JsonMethods.compact(st))
+        assert((st \ "resultEvicted") == JBool(true), JsonMethods.compact(st))
+        assert((st \ "result") == JNothing, JsonMethods.compact(st))
+      }
+      // The gauge tracks exactly one retained payload.
+      val gauge = get17("/metrics").body().linesIterator
+        .find(_.startsWith("graft_async_result_bytes_retained "))
+        .map(_.split(" ")(1).toLong).getOrElse(-1L)
+      assert(gauge > 0, s"retained-bytes gauge should be positive, got $gauge")
+    } finally {
+      s17.stop()
+      graft.catalog.Catalog.unregister("evres")
+    }
+  }
+
   test("oversized request bodies answer 413 and bound driver memory (r17)") {
     // A tiny cap makes the bound observable without shipping megabytes:
     // a body one byte over answers 413 (query AND register paths), a body
