@@ -110,7 +110,26 @@ class TimeframeFuzzSpec extends SparkSpec {
 
     val engine = new QueryEngine(DatasetSpec("user_id", "ts"))
     val rnd = new Random(Seed)
-    val cases = (0 until N).map(i => gen(i, rnd, parquet, minNs, maxNs, tsPool, engine))
+    // Pinned degenerate draw (r17, first hit by seed 6610018's tf_22):
+    // from == to makes the frame statically empty — Catalyst constant-
+    // folds `ts >= X AND ts < X` to false and ELIMINATES the scan
+    // (LocalTableScan <empty>), so there is no PushedFilters entry to
+    // find. That plan is strictly better than pushdown (zero I/O) and the
+    // plan leg below must accept it; this explicit case keeps the branch
+    // exercised on every run, not once per lucky seed.
+    val pinNs = tsPool(0)
+    val pinned = {
+      val where = s"tl >= $pinNs AND tl < $pinNs"
+      Case("tf_pin_empty", s"timeframe from=$pinNs to=$pinNs (statically empty)",
+        s"""WITH e0 AS (SELECT user_id, event_type, epoch_ns(ts) AS tl
+           |  FROM read_parquet('$parquet')),
+           |e AS (SELECT * FROM e0 WHERE $where)
+           |SELECT count(DISTINCT user_id) AS g, count(*) AS r FROM e""".stripMargin,
+        () => engine.run(graft.ops.Tables.events(SparkSpec.spark, sfDir),
+          GraftQuery(Some(Timeframe(Some(pinNs), Some(pinNs))), Nil, None, Nil, None)).summary,
+        wantLower = true, wantUpper = true)
+    }
+    val cases = (0 until N).map(i => gen(i, rnd, parquet, minNs, maxNs, tsPool, engine)) :+ pinned
 
     val duck = DuckOracle.run(cases.map(c => c.name -> c.sql).toMap)
     val failures = DuckOracle.evalAll(
@@ -125,9 +144,15 @@ class TimeframeFuzzSpec extends SparkSpec {
     if (isDerived) {
       val planMisses = cases.flatMap { c =>
         val plan = c.spark().queryExecution.executedPlan.toString
-        val okL = !c.wantLower ||
+        // A statically-empty frame (from == to, or from > to after the
+        // µs conversion) lets Catalyst fold the filter to false and
+        // replace the scan with LocalTableScan <empty> — no scan, no
+        // PushedFilters, and nothing to push: maximal pushdown by
+        // elimination (pinned by tf_pin_empty above).
+        val scanEliminated = plan.contains("LocalTableScan <empty>")
+        val okL = scanEliminated || !c.wantLower ||
           "PushedFilters: \\[[^\\]]*GreaterThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined
-        val okU = !c.wantUpper ||
+        val okU = scanEliminated || !c.wantUpper ||
           "PushedFilters: \\[[^\\]]*LessThan(OrEqual)?\\(ts".r.findFirstIn(plan).isDefined
         if (okL && okU) Nil else Seq(s"${c.name} (${c.desc}): no pushed ts bound\n$plan")
       }
