@@ -264,18 +264,29 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   private val resultEvictLock = new Object
 
   private def retainResult(job: AsyncJob, r: String): Unit = {
-    job.result = Some(r)
-    job.resultBytes = utf8Length(r)
-    job.stage = "DONE"
-    val total = retainedResultBytes.addAndGet(job.resultBytes)
-    if (total > asyncResultsMaxBytes) resultEvictLock.synchronized {
-      import scala.jdk.CollectionConverters._
-      val retained = jobs.values.asScala
-        .filter(j => j.result.isDefined && (j ne job))
-        .toSeq.sortBy(_.id.drop(1).toLong)
-      val it = retained.iterator
-      while (retainedResultBytes.get() > asyncResultsMaxBytes && it.hasNext)
-        dropRetained(it.next())
+    val bytes = utf8Length(r) // O(|r|) scan stays outside the lock
+    // The retain (result/resultBytes/budget writes) and the eviction sweep
+    // run as ONE critical section on resultEvictLock. Two races otherwise:
+    // a concurrent dropRetained between `result = Some(r)` and the budget
+    // addAndGet releases a stale 0 and strands the payload's bytes in the
+    // counter forever; and two simultaneous completions' sweeps could each
+    // evict the OTHER's just-retained payload, breaking the newest-always-
+    // kept invariant. Serializing completions makes "newest" well-defined:
+    // a sweep can only ever see payloads retained strictly before its own.
+    resultEvictLock.synchronized {
+      job.result = Some(r)
+      job.resultBytes = bytes
+      job.stage = "DONE"
+      val total = retainedResultBytes.addAndGet(bytes)
+      if (total > asyncResultsMaxBytes) {
+        import scala.jdk.CollectionConverters._
+        val retained = jobs.values.asScala
+          .filter(j => j.result.isDefined && (j ne job))
+          .toSeq.sortBy(_.id.drop(1).toLong)
+        val it = retained.iterator
+        while (retainedResultBytes.get() > asyncResultsMaxBytes && it.hasNext)
+          dropRetained(it.next())
+      }
     }
   }
 

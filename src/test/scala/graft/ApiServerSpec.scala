@@ -797,11 +797,20 @@ class ApiServerSpec extends SparkSpec {
         assert((status \ "result" \ "query" \ "matchingGroups") == JInt(15),
           JsonMethods.compact(status))
       }
-      // Registry/queue bookkeeping: the rejected counter matches the 429s,
-      // and the pending gauge is back to zero (all admitted work finished).
-      val metrics = get13("/metrics").body()
-      assert(metrics.contains(s"graft_query_rejected_total ${rejected.size}"), metrics)
-      assert(metrics.contains("graft_async_jobs_pending 0"), metrics)
+      // Registry/queue bookkeeping: the rejected counter matches the 429s
+      // EXACTLY (a substring check would accept any count with the expected
+      // value as a prefix), and the pending gauge drains to zero — polled,
+      // because stage flips to DONE before the runnable's finally decrements
+      // the gauge, so a raced single read is theoretically flaky.
+      def scrape13(name: String): Long =
+        get13("/metrics").body().linesIterator
+          .find(_.startsWith(name + " ")).map(_.split(" ")(1).toLong).getOrElse(-1L)
+      assert(scrape13("graft_query_rejected_total") == rejected.size.toLong,
+        get13("/metrics").body())
+      val gaugeDeadline = System.currentTimeMillis() + 5000
+      while (scrape13("graft_async_jobs_pending") != 0L &&
+             System.currentTimeMillis() < gaugeDeadline) Thread.sleep(20)
+      assert(scrape13("graft_async_jobs_pending") == 0L, "pending gauge stuck non-zero")
       // Backlog drained → the server admits again.
       val retry = post13("/datasets/evqcap/query?async=true", """{"query": {}}""")
       assert(retry.statusCode() == 202, s"${retry.statusCode()}: ${retry.body()}")
@@ -877,6 +886,79 @@ class ApiServerSpec extends SparkSpec {
     } finally {
       s17.stop()
       graft.catalog.Catalog.unregister("evres")
+    }
+  }
+
+  test("retention budget survives concurrent completions: one survivor, exact gauge (r18)") {
+    // Races the byte-budget sweep: 32 async jobs complete on an 8-thread
+    // pool with a 1-byte budget, so every completion triggers a sweep and
+    // near-simultaneous retains are common. Under the pre-r18 code two
+    // interleavings were possible: a sweep's dropRetained landing between
+    // another completion's `result = Some(r)` and its budget addAndGet
+    // strands that payload's bytes in the counter forever (the gauge then
+    // reads MULTIPLE payloads though at most one is retained), and two
+    // simultaneous sweeps could evict each OTHER's just-retained payload
+    // (zero survivors). With retains serialized through resultEvictLock the
+    // terminal state is exact: ONE retained payload, gauge ≈ its size.
+    val s18 = new ApiServer(spark, 0, asyncResultsMaxBytes = 1L)
+    s18.start()
+    try {
+      val b18 = s"http://127.0.0.1:${s18.boundPort}"
+      def post18(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b18 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get18(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b18 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gauge18(): Long = get18("/metrics").body().linesIterator
+        .find(_.startsWith("graft_async_result_bytes_retained "))
+        .map(_.split(" ")(1).toLong).getOrElse(-1L)
+      val reg = post18("/datasets/register",
+        """{"name": "evrace", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def await18(id: String): JValue = {
+        val deadline = System.currentTimeMillis() + 120000
+        var status: JValue = JNothing
+        while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          status = JsonMethods.parse(get18(s"/queries/$id/status").body())
+        }
+        assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+        status
+      }
+      // Baseline: one sequential completion calibrates a single payload's
+      // size (identical query shape → later payloads differ only in stat
+      // digit counts, a few bytes).
+      val base = post18("/datasets/evrace/query?async=true", """{"query": {}}""")
+      assert(base.statusCode() == 202, base.body())
+      await18(""""queryId": "([^"]+)"""".r.findFirstMatchIn(base.body()).get.group(1))
+      val oneBytes = gauge18()
+      assert(oneBytes > 0, s"baseline retained-bytes gauge: $oneBytes")
+      // The flood: 32 concurrent submissions racing retain-vs-sweep.
+      val subs = (1 to 32).map(_ =>
+        post18("/datasets/evrace/query?async=true", """{"query": {}}"""))
+      subs.foreach(s => assert(s.statusCode() == 202, s"${s.statusCode()}: ${s.body()}"))
+      val ids = subs.map(s =>
+        """"queryId": "([^"]+)"""".r.findFirstMatchIn(s.body()).get.group(1))
+      ids.foreach(await18)
+      // Terminal invariant: exactly one job (flood or baseline) retains its
+      // payload; the gauge reads one payload's bytes, not a stranded pile.
+      val statuses = (ids :+ """"queryId": "([^"]+)"""".r
+        .findFirstMatchIn(base.body()).get.group(1))
+        .map(id => JsonMethods.parse(get18(s"/queries/$id/status").body()))
+      val survivors = statuses.count(st => (st \ "result") != JNothing)
+      assert(survivors == 1,
+        s"expected exactly 1 retained payload, got $survivors")
+      val g = gauge18()
+      assert(g > 0 && g < 2 * oneBytes,
+        s"gauge $g outside (0, ${2 * oneBytes}) — stranded bytes from a raced eviction")
+    } finally {
+      s18.stop()
+      graft.catalog.Catalog.unregister("evrace")
     }
   }
 
