@@ -37,6 +37,14 @@ object PipelineQueries {
   private def lmOracleGlob: String =
     s"/tmp/graft_lm_fixture/${sys.props.getOrElse("graft.sfdir.name", "sf0.01")}/model/*.parquet"
 
+  /** The pipeline_zorder oracle's Morton interleave, one OR-term per
+    * (dim, bit): dim i's bit b lands at output position b*2 + i — the same
+    * placement ZOrder.interleave codegens. */
+  private def mortonTermsSql: String =
+    (0 until 8).map(k =>
+      s"(((b0 >> $k) & 1) << ${2 * k}) | (((b1 >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" | ")
+
   /** DSIR importance-model fixture (same SF-keyed contract as the LM
     * fixture above). */
   private def dsirFixturePath(dir: String): String =
@@ -699,6 +707,16 @@ object PipelineQueries {
     // equals the global one exactly.
     "pipeline_order" -> ((s, dir) =>
       Sampling.globalOrder(docs(s, dir), "doc_id", salt = "ord", epoch = 1)),
+
+    // Z-order layout key (sources.ZOrder): range-bucket doc_id × n_chars
+    // to 8 bits each (integer div, engine-exact) and Morton-interleave —
+    // the multi-dimensional clustering key behind zorderWrite. The write
+    // itself is pinned in LayoutSpec (losslessness, one exchange, pruning
+    // on both dims); this row pins the KEY bit-for-bit against the oracle.
+    "pipeline_zorder" -> ((s, dir) =>
+      graft.sources.ZOrder.withZKey(docs(s, dir), Seq("doc_id", "n_chars"),
+          bits = 8)
+        .select(col("doc_id"), col("zkey"))),
 
     // Span-level decontamination: remove only the 13-token windows shared
     // with the eval slice (doc_id < 20) and rebuild — clean_text is
@@ -1483,6 +1501,20 @@ object PipelineQueries {
         |  CAST(row_number() OVER (ORDER BY md5('ord:e1:' || CAST(doc_id AS VARCHAR)),
         |                          doc_id) - 1 AS BIGINT) AS pos
         |FROM documents""".stripMargin,
+
+    // Mirrors ZOrder.withZKey: the identical integer range-bucket
+    // (// is DuckDB's integer floor-div; both operands non-negative, so it
+    // agrees with Spark's div) and the identical bit interleave, written
+    // out term-by-term (generated below — 8 bits x 2 dims).
+    "pipeline_zorder" ->
+      s"""WITH s AS (SELECT min(doc_id) AS mn0, max(doc_id) AS mx0,
+         |                  min(n_chars) AS mn1, max(n_chars) AS mx1
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |        ((doc_id - mn0) * 256) // (mx0 - mn0 + 1) AS b0,
+         |        ((n_chars - mn1) * 256) // (mx1 - mn1 + 1) AS b1
+         |      FROM documents, s)
+         |SELECT doc_id, CAST($mortonTermsSql AS BIGINT) AS zkey FROM b""".stripMargin,
 
     // Mirrors Dsir.score + selectTopK: same unigram+bigram stream, same
     // md5 bucket, the SAME on-disk lr_micro integers — the decision is an

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton-curve) multi-dimensional data layout.
+ *
+ * The reference's layout story is one-dimensional: files clustered by the
+ * group id ([[GroupedWriter.repartitionByGroup]], mirroring
+ * `dataprep_example/repartition.py`), so min/max stats prune on ONE column
+ * family. A 100 TB training-data corpus is routinely filtered on several
+ * independent dimensions at once (time × group, quality band × language,
+ * length × source) — a single-column sort gives perfect pruning on that
+ * column and NONE on the others. Interleaving the bits of k range-bucketed
+ * columns into one sort key (the Morton curve) makes every parquet
+ * file/row-group a small axis-aligned box in k-space, so min/max pruning
+ * bites on EVERY interleaved column simultaneously — the technique behind
+ * Delta Lake's `OPTIMIZE ZORDER BY` and ClickHouse/Iceberg multi-dim
+ * clustering. Morton over Hilbert deliberately: within ~2× of Hilbert's
+ * box quality at k ≤ 4 while staying a pure bit-shuffle — expressible as
+ * codegen'd built-ins here and as plain integer ops in the DuckDB oracle
+ * (a Hilbert key needs a stateful per-bit rotation that neither engine
+ * vectorizes well).
+ *
+ * Shape at scale (the Delta two-pass shape):
+ *  1. a stats pass — one column-pruned scan producing 2 longs per
+ *     dimension (driver state is O(k), like the exporter's pilot);
+ *  2. key + ONE range exchange ([[zorderWrite]]) — `repartitionByRange`
+ *     on the key, sort within partitions, write. No global sort, no
+ *     second shuffle; file count and `maxRecordsPerFile` bound file sizes.
+ *
+ * Exactness contract (battery row `pipeline_zorder`): the bucket is pure
+ * integer math — `((x - min) * 2^bits) div width` with `div` the
+ * floor-for-non-negatives integer division both engines share — and the
+ * interleave is shift/and/or, so the key is engine-exact (no IEEE step
+ * anywhere). Null dimension values propagate to a null key and cluster
+ * together at the sort boundary, preserving "null-only file" pruning.
+ */
+object ZOrder {
+
+  /** Per-dimension stats the bucketizer needs: closed value range. */
+  final case class DimStats(min: Long, max: Long) {
+    require(max >= min, s"empty dimension range [$min, $max]")
+    def width: Long = max - min + 1
+  }
+
+  /** One column-pruned scan → (min, max) per dimension. Driver holds 2k
+    * longs — the same bounded-model contract as centroids/sketches. */
+  def stats(df: DataFrame, dims: Seq[String]): Seq[DimStats] = {
+    val aggs = dims.flatMap(d => Seq(min(col(d).cast("long")).as(s"mn_$d"),
+                                     max(col(d).cast("long")).as(s"mx_$d")))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    dims.indices.map(i => DimStats(row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  /** Range bucket of a long column into [0, 2^bits): integer-exact,
+    * max maps to 2^bits - 1 (never out of range: (width-1)*nb div width
+    * < nb). `width * 2^bits` must fit a long — enforced, because a silent
+    * overflow would interleave garbage bits and quietly destroy locality. */
+  def bucket(c: Column, s: DimStats, bits: Int): Column = {
+    val nb = 1L << bits
+    require(s.width <= Long.MaxValue / nb,
+      s"dimension range ${s.width} overflows ${bits}-bit bucketing")
+    // div (IntegralDivide via the function registry), not Column./ —
+    // that's IEEE double division, and the bucket must stay integer-exact
+    // to match the oracle bit-for-bit at any magnitude.
+    call_function("div", (c.cast("long") - lit(s.min)) * lit(nb), lit(s.width))
+  }
+
+  /** Morton interleave of k bucket columns (each in [0, 2^bits)) into one
+    * long: dimension i contributes its bit b at output position b*k + i,
+    * so dimensions alternate from the top bit down — every prefix of the
+    * key constrains every dimension near-equally. Pure
+    * shiftleft/shiftright/and/or over longs: whole-stage-codegen'd, and
+    * literally transcribable into the DuckDB oracle. k*bits <= 63 keeps
+    * the key a non-negative long (sign-safe ordering in both engines). */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val k = buckets.size
+    require(k >= 1 && k * bits <= 63, s"$k dims x $bits bits exceeds a long")
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      bit    <- 0 until bits
+    } yield shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The Morton key as one column: runs the stats pass (one tiny job),
+    * then buckets + interleaves. Null in any dimension → null key. */
+  def withZKey(df: DataFrame, dims: Seq[String], bits: Int,
+               out: String = "zkey"): DataFrame = {
+    val st = stats(df, dims)
+    val buckets = dims.zip(st).map { case (d, s) => bucket(col(d), s, bits) }
+    df.withColumn(out, interleave(buckets, bits))
+  }
+
+  /** Write `df` clustered on the Morton curve of `dims`: stats pass, key,
+    * ONE range exchange, per-partition sort, parquet. `nFiles` sets the
+    * range-partition count (size files to the reference's 20-150 MB
+    * guidance); `maxRecordsPerFile` optionally belts oversized partitions.
+    * The key column is dropped before the write — the layout IS the
+    * artifact, readers see the original schema. */
+  def zorderWrite(df: DataFrame, dims: Seq[String], bits: Int, path: String,
+                  nFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val keyed = withZKey(df, dims, bits, out = "__zkey")
+    val w = keyed
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+}
