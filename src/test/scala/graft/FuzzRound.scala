@@ -13,7 +13,7 @@ package graft
  */
 object FuzzRound {
   /** Build-round counter — bump once per round. */
-  val Round = 17
+  val Round = 18
 
   /** Default seed for a fuzz family; families add small offsets per test. */
   val seed: Long = 20260800L + Round * 1000003L

@@ -71,6 +71,43 @@ class LayoutSpec extends SparkSpec {
   private def agg3(df: DataFrame): Seq[Any] =
     df.agg(count(lit(1)), sum(col("id")), sum(col("x") * col("y"))).head().toSeq
 
+  test("k-dim morton keys match the reference across random dims/bits/ranges (fuzz)") {
+    // Generalized interleave reference: dim i's bit b at position b*k + i.
+    def mortonRefK(bs: Seq[Long], bits: Int): Long =
+      (for (i <- bs.indices; b <- 0 until bits)
+        yield ((bs(i) >> b) & 1L) << (b * bs.size + i)).foldLeft(0L)(_ | _)
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(FuzzRound.seed + 41)
+    val rnd = new scala.util.Random(seed)
+    for (trial <- 1 to 6) {
+      val k = 2 + rnd.nextInt(3)                         // 2..4 dims
+      val bits = 2 + rnd.nextInt(63 / k - 1)             // k*bits <= 63
+      val mins = Seq.fill(k)(rnd.nextLong(2000000L) - 1000000L)
+      val widths = Seq.fill(k)(1L + rnd.nextLong(100000L))
+      val dims = (0 until k).map(i => s"d$i")
+      var df = spark.range(500).toDF("id")
+      for (i <- 0 until k)
+        df = df.withColumn(dims(i),
+          lit(mins(i)) + pmod(xxhash64(col("id"), lit(s"t$trial d$i")), lit(widths(i))))
+      val rows = ZOrder.withZKey(df, dims, bits).collect()
+      // Observed per-dim ranges, as the engine's stats pass sees them.
+      val st = (0 until k).map { i =>
+        val vs = rows.map(_.getLong(1 + i)); (vs.min, vs.max)
+      }
+      rows.foreach { r =>
+        val bs = (0 until k).map { i =>
+          val (mn, mx) = st(i)
+          // BigInt sidesteps the test-side overflow the engine guards on.
+          ((BigInt(r.getLong(1 + i)) - mn) * (BigInt(1) << bits) /
+            (BigInt(mx) - mn + 1)).toLong
+        }
+        val expect = mortonRefK(bs, bits)
+        assert(r.getAs[Long]("zkey") == expect,
+          s"seed=$seed trial=$trial k=$k bits=$bits: ${r.mkString(",")} expected $expect")
+      }
+    }
+  }
+
   test("z-order prunes candidate files on BOTH dims; single-col sort only on its own") {
     val base = Files.createTempDirectory("graft_zorder_prune").toString
     // Same corpus, same file count: layout A sorted by x alone, layout B
