@@ -65,6 +65,39 @@ object ExportScale {
       f"naive_wall=${naive.wallTimeMs / 1000.0}%.1f " +
       f"naive_files=${nfs.length} naive_max_mb=${nfs.max / 1e6}%.1f " +
       f"naive_min_mb=${nfs.min / 1e6}%.1f")
+    // Compaction leg: fragment the corpus into ~2000 tiny files (the
+    // streaming-sink / incremental-append failure mode), then re-bin with
+    // the shuffle-free compactor vs the full-shuffle exporter, and
+    // measure what fragmentation costs a scan before/after.
+    val frag = "/tmp/graft_export_scale/frag"
+    corpus.repartition(2000, col("doc_id")).write.mode("overwrite").parquet(frag)
+    def scanWall(path: String): Double = {
+      def once = graft.result.JobStats.measure(spark) {
+        spark.read.parquet(path).agg(count(lit(1)), sum(length(col("text")))).head()
+      }
+      once; once._2.wallTimeMs / 1000.0 // min-of-2 shape: warmed second run
+    }
+    val scanFrag = scanWall(frag)
+    val (cst, cm) = graft.result.JobStats.measure(spark) {
+      graft.sources.DatasetExporter.compact(spark, frag,
+        "/tmp/graft_export_scale/compacted", target)
+    }
+    require(cm.shuffleBytesWritten == 0L, "compaction shuffled")
+    require(spark.read.parquet("/tmp/graft_export_scale/compacted").count() == n,
+      "compaction lost rows")
+    val (_, em) = graft.result.JobStats.measure(spark) {
+      graft.sources.DatasetExporter.export(
+        spark.read.parquet(frag), "doc_id",
+        "/tmp/graft_export_scale/reexported", target, "es2")
+    }
+    val scanCompact = scanWall("/tmp/graft_export_scale/compacted")
+    println(f"COMPACTSCALE files=${cst.filesBefore}->${cst.filesAfter} " +
+      f"mb=${cst.bytesBefore / 1e6}%.0f->${cst.bytesAfter / 1e6}%.0f " +
+      f"compact_wall=${cm.wallTimeMs / 1000.0}%.1f " +
+      f"compact_shuffle_b=${cm.shuffleBytesWritten} " +
+      f"export_wall=${em.wallTimeMs / 1000.0}%.1f " +
+      f"export_shuffle_b=${em.shuffleBytesWritten} " +
+      f"scan_frag=$scanFrag%.2f scan_compacted=$scanCompact%.2f")
     fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_export_scale"), true)
     spark.stop()
   }

@@ -699,6 +699,24 @@ object PipelineQueries {
         sum(length(col("text"))).cast("long").as("text_len_sum"))
     }),
 
+    // Shuffle-free compaction (sources.DatasetExporter.compact): fragment
+    // the corpus into 32 tiny files, re-bin them via scan packing (zero
+    // Exchange — pinned with shuffleBytesWritten == 0 in OperatorsSpec),
+    // and verify the lossless round-trip against the source table. The
+    // compared output is the re-read aggregate; file-count/size behavior
+    // is pinned in OperatorsSpec.
+    "pipeline_compact" -> ((s, dir) => {
+      val base = s"/tmp/graft_compact/${new java.io.File(dir).getName}"
+      docs(s, dir).repartition(32, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/frag")
+      graft.sources.DatasetExporter.compact(s, s"$base/frag", s"$base/out",
+        targetFileBytes = 128L * 1024L)
+      s.read.parquet(s"$base/out").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).cast("long").as("text_len_sum"))
+    }),
+
     // Epoch-seeded global permutation (the between-epochs corpus shuffle):
     // every doc's 0-based position on the md5 line for epoch 1 — the
     // two-phase prefix-count form of shardByBudget, so no global
@@ -1465,6 +1483,12 @@ object PipelineQueries {
     // Mirrors pipeline_export's round-trip checksums against the SOURCE
     // table — green certifies the export lost and altered nothing.
     "pipeline_export" ->
+      """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(len(text)) AS BIGINT) AS text_len_sum FROM documents""".stripMargin,
+
+    // Compaction round-trip: fragment → compact → re-read must equal the
+    // source table exactly (same lossless contract as pipeline_export).
+    "pipeline_compact" ->
       """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(len(text)) AS BIGINT) AS text_len_sum FROM documents""".stripMargin,
 

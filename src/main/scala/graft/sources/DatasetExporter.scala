@@ -88,4 +88,60 @@ object DatasetExporter {
     val (outBytes, outFiles) = dataBytes(path)
     ExportStats(outFiles, rows, outBytes, bytesPerRow)
   }
+
+  final case class CompactStats(filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long, bytesAfter: Long)
+
+  /** Shuffle-FREE small-file compaction — the maintenance half of the
+    * layout story. Long-running ingestion (streaming sinks, incremental
+    * appends, selective rewrites) fragments a dataset into thousands of
+    * KB-sized files whose per-file open/footer cost comes to dominate
+    * scans; the reference's own guidance is 20-150 MB parts. [[export]]
+    * fixes sizes by paying a full shuffle — right for a fresh layout,
+    * wasteful for re-binning bytes that are already well-distributed.
+    * This instead drives Spark's OWN scan bin-packing: with
+    * `files.maxPartitionBytes` set to the target, `openCostInBytes` at 0
+    * (pack by real bytes, not padded open cost), and `minPartitionNum` at
+    * 1 (default parallelism would re-split the packing), the
+    * FileSourceScan's partitions ARE ~target-sized bins of input files —
+    * one map-only job, zero Exchange (pinned by shuffleBytesWritten == 0
+    * in OperatorsSpec), each task writing one output file. Oversized
+    * inputs get split too (row-group boundaries), so one call normalizes
+    * both tails. Within-file row order is preserved and bins concatenate
+    * whole small files, so a clustered layout (sorted, z-ordered) keeps
+    * per-file stats boxes that are unions of a few neighbors — coarser
+    * than a re-sort, with zero re-sort cost; re-cluster via
+    * [[graft.sources.ZOrder.zorderWrite]] when pruning sharpness matters
+    * more than compaction cost. Session file-split confs are
+    * save/restored, not leaked. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              outPath: String, targetFileBytes: Long): CompactStats = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataBytes(p: String): (Long, Long) = {
+      val st = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(s => s.getPath.getName.endsWith(".parquet"))
+      (st.map(_.getLen).sum, st.length.toLong)
+    }
+    val (bytesBefore, filesBefore) = dataBytes(path)
+    require(filesBefore > 0, s"no parquet files under $path")
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes",
+                    "spark.sql.files.openCostInBytes",
+                    "spark.sql.files.minPartitionNum")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      spark.read.parquet(path)
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    val (bytesAfter, filesAfter) = dataBytes(outPath)
+    CompactStats(filesBefore, bytesBefore, filesAfter, bytesAfter)
+  }
 }

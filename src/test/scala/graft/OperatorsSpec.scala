@@ -2328,6 +2328,44 @@ class OperatorsSpec extends SparkSpec {
     assert(st2.files == st.files)
   }
 
+  test("compaction: shuffle-free re-binning, lossless, confs restored") {
+    import graft.sources.DatasetExporter
+    import graft.result.JobStats
+    val n = 4000
+    val d = docs((1L to n.toLong).map(i =>
+      i -> (s"doc $i " + ("lorem ipsum dolor sit amet " * (5 + (i % 7).toInt)))): _*)
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    d.repartition(64, org.apache.spark.sql.functions.col("doc_id"))
+      .write.parquet(s"$base/frag")
+    // Sentinel conf proves compact's save/restore doesn't leak its
+    // scan-packing overrides into the session.
+    spark.conf.set("spark.sql.files.openCostInBytes", "4194305")
+    val (st, snap) = JobStats.measure(spark) {
+      DatasetExporter.compact(spark, s"$base/frag", s"$base/out", 64L * 1024L)
+    }
+    assert(spark.conf.get("spark.sql.files.openCostInBytes") == "4194305")
+    spark.conf.unset("spark.sql.files.openCostInBytes")
+    // Fragmented in, few target-sized bins out, not one giant file.
+    assert(st.filesBefore >= 32, st.toString)
+    assert(st.filesAfter < st.filesBefore / 4, st.toString)
+    assert(st.filesAfter >= 2, st.toString)
+    // THE operator contract: compaction never shuffles.
+    assert(snap.shuffleBytesWritten == 0L,
+      s"compaction shuffled ${snap.shuffleBytesWritten} bytes")
+    // Lossless round-trip.
+    val back = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+    // No output file beyond loose target bounds (inputs concatenate and
+    // re-compress, so sizes land under the input-byte bins).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    assert(sizes.forall(_ <= 4 * 64L * 1024L), sizes.mkString(","))
+  }
+
   test("interleaveOrder: stride schedule keeps every prefix near the mix") {
     import graft.operators.Sampling
     // 3 sources, 120 docs each, weights 1/2/4.
