@@ -110,6 +110,11 @@ object LayoutScale {
       require(distinct.size == 1,
         s"layouts disagree on '$bName': ${results.map(r => r._1 -> r._2)}")
     }
+    // ~3 corpus-sized layouts under /tmp — delete or repeated probe runs
+    // fill the disk (30 GB per run at the 100M-row setting).
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
     spark.stop()
   }
 }

@@ -41,6 +41,16 @@ object DatasetExporter {
   final case class ExportStats(files: Long, rows: Long, bytes: Long,
                                pilotBytesPerRow: Double)
 
+  /** (total bytes, file count) of the data files directly under `p` —
+    * shared by [[export]] and [[compact]]. Flat layouts only (partitioned
+    * dt=... trees compact per-directory). */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            p: String): (Long, Long) = {
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+    (st.map(_.getLen).sum, st.length.toLong)
+  }
+
   /** Export `df` under `path` targeting `targetFileBytes` per data file.
     * `idCol` drives the deterministic pilot draw and file distribution;
     * `sampleRows` sizes the pilot (its cost bound). Returns the written
@@ -61,11 +71,7 @@ object DatasetExporter {
       .write.mode(SaveMode.Overwrite).parquet(pilotPath)
     val fs = new org.apache.hadoop.fs.Path(pilotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataBytes(p: String): (Long, Long) = {
-      val st = fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-      (st.map(_.getLen).sum, st.length.toLong)
-    }
+    def dataBytes(p: String): (Long, Long) = listDataFiles(fs, p)
     val pilotRows = spark.read.parquet(pilotPath).count()
     require(pilotRows > 0, "pilot sample came up empty; raise sampleRows")
     val bytesPerRow = dataBytes(pilotPath)._1.toDouble / pilotRows
@@ -112,36 +118,27 @@ object DatasetExporter {
     * per-file stats boxes that are unions of a few neighbors — coarser
     * than a re-sort, with zero re-sort cost; re-cluster via
     * [[graft.sources.ZOrder.zorderWrite]] when pruning sharpness matters
-    * more than compaction cost. Session file-split confs are
-    * save/restored, not leaked. */
+    * more than compaction cost. The packing confs are set on a CLONED
+    * session (`newSession` — own SQLConf, shared SparkContext and
+    * catalog), never on the caller's: a save/restore on the shared
+    * session would plan every CONCURRENT query (the server's async pool)
+    * with the compaction's tiny maxPartitionBytes, exploding a multi-GB
+    * scan into thousands of tasks, and two concurrent compacts would
+    * clobber each other's saved values. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetFileBytes: Long): CompactStats = {
     require(targetFileBytes > 0, "target file size must be positive")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataBytes(p: String): (Long, Long) = {
-      val st = fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-      (st.map(_.getLen).sum, st.length.toLong)
-    }
-    val (bytesBefore, filesBefore) = dataBytes(path)
+    val (bytesBefore, filesBefore) = listDataFiles(fs, path)
     require(filesBefore > 0, s"no parquet files under $path")
-    val conf = spark.conf
-    val saved = Seq("spark.sql.files.maxPartitionBytes",
-                    "spark.sql.files.openCostInBytes",
-                    "spark.sql.files.minPartitionNum")
-      .map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
-      conf.set("spark.sql.files.openCostInBytes", "0")
-      conf.set("spark.sql.files.minPartitionNum", "1")
-      spark.read.parquet(path)
-        .write.mode(SaveMode.Overwrite).parquet(outPath)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
-    }
-    val (bytesAfter, filesAfter) = dataBytes(outPath)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    s2.conf.set("spark.sql.files.minPartitionNum", "1")
+    s2.read.parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val (bytesAfter, filesAfter) = listDataFiles(fs, outPath)
     CompactStats(filesBefore, bytesBefore, filesAfter, bytesAfter)
   }
 }

@@ -42,7 +42,13 @@ object ZOrder {
   /** Per-dimension stats the bucketizer needs: closed value range. */
   final case class DimStats(min: Long, max: Long) {
     require(max >= min, s"empty dimension range [$min, $max]")
-    def width: Long = max - min + 1
+    /** Exact span — BigInt because a raw-64-bit-hash dimension (min near
+      * Long.MinValue, max near Long.MaxValue) wraps a long `max - min + 1`
+      * to <= 0, which would slip past the overflow guard below and either
+      * die mid-exchange under ANSI arithmetic or silently write garbage
+      * keys without it. */
+    def widthExact: BigInt = BigInt(max) - BigInt(min) + 1
+    def width: Long = widthExact.toLong
   }
 
   /** One column-pruned scan → (min, max) per dimension. Driver holds 2k
@@ -51,7 +57,13 @@ object ZOrder {
     val aggs = dims.flatMap(d => Seq(min(col(d).cast("long")).as(s"mn_$d"),
                                      max(col(d).cast("long")).as(s"mx_$d")))
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
-    dims.indices.map(i => DimStats(row.getLong(2 * i), row.getLong(2 * i + 1)))
+    dims.indices.map { i =>
+      // min/max of an empty frame or an all-null column is null — fail
+      // with the dimension's name, not a raw NPE from getLong.
+      require(!row.isNullAt(2 * i),
+        s"dimension '${dims(i)}' has no non-null values (empty input?)")
+      DimStats(row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
   }
 
   /** Range bucket of a long column into [0, 2^bits): integer-exact,
@@ -60,8 +72,8 @@ object ZOrder {
     * overflow would interleave garbage bits and quietly destroy locality. */
   def bucket(c: Column, s: DimStats, bits: Int): Column = {
     val nb = 1L << bits
-    require(s.width <= Long.MaxValue / nb,
-      s"dimension range ${s.width} overflows ${bits}-bit bucketing")
+    require(s.widthExact <= BigInt(Long.MaxValue) / nb,
+      s"dimension range ${s.widthExact} overflows ${bits}-bit bucketing")
     // div (IntegralDivide via the function registry), not Column./ —
     // that's IEEE double division, and the bucket must stay integer-exact
     // to match the oracle bit-for-bit at any magnitude.
@@ -89,6 +101,10 @@ object ZOrder {
     * then buckets + interleaves. Null in any dimension → null key. */
   def withZKey(df: DataFrame, dims: Seq[String], bits: Int,
                out: String = "zkey"): DataFrame = {
+    // withColumn would silently REPLACE an existing column of this name —
+    // and zorderWrite then drops it, losing a user column from the layout.
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists; pass a different `out` name")
     val st = stats(df, dims)
     val buckets = dims.zip(st).map { case (d, s) => bucket(col(d), s, bits) }
     df.withColumn(out, interleave(buckets, bits))

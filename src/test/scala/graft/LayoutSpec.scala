@@ -51,6 +51,20 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZOrder.bucket(lit(0L), ZOrder.DimStats(0L, Long.MaxValue - 1), 8)
     }
+    // Full-span dimension (raw 64-bit hashes): the span itself overflows a
+    // long — the BigInt-exact guard must still fire, not wrap and pass.
+    intercept[IllegalArgumentException] {
+      ZOrder.bucket(lit(0L), ZOrder.DimStats(Long.MinValue, Long.MaxValue), 1)
+    }
+    // Empty input / all-null dimension fails with the dimension's name.
+    val emptyErr = intercept[IllegalArgumentException] {
+      ZOrder.stats(corpus.where(lit(false)), Seq("x"))
+    }
+    assert(emptyErr.getMessage.contains("'x'"), emptyErr.getMessage)
+    // A pre-existing output column is an error, not a silent replace.
+    intercept[IllegalArgumentException] {
+      ZOrder.withZKey(corpus.withColumn("zkey", lit(1L)), Seq("x", "y"), 8)
+    }
   }
 
   test("zorderWrite is lossless and spends exactly one exchange") {

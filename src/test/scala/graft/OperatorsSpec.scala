@@ -2337,8 +2337,8 @@ class OperatorsSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     d.repartition(64, org.apache.spark.sql.functions.col("doc_id"))
       .write.parquet(s"$base/frag")
-    // Sentinel conf proves compact's save/restore doesn't leak its
-    // scan-packing overrides into the session.
+    // Sentinel conf proves compact's cloned-session isolation: its
+    // scan-packing overrides never touch the caller's session.
     spark.conf.set("spark.sql.files.openCostInBytes", "4194305")
     val (st, snap) = JobStats.measure(spark) {
       DatasetExporter.compact(spark, s"$base/frag", s"$base/out", 64L * 1024L)
