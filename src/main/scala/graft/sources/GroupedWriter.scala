@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions.{col, date_from_unix_date, expr}
  *    bucketed table plans with NO Exchange: the 100 TB shuffle-free story,
  *    equivalent to the reference's Lambda-per-file model but managed by the
  *    planner instead of by convention.
+ *
+ * Siblings beyond the reference's layouts: [[ZOrder.zorderWrite]] clusters
+ * on SEVERAL columns at once (min/max pruning on every interleaved dim)
+ * and [[DatasetExporter.compact]] re-bins a fragmented layout shuffle-free.
  */
 object GroupedWriter {
 
