@@ -128,7 +128,27 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
                         * "resultEvicted"); the newest completion is always
                         * retained. GRAFT_ASYNC_RESULTS_MAX_BYTES in
                         * ApiServerMain. */
-                      asyncResultsMaxBytes: Long = 256L << 20) {
+                      asyncResultsMaxBytes: Long = 256L << 20,
+                      /** Age ceiling (seconds) on retained async RESULT
+                        * payloads (r19) — the byte budget above bounds how
+                        * MUCH a quiet server retains, not for how LONG: a
+                        * server that goes idle after a burst would hold up
+                        * to `asyncResultsMaxBytes` of stale payloads
+                        * forever. The reference expires task results by
+                        * Redis TTL (redis_store.py:174-180,253-275); here
+                        * payloads older than the TTL are dropped lazily —
+                        * on status reads, metrics scrapes, and inside the
+                        * retention critical section — so an idle server's
+                        * retained-bytes gauge returns to 0 on the next
+                        * observation. The job ENTRY stays (stage DONE,
+                        * "resultEvicted": true), same late-poller contract
+                        * as byte eviction. Unlike the byte budget, the TTL
+                        * has no newest-always-kept carve-out: an absolute
+                        * age bound is the contract (the client had
+                        * `asyncResultTtlSec` to poll), exactly as a Redis
+                        * TTL would expire the newest too. 0 disables.
+                        * GRAFT_ASYNC_RESULT_TTL_SEC in ApiServerMain. */
+                      asyncResultTtlSec: Long = 3600L) {
 
   // Validated BEFORE the server field binds the port: start() would
   // otherwise throw out of newFixedThreadPool with the socket still held,
@@ -147,6 +167,8 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     s"maxBodyBytes must be in [1, ${Int.MaxValue - 1}], got $maxBodyBytes")
   require(asyncResultsMaxBytes >= 0,
     s"asyncResultsMaxBytes must be >= 0, got $asyncResultsMaxBytes")
+  require(asyncResultTtlSec >= 0,
+    s"asyncResultTtlSec must be >= 0 (0 disables), got $asyncResultTtlSec")
 
   // TCP_NODELAY on the JDK's built-in HttpServer (its static ServerConfig
   // reads this once, at first server creation): without it a small
@@ -241,7 +263,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
       @volatile var result: Option[String] = None,
       @volatile var error: Option[String] = None,
       @volatile var resultBytes: Long = 0L,
-      @volatile var resultEvicted: Boolean = false)
+      @volatile var resultEvicted: Boolean = false,
+      /** Wall-clock completion instant, set under resultEvictLock at
+        * retain time — the TTL sweep's age basis. 0 = not yet DONE. */
+      @volatile var doneAtMs: Long = 0L)
 
   private val jobs = new ConcurrentHashMap[String, AsyncJob]()
   private val jobSeq = new AtomicLong()
@@ -274,9 +299,13 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     // kept invariant. Serializing completions makes "newest" well-defined:
     // a sweep can only ever see payloads retained strictly before its own.
     resultEvictLock.synchronized {
+      // Expired payloads release their budget BEFORE the byte sweep runs:
+      // stale bytes must never force eviction of a fresh completion.
+      ttlSweepLocked()
       job.result = Some(r)
       job.resultBytes = bytes
       job.stage = "DONE"
+      job.doneAtMs = System.currentTimeMillis()
       val total = retainedResultBytes.addAndGet(bytes)
       if (total > asyncResultsMaxBytes) {
         import scala.jdk.CollectionConverters._
@@ -287,6 +316,25 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
         while (retainedResultBytes.get() > asyncResultsMaxBytes && it.hasNext)
           dropRetained(it.next())
       }
+    }
+  }
+
+  /** Lazy TTL sweep over retained result payloads (r19) — called on the
+    * read paths (status polls, metrics scrapes) and inside the retention
+    * critical section, so expiry needs no timer thread: the next
+    * observation of the registry is what ages payloads out, the same
+    * lazy-expiry shape as the result-byte budget. O(registry) per call,
+    * bounded by the ~1500-entry registry cap. */
+  private def sweepExpiredResults(): Unit =
+    if (asyncResultTtlSec > 0) resultEvictLock.synchronized { ttlSweepLocked() }
+
+  /** The sweep body; caller must hold resultEvictLock. */
+  private def ttlSweepLocked(): Unit = if (asyncResultTtlSec > 0) {
+    val cutoff = System.currentTimeMillis() - asyncResultTtlSec * 1000L
+    val it = jobs.values.iterator()
+    while (it.hasNext) {
+      val j = it.next()
+      if (j.result.isDefined && j.doneAtMs <= cutoff) dropRetained(j)
     }
   }
 
@@ -876,7 +924,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
     respond(ex, 202, s"""{"queryId": ${q(id)}, "status": "/queries/$id/status"}""")
   }
 
-  private def queryStatus(ex: HttpExchange, id: String): Unit =
+  private def queryStatus(ex: HttpExchange, id: String): Unit = {
+    // Lazy TTL expiry rides the poll itself: a status read past the TTL
+    // observes "resultEvicted", never a payload older than the bound.
+    sweepExpiredResults()
     Option(jobs.get(id)) match {
       case None => respond(ex, 404, s"""{"errorMessage": "unknown query '$id'"}""")
       case Some(job) =>
@@ -890,6 +941,7 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
         respond(ex, 200,
           s"""{"queryId": ${q(job.id)}, "dataset": ${q(job.dataset)}, "stage": ${q(job.stage)}, "done": $done$error$evicted$result}""")
     }
+  }
 
   // ----------------------------------------------------------------- metrics
 
@@ -909,6 +961,10 @@ final class ApiServer(spark: SparkSession, port: Int, unregisterSafetySec: Int =
   private val mCoreMs       = new AtomicLong()
 
   private def metrics(ex: HttpExchange): Unit = {
+    // A scrape is an observation of the registry: expired payloads drop
+    // BEFORE the gauges read, so an idle server's retained-bytes gauge
+    // reports 0 past the TTL instead of stale bytes nobody can reach.
+    sweepExpiredResults()
     def m(name: String, kind: String, help: String, value: Long): String =
       s"# HELP $name $help\n# TYPE $name $kind\n$name $value\n"
     val body =
@@ -988,7 +1044,9 @@ object ApiServerMain {
       asyncQueueMax = sys.env.getOrElse("GRAFT_ASYNC_QUEUE_MAX", "1000").toInt,
       maxBodyBytes = sys.env.getOrElse("GRAFT_MAX_BODY_BYTES", (8 << 20).toString).toInt,
       asyncResultsMaxBytes =
-        sys.env.getOrElse("GRAFT_ASYNC_RESULTS_MAX_BYTES", (256L << 20).toString).toLong)
+        sys.env.getOrElse("GRAFT_ASYNC_RESULTS_MAX_BYTES", (256L << 20).toString).toLong,
+      asyncResultTtlSec =
+        sys.env.getOrElse("GRAFT_ASYNC_RESULT_TTL_SEC", "3600").toLong)
     srv.start()
     // SIGTERM/SIGINT → graceful drain (r17): without this hook a kill is
     // the abrupt stop() — in-flight queries die mid-latch and a coalesce

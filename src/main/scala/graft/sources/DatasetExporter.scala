@@ -128,8 +128,19 @@ object DatasetExporter {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetFileBytes: Long): CompactStats = {
     require(targetFileBytes > 0, "target file size must be positive")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(path)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(conf)
+    // The output may live on a DIFFERENT scheme (mock3:// → file: is a
+    // supported shape, ObjectStoreSpec) — its listing needs its own
+    // FileSystem, not the input's.
+    val outFs = outP.getFileSystem(conf)
+    // In-place compaction is not supported (the Overwrite would delete the
+    // input mid-scan); fail with a clear message instead of Spark's opaque
+    // analysis error. Qualified comparison so `/a/b` == `file:/a/b`.
+    require(fs.makeQualified(inP) != outFs.makeQualified(outP),
+      s"compact output path must differ from the input path ($path)")
     val (bytesBefore, filesBefore) = listDataFiles(fs, path)
     require(filesBefore > 0, s"no parquet files under $path")
     val s2 = spark.newSession()
@@ -138,7 +149,7 @@ object DatasetExporter {
     s2.conf.set("spark.sql.files.minPartitionNum", "1")
     s2.read.parquet(path)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
-    val (bytesAfter, filesAfter) = listDataFiles(fs, outPath)
+    val (bytesAfter, filesAfter) = listDataFiles(outFs, outPath)
     CompactStats(filesBefore, bytesBefore, filesAfter, bytesAfter)
   }
 }

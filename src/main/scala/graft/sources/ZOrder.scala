@@ -69,7 +69,16 @@ object ZOrder {
   /** Range bucket of a long column into [0, 2^bits): integer-exact,
     * max maps to 2^bits - 1 (never out of range: (width-1)*nb div width
     * < nb). `width * 2^bits` must fit a long — enforced, because a silent
-    * overflow would interleave garbage bits and quietly destroy locality. */
+    * overflow would interleave garbage bits and quietly destroy locality.
+    *
+    * `s` must be [[stats]] over the SAME data (the internal callers'
+    * contract). Values outside [min, max] — stale or mismatched stats —
+    * would otherwise yield a bucket outside [0, 2^bits) and interleave
+    * into garbage keys with no error; the clamp below degrades them to
+    * the edge buckets instead (identity for in-range values, so the
+    * oracle's unclamped formula still matches bit-for-bit). A value far
+    * enough out to overflow `(c - min) * 2^bits` fails loud under ANSI
+    * arithmetic before the clamp sees it. */
   def bucket(c: Column, s: DimStats, bits: Int): Column = {
     val nb = 1L << bits
     require(s.widthExact <= BigInt(Long.MaxValue) / nb,
@@ -77,7 +86,12 @@ object ZOrder {
     // div (IntegralDivide via the function registry), not Column./ —
     // that's IEEE double division, and the bucket must stay integer-exact
     // to match the oracle bit-for-bit at any magnitude.
-    call_function("div", (c.cast("long") - lit(s.min)) * lit(nb), lit(s.width))
+    val raw = call_function("div", (c.cast("long") - lit(s.min)) * lit(nb), lit(s.width))
+    // least/greatest SKIP nulls (they pick the extreme non-null operand),
+    // which would rewrite a null dimension to bucket 0 — gate explicitly
+    // so null still propagates to a null key (the null-only-file contract).
+    when(raw.isNull, lit(null).cast("long"))
+      .otherwise(least(greatest(raw, lit(0L)), lit(nb - 1L)))
   }
 
   /** Morton interleave of k bucket columns (each in [0, 2^bits)) into one
@@ -115,7 +129,16 @@ object ZOrder {
     * range-partition count (size files to the reference's 20-150 MB
     * guidance); `maxRecordsPerFile` optionally belts oversized partitions.
     * The key column is dropped before the write — the layout IS the
-    * artifact, readers see the original schema. */
+    * artifact, readers see the original schema.
+    *
+    * Cost note: the input plan evaluates THREE times — the stats
+    * aggregate, `repartitionByRange`'s range-boundary sampling pass, and
+    * the write itself. For a plain parquet read that is two cheap
+    * column-pruned scans plus the real one; for an EXPENSIVE upstream
+    * pipeline it triples compute — persist (or pre-materialize) such an
+    * input before calling, rather than this method persisting internally:
+    * at corpus scale an unconditional cache would cost more than the
+    * extra scans it saves on the common read-then-layout path. */
   def zorderWrite(df: DataFrame, dims: Seq[String], bits: Int, path: String,
                   nFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
     val keyed = withZKey(df, dims, bits, out = "__zkey")

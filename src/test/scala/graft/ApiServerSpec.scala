@@ -827,6 +827,7 @@ class ApiServerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, asyncQueueMax = -1) }
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, maxBodyBytes = 0) }
     intercept[IllegalArgumentException] { new ApiServer(spark, 0, maxBodyBytes = Int.MaxValue) }
+    intercept[IllegalArgumentException] { new ApiServer(spark, 0, asyncResultTtlSec = -1L) }
   }
 
   test("retained async results respect the byte budget, newest always kept (r17)") {
@@ -959,6 +960,63 @@ class ApiServerSpec extends SparkSpec {
     } finally {
       s18.stop()
       graft.catalog.Catalog.unregister("evrace")
+    }
+  }
+
+  test("async results expire past the TTL: payload released, entry flagged, gauge 0 (r19)") {
+    // 1-second TTL: a completed payload must be served while fresh, then
+    // dropped by the lazy sweep once stale — the age bound the byte budget
+    // alone never gave (a quiet server retained stale payloads forever;
+    // the reference expires them by Redis TTL, redis_store.py:174-180).
+    // No timer thread exists, so the pin drives expiry exactly the way
+    // production observes it: a metrics scrape and a status poll.
+    val s19 = new ApiServer(spark, 0, asyncResultTtlSec = 1L)
+    s19.start()
+    try {
+      val b19 = s"http://127.0.0.1:${s19.boundPort}"
+      def post19(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b19 + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get19(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b19 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gauge19(): Long = get19("/metrics").body().linesIterator
+        .find(_.startsWith("graft_async_result_bytes_retained "))
+        .map(_.split(" ")(1).toLong).getOrElse(-1L)
+      val reg = post19("/datasets/register",
+        """{"name": "evttl", "basepath": "/root/testdata/sf0.001/events.parquet",
+          | "groupIdColumn": "user_id", "timestampColumn": "ts"}""".stripMargin)
+      assert(reg.statusCode() == 200, reg.body())
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val sub = post19("/datasets/evttl/query?async=true", """{"query": {}}""")
+      assert(sub.statusCode() == 202, sub.body())
+      val id = """"queryId": "([^"]+)"""".r.findFirstMatchIn(sub.body()).get.group(1)
+      val deadline = System.currentTimeMillis() + 120000
+      var status: JValue = JNothing
+      while ((status \ "done") != JBool(true) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        status = JsonMethods.parse(get19(s"/queries/$id/status").body())
+      }
+      // Fresh (completed < TTL ago): the payload serves and the gauge
+      // tracks it — the sweep each poll ran must NOT have fired early.
+      assert((status \ "stage") == JString("DONE"), JsonMethods.compact(status))
+      assert((status \ "result" \ "query" \ "matchingGroups") == JInt(15),
+        JsonMethods.compact(status))
+      assert(gauge19() > 0, "fresh payload should be retained")
+      Thread.sleep(1300) // age past the 1s TTL; server fully idle
+      // The next observation — a scrape — returns the idle server's
+      // retained bytes to 0 (the verdict's done-criterion).
+      assert(gauge19() == 0L, s"gauge after TTL: ${gauge19()}")
+      val late = JsonMethods.parse(get19(s"/queries/$id/status").body())
+      assert((late \ "stage") == JString("DONE") && (late \ "done") == JBool(true),
+        JsonMethods.compact(late))
+      assert((late \ "resultEvicted") == JBool(true), JsonMethods.compact(late))
+      assert((late \ "result") == JNothing, JsonMethods.compact(late))
+    } finally {
+      s19.stop()
+      graft.catalog.Catalog.unregister("evttl")
     }
   }
 

@@ -48,6 +48,13 @@ class LayoutSpec extends SparkSpec {
       ZOrder.bucket(lit(null).cast("long"), s, 4).as("nl"))
     val r = df.head()
     assert(r.getLong(0) == 0L && r.getLong(1) == 15L && r.isNullAt(2))
+    // Out-of-range values (stale/mismatched stats on the public surface)
+    // degrade to the EDGE buckets instead of escaping [0, 2^bits) and
+    // silently interleaving garbage (r19).
+    val oob = spark.range(1).select(
+      ZOrder.bucket(lit(-100L), s, 4).as("below"),
+      ZOrder.bucket(lit(100L), s, 4).as("above")).head()
+    assert(oob.getLong(0) == 0L && oob.getLong(1) == 15L, oob.toString)
     intercept[IllegalArgumentException] {
       ZOrder.bucket(lit(0L), ZOrder.DimStats(0L, Long.MaxValue - 1), 8)
     }

@@ -2364,6 +2364,13 @@ class OperatorsSpec extends SparkSpec {
     val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out"))
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
     assert(sizes.forall(_ <= 4 * 64L * 1024L), sizes.mkString(","))
+    // In-place compaction fails loud with the clear message (r19), before
+    // Spark's Overwrite could delete the input mid-scan — including the
+    // qualified-path spelling of the same location.
+    val inPlace = intercept[IllegalArgumentException] {
+      DatasetExporter.compact(spark, s"$base/frag", s"file:$base/frag", 64L * 1024L)
+    }
+    assert(inPlace.getMessage.contains("must differ"), inPlace.getMessage)
   }
 
   test("interleaveOrder: stride schedule keeps every prefix near the mix") {
