@@ -164,6 +164,7 @@ object VectorFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctions.functions.foreach(ext.injectFunction)
+    GramFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.TimeframePushdown)
   }
 }

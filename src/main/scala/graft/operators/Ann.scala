@@ -191,6 +191,7 @@ object Ann {
                 dim: Int, nCells: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
     var centroids: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
@@ -202,18 +203,90 @@ object Ann {
     // The iteration loop scans `base` once per iteration plus the final
     // assignment — persist it so k-means doesn't re-read parquet each time.
     val base = graft.util.Caches.retain(corpus.withColumn("__v", col(vecCol)))
+    // Lloyd stats pass (r19): one mapPartitions + a partial-sum collect per
+    // iteration — the pqTrain shape — replacing a posexplode into dim× the
+    // rows, a (cell, pos) shuffle, and a two-stage job per iteration. The
+    // partials are nCells × dim doubles per partition (KBs at any corpus
+    // size); merging them on the driver in PARTITION ORDER makes the float
+    // summation deterministic, where the old groupBy/avg merged partial
+    // sums in nondeterministic shuffle-fetch order. [[nearestCell]]
+    // replicates probeCellsCol's arithmetic term for term, so assignment
+    // agrees with the expression the returned frame carries.
+    val vecs = base.select(col("__v").cast("array<float>")).as[Array[Float]]
     for (_ <- 0 until iters) {
-      val assigned = base.withColumn("cell", assignCol)
-      val sums = assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
+      val cb = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val cs = cb.value
+        val sums = Array.ofDim[Double](cs.length, dim)
+        val cnts = new Array[Long](cs.length)
+        it.foreach { v =>
+          val cell = nearestCell(v, cs)
+          cnts(cell) += 1
+          val acc = sums(cell)
+          val n = math.min(dim, v.length)
+          var j = 0
+          while (j < n) { acc(j) += v(j).toDouble; j += 1 }
+        }
+        Iterator.single((pid, sums, cnts))
+      }.collect().sortBy(_._1)
+      val sums = Array.ofDim[Double](nCells, dim)
+      val cnts = new Array[Long](nCells)
+      partials.foreach { case (_, s, c) =>
+        var cell = 0
+        while (cell < nCells) {
+          cnts(cell) += c(cell)
+          val acc = sums(cell); val add = s(cell)
+          var j = 0
+          while (j < dim) { acc(j) += add(j); j += 1 }
+          cell += 1
+        }
+      }
+      centroids = Array.tabulate(nCells) { cell =>
+        if (cnts(cell) > 0) {
+          val c = new Array[Double](centroids(cell).length)
+          val n = math.min(dim, c.length)
+          var j = 0
+          while (j < n) { c(j) = sums(cell)(j) / cnts(cell); j += 1 }
+          var k = n
+          while (k < c.length) { c(k) = centroids(cell)(k); k += 1 }
+          c
+        } else centroids(cell).clone()
+      }
+      cb.destroy()
     }
     (base.withColumn("cell", assignCol).drop("__v"), centroids)
+  }
+
+  /** Nearest centroid of `v` — the imperative twin of
+    * `probeCellsCol(v, centroids, 1)`, replicating its arithmetic TERM FOR
+    * TERM (||v||² as sqrt-then-square of the float-widened dot, the
+    * FLOAT-cast centroid in the cross term, the double centroid's
+    * left-to-right ||c||², strict `<` keeping ties at the lowest cell) so
+    * the k-means stats pass assigns exactly the cell the returned frame's
+    * expression column would. */
+  private def nearestCell(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var nrm = 0.0
+    var i = 0
+    while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+    val vn = math.sqrt(nrm)
+    val vn2 = vn * vn
+    var best = 0
+    var bestD = Double.MaxValue
+    var cell = 0
+    while (cell < cs.length) {
+      val cd = cs(cell)
+      var dotf = 0.0
+      var cn = 0.0
+      var j = 0
+      val n = math.min(v.length, cd.length)
+      while (j < n) { dotf += v(j).toDouble * cd(j).toFloat; j += 1 }
+      j = 0
+      while (j < cd.length) { cn += cd(j) * cd(j); j += 1 }
+      val d = vn2 - 2.0 * dotf + cn
+      if (d < bestD) { bestD = d; best = cell }
+      cell += 1
+    }
+    best
   }
 
   /** IVF approximate top-k: rank by cosine within the query's `nProbes`

@@ -30,13 +30,18 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** Distinct character n-gram shingles per document: (id, sh). Generated
-    * with a codegen'd array expression (no UDF), then exploded. */
-  def charShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    * with the native codegen'd [[graft.functions.CharShingles]] expression
+    * — one O(len) pass per document, bit-identical to the
+    * `array_distinct(transform(sequence(...), i -> substring(...)))` form
+    * it replaced (r19: the interpreted HOF lambda re-walked the string per
+    * element, O(len²); GramFunctionsSpec pins equality incl. the
+    * whole-short-string fallback). */
+  def charShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.GramFunctions.register(docs.sparkSession)
     docs.select(
       col(idCol).as("id"),
-      explode(expr(
-        s"array_distinct(transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
-        s"i -> substring($textCol, i, $n)))")).as("sh"))
+      explode(call_function("char_shingles", col(textCol), lit(n))).as("sh"))
+  }
 
   /** MinHash signature with k hash functions: column h0..h{k-1}, where
     * h_i = min over shingles of an 8-hex-char (32-bit) slice of a salted

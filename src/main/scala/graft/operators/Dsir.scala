@@ -91,6 +91,27 @@ object Dsir {
     uni.unionByName(bi)
   }
 
+  /** One row per gram occurrence, already bucketed: (doc_id, bucket). The
+    * md5 family runs through the native codegen'd
+    * [[graft.functions.DsirGramBuckets]] — one O(len) call per document,
+    * bit-identical to `grams() + hashBucket()` (r19: the interpreted bigram
+    * lambda plus the per-gram md5/conv/substring/pmod expression chain was
+    * the bulk of the DSIR train/score wall; GramFunctionsSpec pins
+    * equality). The xxhash64 `fastHash` family stays on the Column path —
+    * already codegen'd end to end. */
+  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int, salt: String,
+                          fastHash: Boolean): DataFrame =
+    if (fastHash)
+      grams(df, idCol, textCol).select(col("doc_id"),
+        hashBucket(col("gram"), nBuckets, salt, fastHash = true).as("bucket"))
+    else {
+      graft.functions.GramFunctions.register(df.sparkSession)
+      df.select(col(idCol).as("doc_id"),
+        explode(call_function("dsir_gram_buckets",
+          col(textCol), lit(nBuckets), lit(salt))).as("bucket"))
+    }
+
   /** Fit the hashed importance model: per-bucket integer log ratio
     * `lr_micro` over ALL `nBuckets` buckets (zero-count buckets get the
     * smoothed default via the range left-joins, so scoring never misses).
@@ -100,8 +121,8 @@ object Dsir {
                      textCol: String, nBuckets: Int, salt: String,
                      fastHash: Boolean = false): DataFrame = {
     def bucketCounts(df: DataFrame): DataFrame =
-      grams(df, idCol, textCol)
-        .groupBy(hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))
+      gramBuckets(df, idCol, textCol, nBuckets, salt, fastHash)
+        .groupBy(col("bucket"))
         .agg(count(lit(1)).as("c"))
     val spark = target.sparkSession
     val all = spark.range(nBuckets).select(col("id").as("bucket"))
@@ -165,9 +186,7 @@ object Dsir {
       s"model must cover buckets 0..${nBuckets - 1} with non-null " +
         s"lr_micro exactly once (found $rows rows over $dist distinct " +
         s"buckets, expected $nBuckets of each)")
-    grams(docs, idCol, textCol)
-      .select(col("doc_id"),
-        hashBucket(col("gram"), nBuckets, salt, fastHash).as("bucket"))
+    gramBuckets(docs, idCol, textCol, nBuckets, salt, fastHash)
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("logw_micro"))

@@ -48,18 +48,21 @@ object LmScore {
     trim(regexp_replace(lower(regexp_replace(textCol, "[^A-Za-z ]", "")),
       " +", " "))
 
-  /** One row per character trigram occurrence: (doc_id, tri). The CASE
-    * keeps sequence() from descending through 0 on short docs under
-    * InferFiltersFromGenerate + pushdown, which evaluate the expression on
-    * rows the `where` would have dropped (same guard as
-    * [[TextAnalysis.contamination]]). */
-  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** One row per character trigram occurrence: (doc_id, tri). The trigram
+    * array is the native codegen'd [[graft.functions.CharNgrams]] — ONE
+    * O(len) pass per document, bit-identical to the interpreted
+    * `transform(sequence(...), i -> substring(__nt, i, 3))` form it
+    * replaced (r19: that HOF lambda was the whole tx_lm_score wall —
+    * 2.0 s of the 2.9 s row at sf0.1; GramFunctionsSpec pins equality).
+    * Short docs yield an empty array, so no sequence()-descends-through-0
+    * CASE guard is needed under InferFiltersFromGenerate. */
+  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GramFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), canonical(col(textCol)).as("__nt"))
       .where(length(col("__nt")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN length(__nt) >= 3 THEN transform(" +
-        "sequence(1, length(__nt) - 2), i -> substring(__nt, i, 3)) " +
-        "ELSE array() END")).as("tri"))
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("__nt"), lit(3))).as("tri"))
+  }
 
   /** Train the add-one-smoothed trigram model over `ref` and return it as
     * `(tri STRING, score_micro LONG)` rows including the `__OOV__` sentinel.

@@ -57,6 +57,17 @@ final case class AudioMeta(
  */
 object Multimodal {
 
+  /** ImageIO's stream cache defaults to DISK (`useCache=true`): every
+    * read/write wraps its stream in a FileCache stream backed by a fresh
+    * temp FILE — one create+write+delete per image, which dominated the
+    * mm_* rows (measured 5.4 s → 0.6 s on mm_features at sf0.1 once
+    * disabled). Payloads here are KB-sized, so the in-memory cache is
+    * strictly better at any scale; called from every codec closure so each
+    * executor JVM flips the static flag once (guide §4.5: per-task init,
+    * not per-row). */
+  private def noDiskCache(): Unit =
+    if (ImageIO.getUseCache) ImageIO.setUseCache(false)
+
   /** Deterministic image geometry for doc `id`: 4..16 × 3..13. */
   def dims(id: Long): (Int, Int) = ((4 + id % 13).toInt, (3 + id % 11).toInt)
 
@@ -88,7 +99,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .mapPartitions { it => noDiskCache(); it.map(id => (id, syntheticPng(id))) }
       .toDF("doc_id", "payload")
   }
 
@@ -100,6 +111,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        noDiskCache()
         it.map { case (id, bytes) =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
@@ -139,6 +151,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        noDiskCache()
         it.map { case (id, bytes) =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
@@ -209,7 +222,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticJpeg(id))))
+      .mapPartitions { it => noDiskCache(); it.map(id => (id, syntheticJpeg(id))) }
       .toDF("doc_id", "payload")
   }
 
@@ -227,6 +240,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        noDiskCache()
         it.map { case (id, bytes) =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")

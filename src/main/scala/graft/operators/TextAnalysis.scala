@@ -161,20 +161,18 @@ object TextAnalysis {
     * (or accept row-level granularity) before calling. */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    // Gram strings are built + deduped per row, then exploded, then hashed
-    // with TOP-LEVEL (codegen'd) md5 — an md5 inside the `transform`
-    // lambda is interpreted per element and measured 3x slower end-to-end.
-    // The CASE keeps sequence() from descending through 0 on short docs
-    // under InferFiltersFromGenerate + pushdown, which evaluate the
-    // expression on rows the `where` would have dropped.
+    // Gram strings are built + deduped per row by the native codegen'd
+    // word_ngrams_distinct (one O(len) call — the interpreted per-window
+    // slice+join transform lambda it replaced was the row's wall; a
+    // sub-n-token doc yields an empty array, so no CASE guard is needed),
+    // then exploded, then hashed with TOP-LEVEL (codegen'd) md5 — an md5
+    // inside a lambda is interpreted per element and measured 3x slower
+    // end-to-end. GramFunctionsSpec pins the array equality.
+    graft.functions.GramFunctions.register(corpus.sparkSession)
     def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .where(size(col("__toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(__toks) >= $n THEN array_distinct(transform(" +
-        s"sequence(1, size(__toks) - ${n - 1}), " +
-        s"i -> array_join(slice(__toks, i, $n), ' '))) " +
-        s"ELSE array() END")).as("__g"))
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("word_ngrams_distinct",
+          col(textCol), lit(n))).as("__g"))
       .select(col("doc_id"), md5(col("__g")).as("gh"))
     val ev = grams(evalSet).select(col("gh"), lit(1).as("__hit")).distinct()
     // One pass over the corpus grams: count(*) = distinct grams per doc,

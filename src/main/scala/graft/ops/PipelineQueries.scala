@@ -288,6 +288,11 @@ object PipelineQueries {
                 bk: Array[Array[Array[Double]]]) =
         Ann.ivfPqServe(e, q, "vec_id", "embedding", ct, bk, cd,
           k = 5, nProbes = 2, rerank = 8)
+      // Each serve result appears on BOTH sides of the symmetric
+      // difference. Persisting them was probed in r19 and REVERTED: the
+      // duplicated serve subtrees already share their exchanges via
+      // ReuseExchange inside the one plan, so the persist only added cache
+      // -fill barriers (measured 2.86 s → 3.65 s A/B at sf0.1).
       serve(codes, cents, books).exceptAll(serve(codes2, cents2, books2))
         .unionAll(serve(codes2, cents2, books2).exceptAll(serve(codes, cents, books)))
         .agg(count(lit(1)).as("n"))
