@@ -225,6 +225,93 @@ case class DsirGramBuckets(child: Expression, nBuckets: Int, salt: String)
     copy(child = newChild)
 }
 
+/** First 8 bytes of md5(input) as a big-endian signed long — the bit-p
+  * extraction `(h >> (63 - p)) & 1` equals the hex-char form
+  * `shiftright(instr('0123456789abcdef', substring(md5(s), p/4 + 1, 1)) - 1,
+  * 3 - (p % 4)) & 1` the SimHash bit sums used (bit p from the digest's
+  * most-significant end). One digest + zero string parsing per token,
+  * replacing 64 interpreted-ish instr/substring chains per row. */
+case class Md5Bits64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_bits64"
+
+  @transient private lazy val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5bits", this, classOf[Md5Bits64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Bits64 =
+    copy(child = newChild)
+}
+
+/** The k MinHash hash values of one shingle as an array of 8-hex-char
+  * strings: slice i = `substring(md5(concat('<i/4>:', s)), 1 + 8·(i%4), 8)`
+  * — [[graft.operators.Dedup.minHashSignature]]'s md5 family, computed
+  * with ceil(k/4) digests and no intermediate 32-char hex strings or
+  * per-slice substring expressions. */
+case class MinhashSlices(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_slices"
+
+  @transient private lazy val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hex = "0123456789abcdef".getBytes(StandardCharsets.UTF_8)
+
+  def compute(s: UTF8String): ArrayData = {
+    val md = digests.get()
+    val sb = s.getBytes
+    val out = new Array[Any](k)
+    var d = 0
+    while (d * 4 < k) {
+      md.reset()
+      md.update(s"$d:".getBytes(StandardCharsets.UTF_8))
+      md.update(sb)
+      val dig = md.digest()
+      var j = 0
+      while (j < 4 && d * 4 + j < k) {
+        val h = new Array[Byte](8)
+        var b = 0
+        while (b < 4) {
+          val v = dig(4 * j + b) & 0xff
+          h(2 * b) = hex(v >> 4)
+          h(2 * b + 1) = hex(v & 0xf)
+          b += 1
+        }
+        out(d * 4 + j) = UTF8String.fromBytes(h)
+        j += 1
+      }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhSlices", this, classOf[MinhashSlices].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSlices =
+    copy(child = newChild)
+}
+
 object GramFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -254,6 +341,13 @@ object GramFunctions {
       new ExpressionInfo(classOf[WordNgramsDistinct].getName, "word_ngrams_distinct"),
       (children: Seq[Expression]) =>
         WordNgramsDistinct(children(0), intLit(children(1), "word_ngrams_distinct n"))),
+    (FunctionIdentifier("md5_bits64"),
+      new ExpressionInfo(classOf[Md5Bits64].getName, "md5_bits64"),
+      (children: Seq[Expression]) => Md5Bits64(children.head)),
+    (FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinhashSlices].getName, "minhash_slices"),
+      (children: Seq[Expression]) =>
+        MinhashSlices(children(0), intLit(children(1), "minhash_slices k"))),
     (FunctionIdentifier("dsir_gram_buckets"),
       new ExpressionInfo(classOf[DsirGramBuckets].getName, "dsir_gram_buckets"),
       (children: Seq[Expression]) =>

@@ -63,14 +63,18 @@ object Dedup {
       val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
       return shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     }
-    val nDigests = (k + 3) / 4
-    val withDigests = (0 until nDigests).foldLeft(shingles) { (df, d) =>
-      df.withColumn(s"__m$d", md5(concat(lit(s"$d:"), col("sh"))))
-    }
+    // Native minhash_slices (r19): the k salted slices in one codegen'd
+    // call — ceil(k/4) digests per shingle with no intermediate 32-char
+    // hex strings or per-slice concat/substring chains. Values
+    // bit-identical to the md5(concat)/substring form (GramFunctionsSpec
+    // pins it), so the cross-engine oracles are untouched.
+    graft.functions.GramFunctions.register(shingles.sparkSession)
+    val withSlices = shingles.withColumn("__sl",
+      call_function("minhash_slices", col("sh"), lit(k)))
     val aggs = (0 until k).map { i =>
-      min(substring(col(s"__m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")
+      min(element_at(col("__sl"), i + 1)).as(s"h$i")
     }
-    withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    withSlices.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (id, band, bucket) with bands of `rowsPerBand`
@@ -318,15 +322,20 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               nBits: Int = 32, fastHash: Boolean = false): DataFrame = {
     require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
+    graft.functions.GramFunctions.register(docs.sparkSession)
+    // md5 family (r19): md5_bits64 carries the digest's first 64 bits as
+    // ONE long — bit p is a shift/mask, where the hex-string form paid an
+    // instr + substring chain per (token, bit). Bit values identical
+    // (GramFunctionsSpec pins the mapping), so fingerprints and the
+    // cross-engine oracles are untouched.
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
       .select(col("id"),
-        (if (fastHash) xxhash64(col("tok")) else md5(col("tok"))).as("h"))
+        (if (fastHash) xxhash64(col("tok"))
+         else call_function("md5_bits64", col("tok"))).as("h"))
     val bitSums = (0 until nBits).map { p =>
       if (fastHash) sum(expr(s"(h >> $p) & 1")).as(s"__s$p")
-      else sum(expr(
-        s"shiftright(instr('0123456789abcdef', substring(h, ${p / 4 + 1}, 1)) - 1, " +
-        s"${3 - (p % 4)}) & 1")).as(s"__s$p")
+      else sum(expr(s"(h >> ${63 - p}) & 1")).as(s"__s$p")
     }
     toks.groupBy(col("id"))
       .agg(count(lit(1)).as("__n"), bitSums: _*)

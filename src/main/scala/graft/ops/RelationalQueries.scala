@@ -56,28 +56,43 @@ object RelationalQueries {
           (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
-    // Q3 shape: filter dim → 3-way join → agg → exact top-K.
+    // Q3 shape: filter dim → 3-way join → agg → exact top-K. Join ORDER
+    // is deliberate (guide §3 "pre-filter the big side"): the selective
+    // customer-segment filter reaches orders BEFORE orders meets
+    // lineitem, so the big⋈big join's probe side is already cut ~5× —
+    // Catalyst does not reorder inner joins without CBO stats, and the
+    // original lineitem⋈orders-first order shuffled every order row only
+    // to drop 80 % of them at the customer join. Inner joins commute:
+    // results identical (oracle-pinned).
     "q3_top_orders" -> ((s, dir) => {
       val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      val buildingOrders = t(s, dir, "orders")
         .join(cust, col("o_custkey") === col("c_custkey"))
+      t(s, dir, "lineitem")
+        .join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(revenue.as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     }),
 
-    // Q5 shape: broadcast dims up a join chain, agg by nation.
+    // Q5 shape: broadcast dims up a join chain, agg by nation. Join ORDER
+    // is deliberate (guide §3, the q3_top_orders rationale): the region
+    // filter flows region → nation → customer → orders BEFORE anything
+    // meets lineitem, so the fact-table join's other side is pre-cut to
+    // the ASIA ~20 % instead of filtering after the biggest join.
+    // Inner joins commute: results identical (oracle-pinned).
     "q5_region_revenue" -> ((s, dir) => {
       val asia = broadcast(
         t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey")))
+      val asiaOrders = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .join(asia, col("c_nationkey") === col("n_nationkey")),
+          col("o_custkey") === col("c_custkey"))
       t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(asia, col("c_nationkey") === col("n_nationkey"))
+        .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(revenue.as("revenue"))
     }),

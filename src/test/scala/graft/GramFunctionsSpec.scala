@@ -63,6 +63,38 @@ class GramFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("md5_bits64 bit p equals the hex-char instr/substring extraction") {
+    graft.functions.GramFunctions.register(spark)
+    val withBits = textDf(fuzz).where(col("t").isNotNull)
+      .withColumn("h64", call_function("md5_bits64", col("t")))
+      .withColumn("hex", md5(col("t")))
+    for (p <- Seq(0, 1, 3, 4, 7, 31, 32, 62, 63)) {
+      val bad = withBits.where(
+        expr(s"(h64 >> ${63 - p}) & 1") =!= expr(
+          s"shiftright(instr('0123456789abcdef', substring(hex, ${p / 4 + 1}, 1)) - 1, " +
+          s"${3 - (p % 4)}) & 1")).count()
+      assert(bad == 0, s"md5_bits64 bit $p diverged on $bad rows")
+    }
+  }
+
+  test("minhash_slices equals the md5(concat)/substring slice chain") {
+    graft.functions.GramFunctions.register(spark)
+    for (k <- Seq(3, 8)) {
+      val nDigests = (k + 3) / 4
+      val withRef = (0 until nDigests).foldLeft(
+        textDf(fuzz).where(col("t").isNotNull)) { (df, d) =>
+        df.withColumn(s"__m$d", md5(concat(lit(s"$d:"), col("t"))))
+      }
+      val both = withRef.withColumn("fast",
+        call_function("minhash_slices", col("t"), lit(k)))
+      for (i <- 0 until k) {
+        val bad = both.where(element_at(col("fast"), i + 1) =!=
+          substring(col(s"__m${i / 4}"), 1 + 8 * (i % 4), 8)).count()
+        assert(bad == 0, s"minhash_slices(k=$k) slice $i diverged on $bad rows")
+      }
+    }
+  }
+
   test("dsir_gram_buckets equals split+bigram transform+md5 hashBucket") {
     graft.functions.GramFunctions.register(spark)
     for ((nBuckets, salt) <- Seq((256, "dsir"), (17, "x:y"))) {
