@@ -471,7 +471,12 @@ object Ann {
     val vecs = base.select(col(vecCol)).as[Array[Float]].rdd
     for (_ <- 0 until iters) {
       val bb = spark.sparkContext.broadcast(books)
-      val (sums, cnts) = vecs.mapPartitions { it =>
+      // Partition-ordered partial-sum merge (r19, the ivfAssign shape):
+      // one single-stage job per iteration — treeReduce added an
+      // intermediate shuffle level, and its merge order followed task
+      // completion, where this fold is deterministic. Partials are
+      // nSub × k × subDim doubles per partition — KBs at any corpus size.
+      val partials = vecs.mapPartitionsWithIndex { (pid, it) =>
         val b = bb.value
         val s0 = Array.ofDim[Double](nSub, k, subDim)
         val c0 = Array.ofDim[Long](nSub, k)
@@ -485,14 +490,16 @@ object Ann {
             s += 1
           }
         }
-        Iterator.single((s0, c0))
-      }.treeReduce { case ((sa, ca), (sb, cb)) =>
+        Iterator.single((pid, s0, c0))
+      }.collect().sortBy(_._1)
+      val sums = Array.ofDim[Double](nSub, k, subDim)
+      val cnts = Array.ofDim[Long](nSub, k)
+      partials.foreach { case (_, s0, c0) =>
         for (s <- 0 until nSub; c <- 0 until k) {
-          ca(s)(c) += cb(s)(c)
-          val x = sa(s)(c); val y = sb(s)(c)
+          cnts(s)(c) += c0(s)(c)
+          val x = sums(s)(c); val y = s0(s)(c)
           var j = 0; while (j < subDim) { x(j) += y(j); j += 1 }
         }
-        (sa, ca)
       }
       books = Array.tabulate(nSub)(s => Array.tabulate(k)(c =>
         if (cnts(s)(c) > 0) sums(s)(c).map(_ / cnts(s)(c))
@@ -755,7 +762,13 @@ object Ann {
                      books: Array[Array[Array[Double]]]): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // REBALANCE before the write (guide §6): AQE coalesces the output to
+    // its advisory partition size, so the code table lands in right-sized
+    // files at any corpus size (the un-hinted write emitted one file per
+    // shuffle partition — 32 KB-sized files at battery scale, and
+    // unboundedly many small files at 100 TB if partitions outnumber the
+    // data's natural size).
+    codes.hint("rebalance").write.mode("overwrite").parquet(s"$path/codes")
     centroids.zipWithIndex.flatMap { case (c, cell) =>
       c.zipWithIndex.map { case (v, pos) => (cell, pos, v) }
     }.toSeq.toDF("cell", "pos", "value")
