@@ -27,6 +27,10 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("ERROR")
 
     val starts = new ConcurrentHashMap[Int, (Long, String)]()
+    // Dedicated lock: synchronizing on `rows` itself would lock whatever Seq
+    // instance the @volatile var happens to hold (reassigned on every append,
+    // initially the shared Seq.empty singleton) — not a valid mutex.
+    val rowsLock = new Object
     @volatile var rows = Seq.empty[(Int, Double, Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -41,7 +45,7 @@ object ProfileJobs {
         Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
           val secs = (System.nanoTime() - t0) / 1e9
           val nTasks = 0
-          rows.synchronized { rows = rows :+ ((je.jobId, secs, nTasks, desc)) }
+          rowsLock.synchronized { rows = rows :+ ((je.jobId, secs, nTasks, desc)) }
         }
       }
     })
@@ -53,14 +57,14 @@ object ProfileJobs {
       System.gc()
       try fn(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) => println(s"warmup err: $e") }
-      rows.synchronized { rows = Seq.empty }
+      rowsLock.synchronized { rows = Seq.empty }
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a moment to drain
       Thread.sleep(300)
       println(s"\n===== $n  total=${f"$total%.3f"}s =====")
-      val snap = rows.synchronized(rows)
+      val snap = rowsLock.synchronized(rows)
       snap.sortBy(_._1).foreach { case (id, secs, _, desc) =>
         println(f"  job $id%3d  $secs%7.3f s  $desc")
       }
