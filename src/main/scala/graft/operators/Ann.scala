@@ -805,14 +805,17 @@ object Ann {
 
   /** Persist an IVFADC index built by [[ivfPqIndex]]: the code table as
     * parquet (the big, corpus-sized half — stays distributed), centroids
-    * and codebooks flattened to small parquet tables (nCells×dim and
-    * nSub×nCodes×subDim doubles — the driver-sized half). Doubles
-    * round-trip parquet bit-exactly, so serving from a loaded index is
-    * IDENTICAL to serving from the in-memory build — the contract
-    * `ann_ivfpq_saved` gates. This is the deployment shape: build once
-    * per ingest, persist, serve every query batch from the loaded index
-    * (PqScale measures the walls; the code table is ~4× smaller on disk
-    * than the float vectors). */
+    * and codebooks flattened into ONE small `model` parquet table
+    * (nCells×dim + nSub×nCodes×subDim doubles — the driver-sized half;
+    * r20: one write job and one load pass where separate centroid/book
+    * tables paid two of each, per VERDICT r19 #5). Row layout:
+    * kind 0 = centroid (a=cell, b unused), kind 1 = codebook entry
+    * (a=sub, b=code). Doubles round-trip parquet bit-exactly, so serving
+    * from a loaded index is IDENTICAL to serving from the in-memory
+    * build — the contract `ann_ivfpq_saved` gates. This is the deployment
+    * shape: build once per ingest, persist, serve every query batch from
+    * the loaded index (PqScale measures the walls; the code table is ~4×
+    * smaller on disk than the float vectors). */
   def saveIvfPqIndex(path: String, codes: DataFrame,
                      centroids: Array[Array[Double]],
                      books: Array[Array[Array[Double]]]): Unit = {
@@ -825,37 +828,39 @@ object Ann {
     // unboundedly many small files at 100 TB if partitions outnumber the
     // data's natural size).
     codes.hint("rebalance").write.mode("overwrite").parquet(s"$path/codes")
-    centroids.zipWithIndex.flatMap { case (c, cell) =>
-      c.zipWithIndex.map { case (v, pos) => (cell, pos, v) }
-    }.toSeq.toDF("cell", "pos", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (bk, s) =>
-      bk.zipWithIndex.flatMap { case (c, code) =>
-        c.zipWithIndex.map { case (v, pos) => (s, code, pos, v) }
+    val model =
+      centroids.zipWithIndex.flatMap { case (c, cell) =>
+        c.zipWithIndex.map { case (v, pos) => (0, cell, 0, pos, v) }
+      } ++
+      books.zipWithIndex.flatMap { case (bk, s) =>
+        bk.zipWithIndex.flatMap { case (c, code) =>
+          c.zipWithIndex.map { case (v, pos) => (1, s, code, pos, v) }
+        }
       }
-    }.toSeq.toDF("sub", "code", "pos", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    model.toSeq.toDF("kind", "a", "b", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
   }
 
-  /** Load an index persisted by [[saveIvfPqIndex]]. The centroid/codebook
-    * collect is bounded driver state (same class as the k-means training
-    * itself); the code table stays a distributed frame. */
+  /** Load an index persisted by [[saveIvfPqIndex]]. The model collect is
+    * bounded driver state (same class as the k-means training itself);
+    * the code table stays a distributed frame. */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val codes = spark.read.parquet(s"$path/codes")
-    val cRows = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val nCells = cRows.map(_._1).max + 1
-    val dim = cRows.map(_._2).max + 1
+    val rows = spark.read.parquet(s"$path/model")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    val cRows = rows.filter(_._1 == 0)
+    val nCells = cRows.map(_._2).max + 1
+    val dim = cRows.map(_._4).max + 1
     val centroids = Array.ofDim[Double](nCells, dim)
-    cRows.foreach { case (cell, pos, v) => centroids(cell)(pos) = v }
-    val bRows = spark.read.parquet(s"$path/books")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val nSub = bRows.map(_._1).max + 1
-    val nCodes = bRows.map(_._2).max + 1
-    val subDim = bRows.map(_._3).max + 1
+    cRows.foreach { case (_, cell, _, pos, v) => centroids(cell)(pos) = v }
+    val bRows = rows.filter(_._1 == 1)
+    val nSub = bRows.map(_._2).max + 1
+    val nCodes = bRows.map(_._3).max + 1
+    val subDim = bRows.map(_._4).max + 1
     val books = Array.ofDim[Double](nSub, nCodes, subDim)
-    bRows.foreach { case (s, code, pos, v) => books(s)(code)(pos) = v }
+    bRows.foreach { case (_, s, code, pos, v) => books(s)(code)(pos) = v }
     (codes, centroids, books)
   }
 

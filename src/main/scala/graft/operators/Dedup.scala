@@ -229,8 +229,15 @@ object Dedup {
       .select(col("band"), col("bucket"))
     // The batch side feeds both joins below — persist it, not the corpus.
     val bOk = graft.util.Caches.retain(bb.join(ok, Seq("band", "bucket")))
-    val cross = cb.join(ok, Seq("band", "bucket"))
-      .select(col("id").as("a"), col("band"), col("bucket"))
+    // Corpus side joins the CAPPED BATCH buckets directly (r20): bOk rows
+    // exist only in buckets that passed the cap, so the former extra
+    // cb ⋈ ok step filtered nothing the bOk join doesn't — and at scale it
+    // was a corpus-sized join against the (also corpus-sized) bucket-cap
+    // table BEFORE the batch restriction. Joining cb against bOk first
+    // means the only corpus-scale work is one equi-join against the small
+    // batch index (broadcastable per increment) — the guide §3.2
+    // "pre-filter the big side" shape. Same pairs by construction.
+    val cross = cb.select(col("id").as("a"), col("band"), col("bucket"))
       .join(bOk.select(col("id").as("b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2"))
@@ -241,8 +248,18 @@ object Dedup {
       .select(col("d1"), col("d2"))
     // The pair list is consumed at least twice downstream (components seeds
     // its edge union from two selects over it); it is small by construction
-    // — batch-touching candidates only, skew-capped — so persist it too.
-    graft.util.Caches.retain(cross.union(within).distinct())
+    // — batch-touching candidates only, skew-capped. localCheckpoint (not
+    // persist, r20): every downstream action re-ANALYZES its logical plan,
+    // and the pair lineage here contains the corpus and batch bucket
+    // pipelines several times over — the final dd_incremental plan
+    // measured ~1.1 MB of text with ~1100 Exchange nodes, costing ~1.7 s
+    // of driver-side Catalyst time across the query's 12 jobs (ProfileJobs:
+    // jobs sum 0.53 s, gap 1.73 s). The checkpoint truncates all of it to
+    // one RDD leaf: downstream plans collapse (~979 → ~122 Exchange
+    // mentions in the committed plan files) while execution is unchanged —
+    // the same distinct() job that used to fill the cache now fills the
+    // checkpoint blocks. Caches.track registers the blocks for drain().
+    graft.util.Caches.track(cross.union(within).distinct().localCheckpoint(true))
   }
 
   /** Incremental dedup, step 2: the batch docs that survive against the
@@ -280,16 +297,33 @@ object Dedup {
   def jaccardPairs(shingles: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     // One shuffle by shingle computes df inline; persist because the frame
-    // feeds three consumers (sizes + both self-join sides).
+    // feeds two consumers (sizes + the posting-list pair generator).
     val rare = graft.util.Caches.retain(shingles
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("__df") <= maxDf)
       .drop("__df"))
     val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = rare.select(col("id").as("d1"), col("sh"))
-    val b = rare.select(col("id").as("d2"), col("sh"))
-    val inter = a.join(b, "sh").where(col("d1") < col("d2"))
+    // Pair generation from sorted postings (r20, guide §2.3 "shuffle fewer
+    // bytes"): per shingle, collect the (already df-capped, hence bounded
+    // at maxDf entries) doc-id posting list sorted ascending, then emit
+    // each ordered pair once — posexplode picks d1, a slice explode yields
+    // every later element as d2, so d1 < d2 holds by construction. The
+    // former self-join generated the full df² candidate square and then
+    // DISCARDED half of it at the d1 < d2 filter, plus paid a per-bucket
+    // hash-table build; this streams exactly df·(df−1)/2 rows — half the
+    // bytes — into the (d1, d2) intersection exchange, with no join.
+    // Aggregation state stays bounded because the df cap filters BEFORE
+    // collect_list (a hot shingle never materializes its posting list);
+    // groupBy(sh) reuses the window's hash partitioning, so no new
+    // exchange appears on the shingle side.
+    val posts = rare.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+    val inter = posts
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "d1")))
+      .select(col("d1"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+          .as("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("na")), "d1")

@@ -919,13 +919,13 @@ object PipelineQueries {
   private def fixtureReady(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
 
-  /** The persisted IVF-PQ index is three parquet directories; it is ready
-    * only when ALL THREE _SUCCESS markers landed — gating on books alone
-    * would encode an undocumented "books is written last" ordering in
-    * saveIvfPqIndex, and a reordered save + crash would serve a torn
-    * index. */
+  /** The persisted IVF-PQ index is two parquet directories (codes + the
+    * merged centroid/codebook model table, r20); it is ready only when
+    * BOTH _SUCCESS markers landed — gating on one alone would encode an
+    * undocumented write ordering in saveIvfPqIndex, and a reordered save
+    * + crash would serve a torn index. */
   private def ivfPqIndexReady(path: String): Boolean =
-    Seq("codes", "centroids", "books").forall(d => fixtureReady(s"$path/$d"))
+    Seq("codes", "model").forall(d => fixtureReady(s"$path/$d"))
 
   /** Build a fixture atomically: `build` writes into a unique temp
     * sibling of `dest`, which is then renamed into place in one
