@@ -48,6 +48,31 @@ object ProfileJobs {
           rowsLock.synchronized { rows = rows :+ ((je.jobId, secs, nTasks, desc)) }
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = for (a <- si.completionTime; b <- si.submissionTime)
+          yield (a - b) / 1e3
+        println(f"    stage ${si.stageId}%3d  ${wall.getOrElse(-1.0)}%6.3f s  " +
+          f"tasks=${si.numTasks}%3d  ${si.name.takeWhile(_ != '\n').take(90)}")
+      }
+    })
+
+    // Streaming rows: print each micro-batch's driver-side duration split
+    // (triggerExecution = whole batch; queryPlanning / addBatch / walCommit
+    // / commitOffsets / getBatch / latestOffset are its parts) — the
+    // job-level view above cannot see where a streaming query's driver gap
+    // goes.
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dur = p.durationMs
+        println(s"  [stream ${p.name} batch=${p.batchId} durationMs=$dur " +
+          s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")}]")
+      }
     })
 
     for (n <- names) {
