@@ -289,12 +289,15 @@ object PipelineQueries {
         Ann.ivfPqServe(e, q, "vec_id", "embedding", ct, bk, cd,
           k = 5, nProbes = 2, rerank = 8)
       // Each serve result appears on BOTH sides of the symmetric
-      // difference. Persisting them was probed in r19 and REVERTED: the
-      // duplicated serve subtrees already share their exchanges via
-      // ReuseExchange inside the one plan, so the persist only added cache
-      // -fill barriers (measured 2.86 s → 3.65 s A/B at sf0.1).
-      serve(codes, cents, books).exceptAll(serve(codes2, cents2, books2))
-        .unionAll(serve(codes2, cents2, books2).exceptAll(serve(codes, cents, books)))
+      // difference. r20: localCheckpoint each serve ONCE — each 25-row
+      // result computes in a single job and the comparison runs over two
+      // RDD leaves. (Persisting them was probed in r19 and REVERTED,
+      // 2.86 → 3.65 s: persist left the 4-way plan intact and only added
+      // cache-fill barriers; the checkpoint instead removes two of the
+      // four serve evaluations AND the duplicated analysis.)
+      val s1 = graft.util.Caches.track(serve(codes, cents, books).localCheckpoint(true))
+      val s2 = graft.util.Caches.track(serve(codes2, cents2, books2).localCheckpoint(true))
+      s1.exceptAll(s2).unionAll(s2.exceptAll(s1))
         .agg(count(lit(1)).as("n"))
         .select(when(col("n") === 0, lit(1L)).otherwise(lit(0L)).as("passed"))
     }),
