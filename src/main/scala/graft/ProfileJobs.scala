@@ -58,22 +58,11 @@ object ProfileJobs {
       }
     })
 
-    // Streaming rows: print each micro-batch's driver-side duration split
-    // (triggerExecution = whole batch; queryPlanning / addBatch / walCommit
-    // / commitOffsets / getBatch / latestOffset are its parts) — the
-    // job-level view above cannot see where a streaming query's driver gap
-    // goes.
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        val dur = p.durationMs
-        println(s"  [stream ${p.name} batch=${p.batchId} durationMs=$dur " +
-          s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")}]")
-      }
-    })
+    // Streaming rows' micro-batch duration split: a listener HERE never
+    // fires — every st_* query runs its stream on a CHILD session, and a
+    // session's listener bus only sees its own queries. Set
+    // SPARK_GRAFT_STREAM_DEBUG=1 instead: StreamingQueries.runToBatch
+    // prints each batch's durationMs + state rows from inside the child.
 
     for (n <- names) {
       val fn = SparkEntry.queries(n)

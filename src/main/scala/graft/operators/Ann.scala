@@ -262,6 +262,11 @@ object Ann {
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // A corpus smaller than nCells yields FEWER centroids — size the Lloyd
+    // arrays to what was actually initialized (the pqTrain k rule; indexing
+    // by nCells would read past the shorter partials, r20).
+    val nK = centroids.length
+    require(nK > 0, "cannot run ivfAssign on an empty corpus")
 
     def assignCol: org.apache.spark.sql.Column =
       probeCellsCol("__v", centroids, 1).getItem(0).getField("cell")
@@ -299,8 +304,8 @@ object Ann {
         }
         Iterator.single((pid, sums, cnts))
       }
-      val (sums, cnts) = mergeStatPartials(partials, nCells * dim, nCells)
-      centroids = Array.tabulate(nCells) { cell =>
+      val (sums, cnts) = mergeStatPartials(partials, nK * dim, nK)
+      centroids = Array.tabulate(nK) { cell =>
         if (cnts(cell) > 0) {
           val c = new Array[Double](centroids(cell).length)
           val n = math.min(dim, c.length)
@@ -503,7 +508,12 @@ object Ann {
     * argmin degrades at that width — measured and replaced). Codebooks live
     * driver-side (nSub × nCodes × subDim doubles — a few hundred KB at
     * most). Deterministic init from the lowest-id vectors' slices; empty
-    * codes keep their previous centroid. Returns codebooks(sub)(code)(dim). */
+    * codes keep their previous centroid. Null vectors are an ERROR here
+    * (as in every prior round — unlike [[ivfAssign]]'s stats pass, whose
+    * pre-r19 shape silently dropped them and which keeps that tolerance):
+    * a PQ code table must cover every row, so a null cannot be skipped
+    * consistently — filter nulls upstream. Returns
+    * codebooks(sub)(code)(dim). */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
               nSub: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession

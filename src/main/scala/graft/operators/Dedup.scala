@@ -208,7 +208,32 @@ object Dedup {
     * only index scan. */
   def incrementalCandidates(corpusBuckets: DataFrame, batchBuckets: DataFrame,
                             maxBucket: Int = 1000,
-                            corpusCounts: Option[DataFrame] = None): DataFrame = {
+                            corpusCounts: Option[DataFrame] = None): DataFrame =
+    // The pair list is consumed at least twice downstream (components seeds
+    // its edge union from two selects over it); it is small by construction
+    // — batch-touching candidates only, skew-capped. localCheckpoint (not
+    // persist, r20): every downstream action re-ANALYZES its logical plan,
+    // and the pair lineage here contains the corpus and batch bucket
+    // pipelines several times over — the final dd_incremental plan
+    // measured ~1.1 MB of text with ~1100 Exchange nodes, costing ~1.7 s
+    // of driver-side Catalyst time across the query's 12 jobs (ProfileJobs:
+    // jobs sum 0.53 s, gap 1.73 s). The checkpoint truncates all of it to
+    // one RDD leaf: downstream plans collapse (~979 → ~122 Exchange
+    // mentions in the committed plan files) while execution is unchanged —
+    // the same distinct() job that used to fill the cache now fills the
+    // checkpoint blocks. Caches.track registers the blocks for drain().
+    // (The un-checkpointed plan stays visible via
+    // [[incrementalCandidatesPlan]] — OperatorsSpec's no-cartesian guard
+    // asserts on it, since the checkpointed frame is just an RDD leaf.)
+    graft.util.Caches.track(
+      incrementalCandidatesPlan(corpusBuckets, batchBuckets, maxBucket,
+        corpusCounts).localCheckpoint(true))
+
+  /** [[incrementalCandidates]] before its plan-truncating checkpoint. */
+  private[graft] def incrementalCandidatesPlan(
+      corpusBuckets: DataFrame, batchBuckets: DataFrame,
+      maxBucket: Int = 1000,
+      corpusCounts: Option[DataFrame] = None): DataFrame = {
     // Both sides feed two consumers (the cap counts and a join); persist so
     // neither lineage — typically the shingle+minhash pipeline — runs
     // twice. A production corpus index is a materialized table, for which
@@ -246,20 +271,7 @@ object Dedup {
         Seq("band", "bucket"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
-    // The pair list is consumed at least twice downstream (components seeds
-    // its edge union from two selects over it); it is small by construction
-    // — batch-touching candidates only, skew-capped. localCheckpoint (not
-    // persist, r20): every downstream action re-ANALYZES its logical plan,
-    // and the pair lineage here contains the corpus and batch bucket
-    // pipelines several times over — the final dd_incremental plan
-    // measured ~1.1 MB of text with ~1100 Exchange nodes, costing ~1.7 s
-    // of driver-side Catalyst time across the query's 12 jobs (ProfileJobs:
-    // jobs sum 0.53 s, gap 1.73 s). The checkpoint truncates all of it to
-    // one RDD leaf: downstream plans collapse (~979 → ~122 Exchange
-    // mentions in the committed plan files) while execution is unchanged —
-    // the same distinct() job that used to fill the cache now fills the
-    // checkpoint blocks. Caches.track registers the blocks for drain().
-    graft.util.Caches.track(cross.union(within).distinct().localCheckpoint(true))
+    cross.union(within).distinct()
   }
 
   /** Incremental dedup, step 2: the batch docs that survive against the
@@ -297,34 +309,44 @@ object Dedup {
   def jaccardPairs(shingles: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     // One shuffle by shingle computes df inline; persist because the frame
-    // feeds two consumers (sizes + the posting-list pair generator).
+    // feeds multiple consumers (sizes + the pair generator's side(s)).
     val rare = graft.util.Caches.retain(shingles
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("__df") <= maxDf)
       .drop("__df"))
     val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // Pair generation from sorted postings (r20, guide §2.3 "shuffle fewer
-    // bytes"): per shingle, collect the (already df-capped, hence bounded
-    // at maxDf entries) doc-id posting list sorted ascending, then emit
-    // each ordered pair once — posexplode picks d1, a slice explode yields
-    // every later element as d2, so d1 < d2 holds by construction. The
-    // former self-join generated the full df² candidate square and then
-    // DISCARDED half of it at the d1 < d2 filter, plus paid a per-bucket
-    // hash-table build; this streams exactly df·(df−1)/2 rows — half the
-    // bytes — into the (d1, d2) intersection exchange, with no join.
-    // Aggregation state stays bounded because the df cap filters BEFORE
-    // collect_list (a hot shingle never materializes its posting list);
-    // groupBy(sh) reuses the window's hash partitioning, so no new
-    // exchange appears on the shingle side.
-    val posts = rare.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("__ids"))
-    val inter = posts
-      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "d1")))
-      .select(col("d1"),
-        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
-          .as("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    // Pair generation from sorted postings (r20, guide §2.3): per shingle,
+    // collect the (already df-capped, hence bounded at maxDf entries)
+    // doc-id posting list sorted ascending, then emit each ordered pair
+    // once — posexplode picks d1, a slice explode yields every later
+    // element as d2. The former self-join generated the full df² candidate
+    // square and then DISCARDED half of it at the d1 < d2 filter, plus
+    // paid a per-bucket hash-table build; this streams exactly
+    // df·(df−1)/2 rows with no join. The d1 < d2 filter is kept as free
+    // insurance for inputs violating the distinct-(id, sh) contract
+    // ([[charShingles]] guarantees it; a duplicated (id, sh) row would
+    // otherwise surface as a (x, x) self-pair where the old join shape
+    // silently dropped it). Aggregation state is bounded ONLY because the
+    // df cap filters BEFORE collect_list — so the posting form is gated on
+    // a sane finite cap, and an uncapped call keeps the pre-r20 self-join,
+    // which spills gracefully where a vocabulary-wide posting list would
+    // be one unspillable multi-GB aggregation buffer.
+    val inter = (if (maxDf <= (1 << 17)) {
+      val posts = rare.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      posts
+        .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "d1")))
+        .select(col("d1"),
+          explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+            .as("d2"))
+        .where(col("d1") < col("d2"))
+    } else {
+      rare.select(col("id").as("d1"), col("sh"))
+        .join(rare.select(col("id").as("d2"), col("sh")), "sh")
+        .where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+    }).groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("na")), "d1")
       .join(sizes.select(col("id").as("d2"), col("n").as("nb")), "d2")

@@ -45,6 +45,20 @@ class AnnMergeSpec extends SparkSpec {
     assert(c.toSeq == Seq(3L))
   }
 
+  test("ivfAssign: corpus smaller than nCells trains short centroids, no crash") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val tiny = frame(schema, (0L until 3L).map(i =>
+      Map[String, Any]("id" -> i, "v" -> Seq.tabulate(4)(j => (i * 2 + j).toFloat))))
+    val (assigned, cents) = Ann.ivfAssign(tiny, "id", "v", dim = 4, nCells = 8, iters = 2)
+    assert(cents.length == 3, s"expected 3 centroids, got ${cents.length}")
+    // every row lands in a valid cell of the short centroid table
+    val cells = assigned.select("cell").collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 3), cells)
+    graft.util.Caches.drain()
+  }
+
   test("ivfAssign: null vectors are skipped, not NPE'd (r19 ADVICE)") {
     val schema = StructType(Seq(
       StructField("id", LongType),

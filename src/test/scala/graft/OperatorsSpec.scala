@@ -234,8 +234,11 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(5L, 7L), kept)
 
     // Candidate generation stays pure equi-join — no cartesian fallback
-    // (the rule every pair generator in this package obeys).
-    val plan = pairs.queryExecution.executedPlan.toString
+    // (the rule every pair generator in this package obeys). Asserted on
+    // the UN-checkpointed plan (r20): incrementalCandidates' public frame
+    // is a localCheckpoint leaf, whose plan would pass this vacuously.
+    val plan = Dedup.incrementalCandidatesPlan(buckets(corpus), buckets(batch))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan)
 
